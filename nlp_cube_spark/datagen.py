@@ -1,0 +1,156 @@
+"""Deterministic synthetic Common-Crawl-style `pages` generator.
+
+Schema is exactly the BASELINE.json `input_hint`:
+    url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING
+
+The text is a seeded sentence stream over the closed fixture grammar
+(FIXTURES.md §1): SVO, copula ("X is a Y."), apposition ("X, the Y, ..."),
+obl+case ("X sat on Y."), grouped numbers ("... 1,000 reports."), and
+es-style MWT sentences ("X viaja al planeta."). Entity and predicate draws
+are Zipf-skewed so hot-key salting has something to bite on.
+
+html wraps text in a fixed template with HTML-escaping, so extraction is
+checkable byte-for-byte (per-row invariant: byte-identical extracted text
+per url).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import html as html_mod
+import random
+
+from .kernels import lexicon as L
+
+BASE_TS = dt.datetime(2025, 1, 1, 0, 0, 0)
+HTML_TEMPLATE = (
+    "<html><head><title>{title}</title></head>"
+    "<body><article><p>{body}</p></article></body></html>"
+)
+
+
+def _zipf_choice(rng: random.Random, items: list[str], s: float = 1.3) -> str:
+    # deterministic Zipf over item ranks
+    weights = [1.0 / ((i + 1) ** s) for i in range(len(items))]
+    total = sum(weights)
+    x = rng.random() * total
+    acc = 0.0
+    for it, w in zip(items, weights):
+        acc += w
+        if x <= acc:
+            return it
+    return items[-1]
+
+
+def _sentence(rng: random.Random, lang: str) -> str:
+    v3 = sorted(k for k in L.VERBS_3SG if k != "viaja")
+    vp = sorted(L.VERBS_PAST)
+    kind = rng.choice(["svo", "svo", "svo_det", "copula", "appos", "obl", "num"]) if lang == "en" else "es_mwt"
+    s = _zipf_choice(rng, L.PROPER)
+    if kind == "svo":
+        v = _zipf_choice(rng, v3 if rng.random() < 0.7 else vp)
+        o = _zipf_choice(rng, [p for p in L.PROPER if p != s] or L.PROPER)
+        return f"{s} {v} {o} ."
+    if kind == "svo_det":
+        v = _zipf_choice(rng, v3)
+        n = _zipf_choice(rng, L.NOUNS[:15])
+        return f"{s} {v} the {n} ."
+    if kind == "copula":
+        n = _zipf_choice(rng, L.NOUNS[:10])
+        det = "an" if n[0] in "aeiou" else "a"
+        return f"{s} is {det} {n} ."
+    if kind == "appos":
+        n = _zipf_choice(rng, L.NOUNS[:10])
+        v = _zipf_choice(rng, v3)
+        o = _zipf_choice(rng, [p for p in L.PROPER if p != s] or L.PROPER)
+        return f"{s} , the {n} , {v} {o} ."
+    if kind == "obl":
+        v = rng.choice(["sat", "worked", "lived", "arrived", "stayed"])
+        p = rng.choice(["on", "in", "at", "near"])
+        o = _zipf_choice(rng, L.PROPER[14:] + ["Mars", "Paris"])
+        return f"{s} {v} {p} {o} ."
+    if kind == "num":
+        num = rng.choice(["1,000", "3.5", "12", "2,500"])
+        n = rng.choice(["reports", "papers", "ideas"])
+        return f"{s} mentions {num} {n} ."
+    # es_mwt
+    o = rng.choice(["planeta", "libro", "equipo"])
+    return f"{s} viaja al {o} ."
+
+
+def gen_pages(n_docs: int, seed: int = 42, sents_per_doc: tuple[int, int] = (2, 5)) -> list[dict]:
+    """Returns list of row dicts (url, warc_ts, html, text, lang)."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_docs):
+        lang = "es" if i % 17 == 3 else "en"
+        k = rng.randint(*sents_per_doc)
+        text = " ".join(_sentence(rng, lang) for _ in range(k))
+        url = f"https://ex{seed}.org/p/{i}"
+        html = HTML_TEMPLATE.format(title=html_mod.escape(url), body=html_mod.escape(text)).encode("utf-8")
+        rows.append(
+            {
+                "url": url,
+                "warc_ts": BASE_TS + dt.timedelta(seconds=i * 37),
+                "html": html,
+                "text": text,
+                "lang": lang,
+            }
+        )
+    return rows
+
+
+def gen_aliases(seed: int = 42) -> list[dict]:
+    """Entity-linking dictionary (FIXTURES.md §4): alias -> candidate ids
+    with priors; controlled ambiguity + a few Zipf-hot entities."""
+    rng = random.Random(seed + 1)
+    rows = []
+    eid = 1000
+    for name in L.PROPER + L.NOUNS:
+        n_cand = 1 + (1 if rng.random() < 0.25 else 0) + (1 if rng.random() < 0.1 else 0)
+        total = 0.0
+        priors = [rng.random() + 0.1 for _ in range(n_cand)]
+        total = sum(priors)
+        for j in range(n_cand):
+            rows.append(
+                {
+                    "alias": name.lower(),
+                    "entity_id": eid,
+                    "prior": round(priors[j] / total, 6),
+                }
+            )
+            eid += 1
+    return rows
+
+
+def pages_df(spark, n_docs: int, seed: int = 42, partitions: int | None = None):
+    """pages rows -> DataFrame with the input_hint schema."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), False),
+            T.StructField("html", T.BinaryType(), False),
+            T.StructField("text", T.StringType(), False),
+            T.StructField("lang", T.StringType(), False),
+        ]
+    )
+    rows = gen_pages(n_docs, seed=seed)
+    df = spark.createDataFrame([tuple(r.values()) for r in rows], schema)
+    if partitions:
+        df = df.repartition(partitions, "url")
+    return df
+
+
+def aliases_df(spark, seed: int = 42):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("alias", T.StringType(), False),
+            T.StructField("entity_id", T.LongType(), False),
+            T.StructField("prior", T.DoubleType(), False),
+        ]
+    )
+    return spark.createDataFrame([(r["alias"], r["entity_id"], r["prior"]) for r in gen_aliases(seed)], schema)

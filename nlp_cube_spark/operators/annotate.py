@@ -1,0 +1,237 @@
+"""Fused Arrow UDF stages: extract -> segment -> tag+parse -> lemmatize.
+
+Stage fusion rationale (SURVEY.md §4): intermediate per-token state
+(pre-tokens, boundary labels, score matrices) never leaves the UDF — the
+Spark analog of the reference computing embeddings inside collate_fn
+(utils_tokenizer.py:560-572). Only compact annotated rows cross stage
+boundaries.
+
+Scale notes:
+- all stages are narrow (mapInPandas over whatever partitioning the scan
+  gives us); the ONLY shuffles in the whole annotate path are the lemma
+  dedup + join-back, and that join is broadcast (distinct (form,upos,lang)
+  is Zipf-bounded: vocabulary grows ~O(sqrt(corpus)), stays dimension-sized).
+- documents never split across partitions (row = doc), so window chunking
+  and boundary decode are partition-local by construction.
+"""
+
+from __future__ import annotations
+
+import html as html_mod
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..kernels import arc_scores, lemma_rules, mst, segment_rules, tagger_rules
+
+# ---------------------------------------------------------------- schemas
+
+TOKENS_FIELD = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("form", T.StringType()),
+            T.StructField("space_after", T.BooleanType()),
+            T.StructField("is_mwt", T.BooleanType()),
+        ]
+    )
+)
+
+SENTENCES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("sent_id", T.IntegerType()),
+        T.StructField("tokens", TOKENS_FIELD),
+    ]
+)
+
+WORD_STRUCT = T.StructType(
+    [
+        T.StructField("word_id", T.IntegerType()),
+        T.StructField("mwt_id", T.IntegerType()),
+        T.StructField("tok_form", T.StringType()),
+        T.StructField("form", T.StringType()),
+        T.StructField("upos", T.StringType()),
+        T.StructField("xpos", T.StringType()),
+        T.StructField("feats", T.StringType()),
+        T.StructField("head", T.IntegerType()),
+        T.StructField("deprel", T.StringType()),
+        T.StructField("space_after", T.BooleanType()),
+    ]
+)
+
+PARSED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("sent_id", T.IntegerType()),
+        T.StructField("words", T.ArrayType(WORD_STRUCT)),
+    ]
+)
+
+_P_RE = re.compile(r"<p>(.*?)</p>", re.DOTALL)
+
+
+# ---------------------------------------------------------------- extract
+
+def extract_text(pages: DataFrame) -> DataFrame:
+    """html BINARY -> text STRING; byte-identical per url (input_hint
+    invariant). Deterministic template rules, Arrow-batched."""
+
+    @F.pandas_udf(T.StringType())
+    def _extract(html: pd.Series) -> pd.Series:
+        def one(b):
+            if b is None:
+                return ""
+            m = _P_RE.search(bytes(b).decode("utf-8"))
+            return html_mod.unescape(m.group(1)) if m else ""
+
+        return html.map(one)
+
+    return pages.withColumn("extracted_text", _extract(F.col("html")))
+
+
+# ---------------------------------------------------------------- segment
+
+def segment(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """pages -> one row per sentence with nested token array.
+
+    Fuses reference ops #2-#8 (normalize, pretokenize, space-after, window
+    chunking, boundary classify, greedy decode; tokenizer.py:224-304)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, langs, sids, toks = [], [], [], []
+            for url, lang, text in zip(pdf["url"], pdf["lang"], pdf[text_col]):
+                _, sents = segment_rules.segment(text or "", lang)
+                for sid, sent in enumerate(sents):
+                    urls.append(url)
+                    langs.append(lang)
+                    sids.append(sid)
+                    toks.append([{"form": f, "space_after": sp, "is_mwt": mw} for f, sp, mw in sent])
+            if urls:  # empty object columns can't Arrow-convert to list<struct>
+                yield pd.DataFrame({"url": urls, "lang": langs, "sent_id": sids, "tokens": toks})
+
+    cols = [c for c in ("url", "lang", text_col) if c in pages.columns]
+    return pages.select(*cols).mapInPandas(run, schema=SENTENCES_SCHEMA)
+
+
+# ---------------------------------------------------------------- tag+parse
+
+def tag_parse(sentences: DataFrame) -> DataFrame:
+    """sentences -> parsed words (MWT expansion + tagging + biaffine-style
+    scoring + Chu-Liu/Edmonds + label assignment).
+
+    Fuses reference ops #10-#16 (compound.py:183-245, parser.py:404-448,
+    utils.py:400-577) into one Arrow stage; the score matrix lives only
+    inside the kernel."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_words = []
+            for tokens, lang in zip(pdf["tokens"], pdf["lang"]):
+                forms, space, mwt_ids, tok_forms = [], [], [], []
+                for tok_idx, tok in enumerate(tokens, start=1):
+                    words = (
+                        segment_rules.expand_mwt(tok["form"], lang) if tok["is_mwt"] else [tok["form"]]
+                    )
+                    for w in words:
+                        forms.append(w)
+                        space.append(bool(tok["space_after"]))
+                        mwt_ids.append(tok_idx if tok["is_mwt"] and len(words) > 1 else 0)
+                        tok_forms.append(tok["form"])
+                tags = tagger_rules.tag_sentence(forms, lang)
+                upos = [t[0] for t in tags]
+                probs = arc_scores.score_matrix(forms, upos)
+                heads = mst.decode_tree(probs).tolist()
+                labels = arc_scores.label_arcs(forms, upos, heads)
+                out_words.append(
+                    [
+                        {
+                            "word_id": i + 1,
+                            "mwt_id": mwt_ids[i],
+                            "tok_form": tok_forms[i],
+                            "form": forms[i],
+                            "upos": upos[i],
+                            "xpos": tags[i][1],
+                            "feats": tags[i][2],
+                            "head": int(heads[i]),
+                            "deprel": labels[i],
+                            "space_after": space[i],
+                        }
+                        for i in range(len(forms))
+                    ]
+                )
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "lang": pdf["lang"],
+                    "sent_id": pdf["sent_id"],
+                    "words": out_words,
+                }
+            )
+
+    return sentences.mapInPandas(run, schema=PARSED_SCHEMA)
+
+
+# ---------------------------------------------------------------- lemmas
+
+LEMMA_SCHEMA = T.StructType(
+    [
+        T.StructField("form", T.StringType()),
+        T.StructField("upos", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("lemma", T.StringType()),
+    ]
+)
+
+
+def lemmatize(parsed: DataFrame) -> DataFrame:
+    """parsed (nested) -> flat words DF with lemma column.
+
+    Dedup-then-join (SURVEY.md §2a #17): lemma is a pure function of
+    (form, upos, lang) — reference dedups training data on exactly this key
+    (utils.py:109-115) but recomputes per-occurrence at inference; we compute
+    per DISTINCT key and broadcast-join back. At web scale distinct forms
+    ≪ tokens (Zipf), so the kernel runs ~1000x fewer times."""
+    words = parsed.select(
+        "url", "lang", "sent_id", F.posexplode("words").alias("pos", "w")
+    ).select("url", "lang", "sent_id", "w.*").drop("pos")
+
+    keys = words.select("form", "upos", "lang").dropDuplicates()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["lemma"] = [
+                lemma_rules.lemmatize(f, u, lg)
+                for f, u, lg in zip(pdf["form"], pdf["upos"], pdf["lang"])
+            ]
+            yield pdf
+
+    lemmas = keys.mapInPandas(run, schema=LEMMA_SCHEMA)
+    return words.join(F.broadcast(lemmas), on=["form", "upos", "lang"], how="left").select(
+        "url",
+        "lang",
+        "sent_id",
+        "word_id",
+        "mwt_id",
+        "tok_form",
+        "form",
+        F.coalesce("lemma", F.lower("form")).alias("lemma"),
+        "upos",
+        "xpos",
+        "feats",
+        "head",
+        "deprel",
+        "space_after",
+    )
+
+
+def annotate(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """pages -> flat annotated words DF (the engine's `words` table)."""
+    return lemmatize(tag_parse(segment(pages, text_col=text_col)))

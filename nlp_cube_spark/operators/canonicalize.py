@@ -1,0 +1,96 @@
+"""Canonicalization: lemma-normalized surface forms + connected components.
+
+Co-referring node clustering over an equivalence-edge DataFrame
+(north rule / SURVEY.md §2c): edges come from (a) apposition triples
+("Alice, the scientist" => alice ~ scientist-alias-of-alice) and (b)
+mentions linked to the same entity_id. Components are computed with a pure
+DataFrame iterative min-label propagation — no GraphFrames dependency.
+
+Scale notes: each round is one shuffle on node id; lineage is cut with
+localCheckpoint() per round (SURVEY.md §4 item 3) so plans don't grow.
+Alias/coref clusters are shallow (diameter <= ~6), so rounds ≈ diameter;
+for adversarial graphs switch `large_star_small_star=True` pseudo-mode by
+raising max_iter — each round is still O(E) work. Deterministic: canonical
+id = min node id in the component.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(edges: DataFrame, max_iter: int = 15) -> DataFrame:
+    """edges (src STRING, dst STRING) -> (node STRING, component STRING).
+
+    component = lexicographic min node reachable; undirected.
+    """
+    sym = edges.select("src", "dst").union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = sym.where(F.col("src").isNotNull() & F.col("dst").isNotNull()).dropDuplicates().localCheckpoint()
+    nodes = sym.select(F.col("src").alias("node")).dropDuplicates()
+    labels = nodes.withColumn("component", F.col("node"))
+
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), "component")
+        )
+        new_labels = (
+            nbr.unionByName(labels.select("node", "component"))
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_entities(linked_triples: DataFrame) -> DataFrame:
+    """linked triples -> (mention, canonical_id STRING, canonical STRING).
+
+    Equivalence edges:
+      - appos pattern: subj ~ obj
+      - same linked entity_id: mention ~ mention (via entity pivot node)
+    Canonical surface = min mention in component (deterministic).
+    """
+    appos_edges = (
+        linked_triples.where(F.col("pattern") == "appos")
+        .select(F.lower("subj").alias("src"), F.lower("obj").alias("dst"))
+    )
+    ent_edges = (
+        linked_triples.select(F.lower("subj").alias("m"), F.col("subj_id").alias("eid"))
+        .unionByName(linked_triples.select(F.lower("obj").alias("m"), F.col("obj_id").alias("eid")))
+        .where(F.col("eid").isNotNull())
+        .dropDuplicates()
+        .select(F.col("m").alias("src"), F.concat(F.lit("eid:"), F.col("eid")).alias("dst"))
+    )
+    edges = appos_edges.unionByName(ent_edges)
+    comps = connected_components(edges)
+    mention_comps = comps.where(~F.col("node").startswith("eid:"))
+    canon = mention_comps.groupBy("component").agg(F.min("node").alias("canonical"))
+    return (
+        mention_comps.join(canon, "component")
+        .select(F.col("node").alias("mention"), F.col("component").alias("canonical_id"), "canonical")
+    )
+
+
+def canonicalize_triples(linked_triples: DataFrame) -> DataFrame:
+    """Rewrite subj/obj to canonical surfaces; keep originals."""
+    ents = canonical_entities(linked_triples)
+    csub = F.broadcast(ents.select(F.col("mention").alias("_cs"), F.col("canonical").alias("subj_canon")))
+    cobj = F.broadcast(ents.select(F.col("mention").alias("_co"), F.col("canonical").alias("obj_canon")))
+    return (
+        linked_triples.join(csub, F.lower(linked_triples["subj"]) == F.col("_cs"), "left")
+        .join(cobj, F.lower(linked_triples["obj"]) == F.col("_co"), "left")
+        .withColumn("subj_canon", F.coalesce("subj_canon", F.lower("subj")))
+        .withColumn("obj_canon", F.coalesce("obj_canon", F.lower("obj")))
+        .drop("_cs", "_co")
+    )

@@ -1,0 +1,52 @@
+"""Skew handling: hot-key detection + salted two-phase aggregation/join.
+
+Web-scale predicate/entity keys are Zipfian (north rule requires explicit
+skew handling). AQE's skew-join splitting is enabled globally
+(session.py); this module adds the aggregation-side tools:
+
+- `hot_keys`: find keys above a frequency threshold (one cheap partial-agg
+  count — at 100 TB run it on a sample via `df.sample` first);
+- `salted_agg_count`: two-phase count — phase 1 groups on (key, salt) so a
+  hot key fans out over `n_salt` reducers, phase 2 sums the partials. For
+  algebraic aggregates Spark's own partial aggregation usually suffices;
+  salting matters when the *reduce side* (e.g. collect_list / distinct per
+  key) would otherwise concentrate on one task.
+- `with_salt`: generic salt column for pre-shuffle fan-out joins (replicate
+  the small side n_salt times, salt the big side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def with_salt(df: DataFrame, key: str, n_salt: int = 16, col: str = "salt") -> DataFrame:
+    """Deterministic salt derived from the whole row's key + a spread hash.
+
+    Uses xxhash64 of the key plus a monotonic disambiguator so identical
+    keys spread across salt buckets without RNG (rerun-stable)."""
+    return df.withColumn(
+        col, F.pmod(F.xxhash64(F.col(key), F.spark_partition_id(), F.monotonically_increasing_id()), F.lit(n_salt))
+    )
+
+
+def hot_keys(df: DataFrame, key: str, min_count: int) -> DataFrame:
+    return df.groupBy(key).count().where(F.col("count") >= min_count).select(key)
+
+
+def salted_agg_count(df: DataFrame, key: str, n_salt: int = 16) -> DataFrame:
+    """count per key via (key, salt) partial then final sum."""
+    salted = with_salt(df, key, n_salt)
+    partial = salted.groupBy(key, "salt").count()
+    return partial.groupBy(key).agg(F.sum("count").alias("count"))
+
+
+def salted_distinct_count(df: DataFrame, key: str, value: str, n_salt: int = 16) -> DataFrame:
+    """distinct values per key with salted pre-dedup: dedup on
+    (key, salt, value) spreads a hot key's dedup work across reducers,
+    then the per-key distinct count is exact."""
+    salted = with_salt(df, key, n_salt)
+    pre = salted.dropDuplicates([key, "salt", value])
+    # a value can survive in several salt buckets; final exact dedup is on
+    # the (much smaller) pre-deduped stream
+    return pre.dropDuplicates([key, value]).groupBy(key).agg(F.count(value).alias("n_distinct"))

@@ -1,0 +1,121 @@
+"""End-to-end KG construction: pages -> partitioned graph tables.
+
+Lifecycle (SURVEY.md §3 "Our Spark lifecycle"):
+    pages -> extract -> segment -> tag+parse -> triples(nested, no shuffle)
+          -> link (broadcast) -> canonicalize (cc loop) -> write
+
+Resumability + lineage (north rule):
+- work unit = url-hash bucket (`pmod(xxhash64(url), n_buckets)`), the same
+  bucketing the output tables are partitioned by;
+- `_manifest` parquet records completed buckets per stage; a resumed run
+  anti-joins pages against it and only processes the remainder;
+- writes use dynamic partition overwrite, so re-processing a bucket is
+  idempotent (partial writes from a killed run are simply overwritten);
+- `_metrics` parquet records per-run, per-stage row counts collected with
+  `DataFrame.observe` (piggybacks on the write action — no extra job).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
+
+from ..operators import annotate as A
+from ..operators import canonicalize as C
+from ..operators import linking as LK
+from ..operators import triples as TR
+
+
+def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    return df.withColumn("bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
+
+
+def _read_manifest(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    path = f"{out_dir}/_manifest"
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(hconf)
+    if not fs.exists(hpath):
+        return None
+    return spark.read.parquet(path)
+
+
+def build_graph(
+    spark: SparkSession,
+    pages: DataFrame,
+    aliases: DataFrame,
+    out_dir: str,
+    n_buckets: int = 16,
+    resume: bool = True,
+    run_id: int = 0,
+) -> dict:
+    """Run the full pipeline; returns metrics dict. Restart-safe."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    t0 = time.time()
+
+    pages_b = with_bucket(pages, n_buckets)
+    manifest = _read_manifest(spark, out_dir) if resume else None
+    if manifest is not None:
+        done = manifest.where(F.col("status") == "done").select("bucket").dropDuplicates()
+        pages_b = pages_b.join(F.broadcast(done), "bucket", "left_anti")
+
+    obs_pages = Observation("pages")
+    pages_b = pages_b.observe(obs_pages, F.count(F.lit(1)).alias("n"))
+
+    parsed = A.tag_parse(A.segment(pages_b))
+    triples = TR.extract_triples_nested(parsed)
+    # cut lineage before the iterative cc loop: linking output is consumed
+    # many times (edge build + per-iteration joins); without this the whole
+    # annotate chain would recompute once per iteration
+    linked = LK.link_triples(triples, aliases).localCheckpoint()
+    canon = C.canonicalize_triples(linked)
+
+    out = with_bucket(canon, n_buckets).withColumn(
+        "conf", F.when(F.col("subj_id").isNotNull() & F.col("obj_id").isNotNull(), F.lit(1.0)).otherwise(F.lit(0.8))
+    )
+    obs_triples = Observation("triples")
+    out = out.observe(obs_triples, F.count(F.lit(1)).alias("n"))
+    out.write.partitionBy("bucket").mode("overwrite").parquet(f"{out_dir}/triples")
+
+    # nodes table: canonical entities with degree
+    nodes = (
+        spark.read.parquet(f"{out_dir}/triples")
+        .select(F.col("subj_canon").alias("node"))
+        .unionByName(spark.read.parquet(f"{out_dir}/triples").select(F.col("obj_canon").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    nodes.write.mode("overwrite").parquet(f"{out_dir}/nodes")
+
+    n_pages = obs_pages.get["n"] if pages_b is not None else 0
+    n_triples = obs_triples.get["n"]
+
+    # manifest: every bucket present in the (full) input is now done —
+    # previously-done buckets are re-asserted, newly-processed ones added
+    done_buckets = with_bucket(pages, n_buckets).select("bucket").dropDuplicates()
+    done_buckets.withColumn("status", F.lit("done")).withColumn(
+        "run_id", F.lit(run_id)
+    ).write.mode("overwrite").parquet(f"{out_dir}/_manifest")
+
+    elapsed = time.time() - t0
+    metrics = {
+        "run_id": run_id,
+        "n_pages": int(n_pages),
+        "n_triples": int(n_triples),
+        "elapsed_sec": round(elapsed, 3),
+    }
+    spark.createDataFrame(
+        [(run_id, "pipeline", int(n_pages), int(n_triples), float(elapsed))],
+        "run_id int, stage string, rows_in long, rows_out long, elapsed_sec double",
+    ).write.mode("append").parquet(f"{out_dir}/_metrics")
+    return metrics
+
+
+def annotate_and_triples(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Convenience: (flat lemmatized words, triples) without writing."""
+    parsed = A.tag_parse(A.segment(pages)).localCheckpoint()  # reused twice
+    words = A.lemmatize(parsed)
+    triples = TR.extract_triples_nested(parsed)
+    return words, triples

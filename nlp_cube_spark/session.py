@@ -1,0 +1,64 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults chosen for the 100 TB design point (see SURVEY.md §4):
+- AQE on (broadcast conversion, skew-join splitting, partition coalescing)
+- Arrow on, bounded batch size so heavy pandas-UDF kernels don't blow memory
+- shuffle partitions sized to local test parallelism; on a real cluster this
+  is set to ~2-3x total cores via spark-submit conf.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import SparkSession
+
+ARROW_BATCH = 256  # rows/batch for pandas-UDF kernels; docs are large rows
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make `nlp_cube_spark` importable on executors regardless of driver
+    cwd — the library-mode equivalent of `spark-submit --py-files pkg.zip`.
+    Kernels are imported inside mapInPandas closures, so Python workers
+    must resolve the package themselves."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zip_base = os.path.join(tempfile.gettempdir(), f"nlp_cube_spark_pyfiles_{os.getpid()}")
+    zip_path = zip_base + ".zip"
+    if not os.path.exists(zip_path):
+        shutil.make_archive(zip_base, "zip", root_dir=root, base_dir="nlp_cube_spark")
+    spark.sparkContext.addPyFile(zip_path)
+
+
+def get_spark(
+    app_name: str = "nlp_cube_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    if shuffle_partitions is None:
+        # local[N] -> N; a real cluster overrides via spark-submit
+        inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
+        shuffle_partitions = 32 if inner == "*" else max(8, int(inner))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    _ship_package(spark)
+    return spark
