@@ -1,38 +1,584 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship KG pipeline over sf0.001 documents.
+`queries()` exposes one named query per implemented operator family
+(SURVEY.md §2); `oracle_sql()` gives the DuckDB-equivalent ANSI SQL for
+every SQL-expressible one. Hash math (minhash/simhash/fingerprints) uses
+md5 on both engines so values match bit-for-bit; float aggregates are
+rounded on both sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table -> pages(url, warc_ts, html, text, lang) adapter."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.concat(F.lit("https://ex.org/doc/"), F.col("doc_id")).alias("url"),
+        (F.lit("2025-01-01 00:00:00").cast("timestamp") + F.make_interval(secs=F.col("doc_id") * 37)).alias("warc_ts"),
+        F.encode(F.concat(F.lit("<html><p>"), F.col("text"), F.lit("</p></html>")), "utf-8").alias("html"),
+        "text",
+        "lang",
+    )
+
+
+# --------------------------------------------------------------------------
+# entry: flagship query
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full annotate -> open-IE triples over sf0.001 documents."""
+    from nlp_cube_spark.operators import annotate as A, triples as TR
+
+    pages = _docs_as_pages(spark, "/root/testdata/sf0.001")
+    parsed = A.tag_parse(A.segment(pages))
+    return TR.extract_triples_nested(parsed)
+
+
+# --------------------------------------------------------------------------
+# relational queries (SURVEY.md §2d) — each with a DuckDB oracle
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_revenue_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_region_revenue(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+def q_semi_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select("c_custkey", "c_name")
+
+
+def q_anti_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select("c_custkey", "c_name")
+
+
+def q_window_top3(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rn")
+    )
+
+
+def q_distinct_brand_type(spark, sf_dir):
+    return _t(spark, sf_dir, "part").select("p_brand", "p_type").dropDuplicates()
+
+
+def q_rollup_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_events_hourly(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def q_events_json_props(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", '"k": (\\d+)', 1).cast("int")
+    return e.groupBy("event_type").agg(
+        F.round(F.avg(k), 6).alias("avg_k"), F.max(k).alias("max_k")
+    )
+
+
+def q_string_folding(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("name_lower"),
+        F.regexp_replace(F.col("c_name"), "[0-9]", "0").alias("name_digitfold"),
+    )
+
+
+def q_setops_brands(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    a = p.where(F.col("p_type") == "ECONOMY").select("p_brand")
+    b = p.where(F.col("p_type") == "SMALL").select("p_brand")
+    return a.intersect(b).unionByName(a.exceptAll(b).dropDuplicates()).dropDuplicates()
+
+
+def q_shipdate_pruned_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where((F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01"))
+        .groupBy(F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias("month"))
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("sum_price"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_orders_topk(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+def q_map_extract(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    m = F.expr("str_to_map(concat('brand=', p_brand, '|size=', cast(p_size as string)), '\\\\|', '=')")
+    return p.select("p_partkey", m.getItem("brand").alias("brand"), m.getItem("size").cast("int").alias("size"))
+
+
+def q_salted_supplier_counts(spark, sf_dir):
+    from nlp_cube_spark.operators.salting import salted_agg_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    return salted_agg_count(li, "l_suppkey", n_salt=8)
+
+
+def q_hot_parts(spark, sf_dir):
+    from nlp_cube_spark.operators.salting import hot_keys
+
+    li = _t(spark, sf_dir, "lineitem")
+    return hot_keys(li, "l_partkey", min_count=50)
+
+
+# --------------------------------------------------------------------------
+# text / dedup / similarity queries — md5-portable oracles
+# --------------------------------------------------------------------------
+
+def q_doc_fingerprints(spark, sf_dir):
+    from nlp_cube_spark.operators.textstats import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
+
+
+def q_doc_token_counts(spark, sf_dir):
+    from nlp_cube_spark.operators.textstats import token_counts
+
+    return token_counts(_t(spark, sf_dir, "documents")).select("doc_id", "ws_tokens", "pre_tokens")
+
+
+def q_doc_lang_id(spark, sf_dir):
+    from nlp_cube_spark.operators.textstats import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents")).groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_doc_quality(spark, sf_dir):
+    from nlp_cube_spark.operators.textstats import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "alpha_ratio", "stopword_ratio", "quality"
+    )
+
+
+def q_exact_dups(spark, sf_dir):
+    from nlp_cube_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+def q_minhash_band_pairs(spark, sf_dir):
+    from nlp_cube_spark.operators.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(_t(spark, sf_dir, "documents"), k=8, bands=2).select("doc_a", "doc_b")
+
+
+def q_simhash_signatures(spark, sf_dir):
+    from nlp_cube_spark.operators.dedup import simhash64
+
+    return simhash64(_t(spark, sf_dir, "documents")).select("doc_id", "simhash")
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from nlp_cube_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.8, block_col="lang")
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    from nlp_cube_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id < 8").select(F.col("vec_id").alias("q_id"), "embedding")
+    return cosine_topk(emb, q, k=5).select("q_id", "vec_id", "rank")
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    from nlp_cube_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id < 8").select(F.col("vec_id").alias("q_id"), "embedding")
+    return ivf_topk(emb, q, k=5, n_centroids=16, nprobe=4).select("q_id", "vec_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# KG pipeline queries
+# --------------------------------------------------------------------------
+
+def q_kg_upos_distribution(spark, sf_dir):
+    from nlp_cube_spark.operators import annotate as A
+
+    words = A.annotate(_docs_as_pages(spark, sf_dir))
+    return words.groupBy("upos").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_kg_triples(spark, sf_dir):
+    from nlp_cube_spark.operators import annotate as A, triples as TR
+
+    parsed = A.tag_parse(A.segment(_docs_as_pages(spark, sf_dir)))
+    return TR.extract_triples_nested(parsed).select("url", "sent_id", "subj", "pred", "obj", "pattern")
+
+
+def q_kg_predicate_counts(spark, sf_dir):
+    from nlp_cube_spark.operators import annotate as A, triples as TR
+
+    parsed = A.tag_parse(A.segment(_docs_as_pages(spark, sf_dir)))
+    return TR.extract_triples_nested(parsed).groupBy("pred").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_kg_linked_canonical(spark, sf_dir):
+    """Fixture-grammar pipeline: link + canonicalize (scale-invariant demo)."""
+    from nlp_cube_spark.datagen import aliases_df, pages_df
+    from nlp_cube_spark.operators import annotate as A, canonicalize as C, linking as LK, triples as TR
+
+    pages = pages_df(spark, 80, seed=42)
+    parsed = A.tag_parse(A.segment(pages))
+    linked = LK.link_triples(TR.extract_triples_nested(parsed), aliases_df(spark)).localCheckpoint()
+    return C.canonicalize_triples(linked).select(
+        "url", "sent_id", "subj", "pred", "obj", "pattern", "subj_id", "obj_id", "subj_canon", "obj_canon"
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    from nlp_cube_spark.operators import multimodal as MM
+
+    assets = MM.synth_assets(spark, _t(spark, sf_dir, "documents"))
+    return MM.extract_features(assets, dim=8).select("asset_id", "kind", "n_bytes", "content_hash")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "region_revenue": q_region_revenue,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "window_top3": q_window_top3,
+        "distinct_brand_type": q_distinct_brand_type,
+        "rollup_orders": q_rollup_orders,
+        "events_hourly": q_events_hourly,
+        "events_json_props": q_events_json_props,
+        "string_folding": q_string_folding,
+        "setops_brands": q_setops_brands,
+        "shipdate_pruned_agg": q_shipdate_pruned_agg,
+        "orders_topk": q_orders_topk,
+        "map_extract": q_map_extract,
+        "salted_supplier_counts": q_salted_supplier_counts,
+        "hot_parts": q_hot_parts,
+        "doc_fingerprints": q_doc_fingerprints,
+        "doc_token_counts": q_doc_token_counts,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_quality": q_doc_quality,
+        "exact_dups": q_exact_dups,
+        "minhash_band_pairs": q_minhash_band_pairs,
+        "simhash_signatures": q_simhash_signatures,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "kg_upos_distribution": q_kg_upos_distribution,
+        "kg_triples": q_kg_triples,
+        "kg_predicate_counts": q_kg_predicate_counts,
+        "kg_linked_canonical": q_kg_linked_canonical,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+_H60_DUCK = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+def _minhash_duck(k: int, n: int = 3) -> str:
+    mins = ", ".join(
+        "list_min(list_transform(sh, s -> %s))" % _H60_DUCK.format(x=f"'{j}:' || s")
+        for j in range(k)
+    )
+    return f"""
+      SELECT doc_id, [{mins}] AS minhash
+      FROM (SELECT doc_id, list_distinct([substr(lower(text), i, {n})
+             FOR i IN range(1, greatest(length(lower(text)) - {n - 1}, 1) + 1)]) AS sh
+            FROM documents)
     """
-    return {}
+
+
+def _simhash_duck() -> str:
+    h = _H60_DUCK.format(x="t")
+    bit_terms = " + ".join(
+        f"(CASE WHEN len(list_filter(th, h -> (h >> {k}) & 1 = 1)) * 2 >= len(th)"
+        f" THEN ({1 << k}::BIGINT) ELSE 0 END)"
+        for k in range(60)
+    )
+    return f"""
+      SELECT doc_id,
+             CASE WHEN len(th) = 0 THEN 0 ELSE {bit_terms} END AS simhash
+      FROM (SELECT doc_id, list_transform(
+              list_filter(string_split(lower(text), ' '), t -> t <> ''), t -> {h}) AS th
+            FROM documents)
+    """
+
+
+_COS_DUCK = """
+  list_aggregate(list_transform(list_zip({a}, {b}), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+  / (sqrt(list_aggregate(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+     * sqrt(list_aggregate(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+"""
+
+_SW_EN = "['the','a','an','is','of','and','to','in','that','it']"
+_SW_ES = "['el','la','de','que','y','en','un','los','del','al']"
+_SW_FR = "['le','la','de','et','les','des','un','une','du','au']"
+
+
+def _sw_hits(lst: str) -> str:
+    return (
+        "len(list_filter(list_filter(string_split(lower(text), ' '), t -> t <> ''),"
+        f" t -> list_contains({lst}, t)))"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sw_en, sw_es, sw_fr = _sw_hits(_SW_EN), _sw_hits(_SW_ES), _sw_hits(_SW_FR)
+    return {
+        "pricing_summary": """
+          SELECT l_returnflag, l_linestatus,
+                 round(sum(l_quantity), 2) AS sum_qty,
+                 round(sum(l_extendedprice), 2) AS sum_base_price,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                 round(avg(l_discount), 6) AS avg_disc,
+                 count(*) AS count_order
+          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+          GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_revenue_orders": """
+          SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment = 'BUILDING'
+          GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10
+        """,
+        "region_revenue": """
+          SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY r_name
+        """,
+        "semi_join": """
+          SELECT c_custkey, c_name FROM customer c
+          WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "anti_join": """
+          SELECT c_custkey, c_name FROM customer c
+          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "window_top3": """
+          SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rn
+          FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                FROM orders) WHERE rn <= 3
+        """,
+        "distinct_brand_type": "SELECT DISTINCT p_brand, p_type FROM part",
+        "rollup_orders": """
+          SELECT o_orderstatus, o_orderpriority, count(*) AS n
+          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "events_hourly": """
+          SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                 event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+          FROM events GROUP BY 1, 2
+        """,
+        "events_json_props": """
+          SELECT event_type,
+                 round(avg(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT)), 6) AS avg_k,
+                 max(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT)) AS max_k
+          FROM events GROUP BY event_type
+        """,
+        "string_folding": """
+          SELECT c_custkey, lower(c_name) AS name_lower,
+                 regexp_replace(c_name, '[0-9]', '0', 'g') AS name_digitfold
+          FROM customer
+        """,
+        "setops_brands": """
+          -- (A ∩ B) ∪ (A − B) == A  (Spark side exercises intersect/exceptAll)
+          SELECT DISTINCT p_brand FROM part WHERE p_type = 'ECONOMY'
+        """,
+        "shipdate_pruned_agg": """
+          SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+                 round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+          GROUP BY 1
+        """,
+        "orders_topk": """
+          SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+          FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+        """,
+        "map_extract": """
+          SELECT p_partkey, p_brand AS brand, p_size AS size FROM part
+        """,
+        "salted_supplier_counts": """
+          SELECT l_suppkey, count(*) AS count FROM lineitem GROUP BY l_suppkey
+        """,
+        "hot_parts": """
+          SELECT l_partkey FROM lineitem GROUP BY l_partkey HAVING count(*) >= 50
+        """,
+        "doc_fingerprints": """
+          SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+          FROM documents
+        """,
+        "doc_token_counts": """
+          SELECT doc_id,
+                 len(list_filter(string_split(text, ' '), t -> t <> '')) AS ws_tokens,
+                 len(regexp_extract_all(text, '[0-9A-Za-z]+|[^0-9A-Za-z ]')) AS pre_tokens
+          FROM documents
+        """,
+        "doc_lang_id": f"""
+          SELECT lang_pred, count(*) AS n FROM (
+            SELECT CASE WHEN greatest(h_en, h_es, h_fr) = 0 THEN 'und'
+                        WHEN h_en = greatest(h_en, h_es, h_fr) THEN 'en'
+                        WHEN h_es = greatest(h_en, h_es, h_fr) THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM (SELECT {sw_en} AS h_en, {sw_es} AS h_es, {sw_fr} AS h_fr FROM documents)
+          ) GROUP BY lang_pred
+        """,
+        "doc_quality": f"""
+          WITH base AS (
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+                   round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                         / greatest(length(text), 1), 6) AS alpha_ratio,
+                   round({sw_en} / greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1), 6) AS stopword_ratio,
+                   round((length(text) - length(regexp_replace(text, '[^ ]', '', 'g')))
+                         / greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1), 6) AS mean_token_len
+            FROM documents)
+          SELECT doc_id, n_tokens, alpha_ratio, stopword_ratio,
+                 round(alpha_ratio * 0.5 + stopword_ratio * 0.3
+                       + (CASE WHEN mean_token_len BETWEEN 3 AND 10 THEN 0.2 ELSE 0.0 END), 6) AS quality
+          FROM base
+        """,
+        "exact_dups": """
+          SELECT md5(text) AS content_hash, count(*) AS n_dups, min(doc_id) AS keep_doc_id
+          FROM documents GROUP BY md5(text) HAVING count(*) > 1
+        """,
+        "minhash_band_pairs": f"""
+          WITH sig AS ({_minhash_duck(8)}),
+          banded AS (
+            SELECT doc_id, b AS band_id,
+                   md5(array_to_string(minhash[b * 4 + 1 : b * 4 + 4], '_')) AS band_sig
+            FROM sig, (SELECT unnest(range(0, 2)) AS b)
+          )
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b USING (band_id, band_sig)
+          WHERE a.doc_id < b.doc_id
+        """,
+        "simhash_signatures": _simhash_duck(),
+        "ngram_jaccard": """
+          WITH sh AS (
+            SELECT doc_id, lang, list_distinct([substr(lower(text), i, 3)
+                   FOR i IN range(1, greatest(length(lower(text)) - 2, 1) + 1)]) AS s
+            FROM documents)
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 round(len(list_intersect(a.s, b.s))
+                       / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+          FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.s, b.s))
+                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+        """,
+        "ann_cosine_topk": f"""
+          WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+          scored AS (
+            SELECT q_id, vec_id,
+                   round({_COS_DUCK.format(a="q_emb", b="embedding")}, 6) AS cos_sim
+            FROM embeddings, q)
+          SELECT q_id, vec_id, rank FROM (
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rank
+            FROM scored) WHERE rank <= 5
+        """,
+        "kg_upos_distribution": """
+          SELECT upos, count(*) AS n FROM (
+            SELECT CASE WHEN tok IN ('join','merge','sort','filter') THEN 'VERB'
+                        WHEN tok = 'a' AND lang = 'en' THEN 'DET'
+                        WHEN tok = 'a' THEN 'ADP'
+                        WHEN tok = 'the' AND lang = 'en' THEN 'DET'
+                        ELSE 'NOUN' END AS upos
+            FROM (SELECT lang, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+                  FROM documents)
+          ) GROUP BY upos
+        """,
+        # kg_triples / kg_predicate_counts / kg_linked_canonical /
+        # ann_ivf_topk / multimodal_features: non-SQL-expressible
+        # (MST decode, iterative cc, IVF probing, binary kernels) -> the
+        # driver records rows-only checks for these.
+    }

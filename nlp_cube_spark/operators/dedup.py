@@ -1,0 +1,153 @@
+"""Document deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All hash math uses md5 (JVM built-in, whole-stage codegen) truncated to 60
+bits via conv(hex,16,10) so results are engine-portable: the DuckDB oracle
+reproduces every value bit-for-bit with `('0x'||substr(md5(x),1,15))::BIGINT`.
+No Python in any hot path — every operator here is pure Catalyst.
+
+Scale design:
+- exact: one hash-aggregate (partial+final) on md5(text) — the canonical
+  100 TB first pass.
+- MinHash/LSH: per-doc signature is a narrow map-side projection; candidate
+  generation is a self-equi-join on (band_id, band_sig) — shuffle keyed on
+  band signatures, which are uniform by construction (no skew). Band count
+  tunes recall/cost; signatures are 16 longs/doc regardless of doc size.
+- SimHash: 64 bit-majority expressions over the token array, emitted as one
+  generated column expression; near-dup blocking joins on 16-bit chunks
+  (Hamming<=3 guarantees a matching chunk by pigeonhole).
+- n-gram Jaccard: exact verifier on LSH candidates (array_intersect), never
+  run all-pairs at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+H60 = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
+
+
+def _h60(x: str) -> str:
+    return H60.format(x=x)
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per duplicated content hash."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keep_doc_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def shingle_expr(text_col: str, n: int = 3) -> str:
+    """Distinct character n-gram shingles of lower(text) as ARRAY<STRING>."""
+    return (
+        f"array_distinct(transform(sequence(1, greatest(length(lower({text_col})) - {n - 1}, 1)),"
+        f" i -> substr(lower({text_col}), i, {n})))"
+    )
+
+
+def minhash_signature(docs: DataFrame, text_col: str = "text", k: int = 16, n: int = 3) -> DataFrame:
+    """k-permutation MinHash signature (ARRAY<BIGINT> length k)."""
+    sh = shingle_expr(text_col, n)
+    mins = ", ".join(
+        "array_min(transform(_sh, s -> %s))" % _h60("concat('%d:', s)" % j) for j in range(k)
+    )
+    return docs.withColumn("_sh", F.expr(sh)).withColumn(
+        "minhash", F.expr(f"array({mins})")
+    ).drop("_sh")
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 16, bands: int = 4, n: int = 3,
+) -> DataFrame:
+    """LSH banding: docs agreeing on any band of k/bands minhashes.
+
+    Returns (doc_a, doc_b, band_id) candidate pairs, doc_a < doc_b."""
+    rows_per_band = k // bands
+    sig = minhash_signature(docs, text_col, k, n).select(id_col, "minhash")
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> struct(b as band_id,"
+                f" md5(array_join(slice(minhash, b * {rows_per_band} + 1, {rows_per_band}), '_')) as band_sig))"
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_sig")
+    a = banded.select(F.col(id_col).alias("doc_a"), "band_id", "band_sig")
+    b = banded.select(F.col(id_col).alias("doc_b"), "band_id", "band_sig")
+    return (
+        a.join(b, ["band_id", "band_sig"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "band_id")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, threshold: float = 0.5, block_col: str | None = "lang",
+) -> DataFrame:
+    """Exact n-gram Jaccard over blocked pairs (or LSH candidates).
+
+    At scale run on `lsh_candidate_pairs` output; the block join here keeps
+    the sf-test O(pairs-in-block)."""
+    sh = docs.select(
+        F.col(id_col), F.col(block_col).alias("_blk") if block_col else F.lit(1).alias("_blk"),
+        F.expr(shingle_expr(text_col, n)).alias("_sh"),
+    )
+    a = sh.select(F.col(id_col).alias("doc_a"), "_blk", F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), "_blk", F.col("_sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        a.join(b, "_blk")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash64(docs: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash over whitespace tokens, fully JVM-side.
+
+    bit k of the signature = majority vote of bit k over per-token 60-bit
+    md5 hashes (tokens weighted once each; >= breaks ties toward 1)."""
+    toks = f"transform(filter(split(lower({text_col}), ' '), t -> t <> ''), t -> {_h60('t')})"
+    bit_terms = " + ".join(
+        f"(case when size(filter(_th, h -> (h div {1 << k}) % 2 = 1)) * 2 >= size(_th)"
+        f" then cast({1 << k} as bigint) else 0L end)"
+        for k in range(60)
+    )
+    return (
+        docs.withColumn("_th", F.expr(toks))
+        .withColumn(out_col, F.expr(f"case when size(_th) = 0 then 0L else {bit_terms} end"))
+        .drop("_th")
+    )
+
+
+def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 15-bit chunks (pigeonhole: any
+    pair with Hamming<=3 over 60 bits shares at least one of 4 chunks),
+    verify Hamming exactly with bit_count(xor)."""
+    sig = simhash64(docs, text_col).select(id_col, "simhash")
+    chunks = sig.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.expr("transform(sequence(0, 3), c -> struct(c as chunk_id, (simhash div shiftleft(1L, c * 15)) % 32768 as chunk))")
+        ).alias("ch"),
+    ).select(id_col, "simhash", "ch.chunk_id", "ch.chunk")
+    a = chunks.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"), "chunk_id", "chunk")
+    b = chunks.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"), "chunk_id", "chunk")
+    return (
+        a.join(b, ["chunk_id", "chunk"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.expr("bit_count(sig_a ^ sig_b)"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )

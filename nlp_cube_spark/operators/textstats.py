@@ -1,0 +1,80 @@
+"""Text analysis for training-data pipelines: language-ID, quality scoring,
+token counting, document fingerprinting.
+
+Everything is built-in Catalyst expressions (regexp/array functions) so the
+DuckDB oracle can reproduce values exactly; nothing here needs Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# tiny per-language stopword profiles (deterministic heuristic language-ID)
+STOPWORDS = {
+    "en": ["the", "a", "an", "is", "of", "and", "to", "in", "that", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "del", "al"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "du", "au"],
+}
+
+
+def _sw_ratio(text_col: str, words: list[str]) -> str:
+    arr = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"size(filter(filter(split(lower({text_col}), ' '), t -> t <> ''),"
+        f" t -> array_contains(array({arr}), t)))"
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pick the language whose stopword profile hits most tokens; ties and
+    zero hits -> 'und'. Pure expression -> portable to the SQL oracle."""
+    hits = {lg: F.expr(_sw_ratio(text_col, ws)) for lg, ws in STOPWORDS.items()}
+    best = F.greatest(*hits.values())
+    pred = F.when(best == 0, F.lit("und"))
+    for lg in STOPWORDS:  # dict order fixed -> deterministic tie-break en>es>fr
+        pred = pred.when(hits[lg] == best, F.lit(lg))
+    return docs.withColumn("lang_pred", pred)
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/alpha/stopword/punct ratio features + a composite score,
+    rounded for engine-portable comparison."""
+    n_chars = F.length(F.col(text_col))
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
+    n_space = F.length(F.regexp_replace(F.col(text_col), "[^ ]", ""))
+    n_punct = F.length(F.regexp_replace(F.col(text_col), "[^.,;:!?]", ""))
+    n_tokens = F.expr(f"size(filter(split({text_col}, ' '), t -> t <> ''))")
+    sw = F.expr(_sw_ratio(text_col, STOPWORDS["en"]))
+    alpha_ratio = F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6)
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+    sw_ratio = F.round(sw / F.greatest(n_tokens, F.lit(1)), 6)
+    mean_tok_len = F.round((n_chars - n_space) / F.greatest(n_tokens, F.lit(1)), 6)
+    score = F.round(
+        alpha_ratio * 0.5 + sw_ratio * 0.3
+        + F.when((mean_tok_len >= 3) & (mean_tok_len <= 10), 0.2).otherwise(0.0),
+        6,
+    )
+    return docs.select(
+        "*",
+        n_tokens.alias("n_tokens"),
+        alpha_ratio.alias("alpha_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        sw_ratio.alias("stopword_ratio"),
+        mean_tok_len.alias("mean_token_len"),
+        score.alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + BPE-ish subunit count (alnum runs and single
+    symbols — the engine's pre-tokenizer as a pure regex expression)."""
+    ws = F.expr(f"size(filter(split({text_col}, ' '), t -> t <> ''))")
+    pre = F.expr(f"size(regexp_extract_all({text_col}, '[0-9A-Za-z]+|[^0-9A-Za-z ]', 0))")
+    return docs.select("*", ws.alias("ws_tokens"), pre.alias("pre_tokens"))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalization-stable document fingerprint: md5 over the
+    whitespace-collapsed, lower-cased text."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
+    return docs.withColumn("fingerprint", F.md5(norm))

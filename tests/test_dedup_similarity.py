@@ -1,0 +1,110 @@
+"""Dedup + similarity operator tests with planted structure, plus
+engine-portability checks against DuckDB for the md5-based hash math."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from nlp_cube_spark.operators import dedup as D, similarity as S
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy dog", "en"),      # exact dup of 1
+        (3, "the quick brown fox jumped over the lazy dog", "en"),     # near dup of 1
+        (4, "completely different text about spark pipelines", "en"),
+        (5, "el rapido zorro marron salta sobre el perro", "es"),
+        (6, "the quick brown fox jumps over the lazy cat", "en"),      # near dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string").localCheckpoint()
+
+
+def test_exact_duplicates(spark, docs):
+    d = D.exact_duplicates(docs).collect()
+    assert len(d) == 1 and d[0].n_dups == 2 and d[0].keep_doc_id == 1
+
+
+def test_minhash_matches_duckdb(spark, docs):
+    """Signature values identical in DuckDB (engine-portable hash math)."""
+    sig = {r.doc_id: r.minhash for r in D.minhash_signature(docs, k=4).collect()}
+    con = duckdb.connect()
+    for j in range(4):
+        q = f"""
+        select doc_id, list_min(list_transform(sh, s ->
+          ('0x' || substr(md5('{j}:' || s), 1, 15))::BIGINT)) as mh
+        from (select doc_id, list_distinct([substr(lower(text), i, 3)
+               for i in range(1, greatest(length(lower(text)) - 2, 1) + 1)]) as sh
+              from (values {','.join(f"({r.doc_id}, '{r.text}')" for r in docs.collect())} ) t(doc_id, text))
+        order by doc_id"""
+        for doc_id, mh in con.sql(q).fetchall():
+            assert sig[doc_id][j] == mh, (doc_id, j)
+
+
+def test_lsh_finds_planted_near_dups(spark, docs):
+    pairs = {(r.doc_a, r.doc_b) for r in D.lsh_candidate_pairs(docs, k=16, bands=8).collect()}
+    assert (1, 2) in pairs  # exact dup always collides
+    assert any(p in pairs for p in [(1, 3), (1, 6), (3, 6), (2, 3), (2, 6)])
+    assert (4, 5) not in pairs
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] < 1.0
+
+
+def test_simhash_properties(spark, docs):
+    sig = {r.doc_id: r.simhash for r in D.simhash64(docs).collect()}
+    assert sig[1] == sig[2]  # identical text -> identical signature
+    nd = {(r.doc_a, r.doc_b): r.hamming for r in D.simhash_near_dups(docs, max_hamming=12).collect()}
+    assert nd[(1, 2)] == 0
+    # reported hammings are the true bit distances
+    for (a, b), h in nd.items():
+        assert bin(sig[a] ^ sig[b]).count("1") == h
+    # pigeonhole guarantee: every pair within hamming<=3 is found
+    ids = sorted(sig)
+    for i in ids:
+        for j in ids:
+            if i < j and bin(sig[i] ^ sig[j]).count("1") <= 3:
+                assert (i, j) in nd
+
+
+def test_cosine_topk_exact(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    rows.append((4, [0.9, 0.1, 0.0, 0.0]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = spark.createDataFrame([(0, [1.0, 0.0, 0.0, 0.0])], "q_id long, embedding array<float>")
+    top = S.cosine_topk(vecs, q, k=2).orderBy("rank").collect()
+    assert [t.vec_id for t in top] == [0, 4]
+    assert top[0].cos_sim == 1.0
+
+
+def test_cosine_matches_duckdb(spark):
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = emb.where("vec_id = 7").select(F.col("vec_id").alias("q_id"), "embedding")
+    got = {(r.q_id, r.vec_id): r.cos_sim for r in S.cosine_topk(emb, q, k=5).collect()}
+    con = duckdb.connect()
+    want = con.sql(f"""
+      with e as (select * from '{sf}/embeddings.parquet'),
+      q as (select vec_id q_id, embedding q_emb from e where vec_id = 7)
+      select q_id, vec_id, round(list_cosine_similarity(q_emb, embedding), 6) cos
+      from e, q order by cos desc, vec_id limit 5
+    """).fetchall()
+    for q_id, vec_id, cos in want:
+        assert (q_id, vec_id) in got
+        assert abs(got[(q_id, vec_id)] - cos) < 1e-4
+
+
+def test_ivf_recall_vs_exact(spark):
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").localCheckpoint()
+    q = emb.where("vec_id < 5").select(F.col("vec_id").alias("q_id"), "embedding")
+    exact = {(r.q_id, r.vec_id) for r in S.cosine_topk(emb, q, k=3).collect()}
+    approx = {(r.q_id, r.vec_id) for r in S.ivf_topk(emb, q, k=3, n_centroids=8, nprobe=4).collect()}
+    # self-match must always survive; overall recall >= 0.5 at nprobe=half
+    for i in range(5):
+        assert (i, i) in approx
+    assert len(exact & approx) / len(exact) >= 0.5

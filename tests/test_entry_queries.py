@@ -1,0 +1,70 @@
+"""Replicates the driver's correctness harness: every queries() entry runs
+on Spark, and when an oracle_sql() entry exists, row count + column names +
+order-insensitive values must match DuckDB at sf0.01."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in E.TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return c
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def _multiset(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = {}
+    for r in rows:
+        key = tuple(_norm(r[i]) for i in order)
+        out[key] = out.get(key, 0) + 1
+    return out
+
+
+ORACLED = sorted(set(E.queries()) & set(E.oracle_sql()))
+ROWS_ONLY = sorted(set(E.queries()) - set(E.oracle_sql()))
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    assert len(df.columns) > 0
+    assert df.count() > 0
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_vs_oracle(spark, con, name):
+    sdf = E.queries()[name](spark, SF)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    res = con.sql(E.oracle_sql()[name])
+    dcols = res.columns
+    drows = res.fetchall()
+    assert sorted(scols) == sorted(dcols), (scols, dcols)
+    assert len(srows) == len(drows), f"{name}: {len(srows)} vs {len(drows)}"
+    assert _multiset(srows, scols) == _multiset(drows, dcols), name
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    sdf = E.queries()[name](spark, SF)
+    assert sdf.count() >= 0 and len(sdf.columns) > 0

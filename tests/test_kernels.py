@@ -1,0 +1,189 @@
+"""Kernel unit tests: pretokenizer, segmenter decode, MST, tagger, lemmas.
+
+Mirrors the reference's component semantics (SURVEY.md §5 layer 1); the
+canonical micro-example is "This is a test." (reference README.md:24-31).
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from nlp_cube_spark.kernels import (
+    arc_scores,
+    lemma_rules,
+    mst,
+    pretokenizer as P,
+    segment_rules as SR,
+    tagger_rules as TG,
+)
+
+
+# ------------------------------------------------------------ pretokenizer
+
+def test_pretokenize_basic():
+    toks, spa = P.pretokenize("Hello, world 42.")
+    assert toks == ["Hello", ",", "world", "42", "."]
+    assert spa == [P.NO_SPACE, P.SPACE, P.SPACE, P.NO_SPACE, P.NO_SPACE]
+
+
+def test_pretokenize_matches_reference_charloop():
+    """Regex implementation == reference per-char loop semantics
+    (utils_tokenizer.py:32-55)."""
+
+    def ref_loop(text):
+        toks, tok = [], ""
+        for ch in text:
+            if not ch.isalnum() or ch == " ":
+                tok = tok.strip()
+                if tok:
+                    toks.append(tok)
+                    tok = ""
+                if ch != " ":
+                    toks.append(ch)
+            else:
+                tok += ch
+        if tok.strip():
+            toks.append(tok)
+        return toks
+
+    for text in ["a_b c!d", "Ünïcodé tëst.", "x  y", "3.5kg", "", " ", "don't stop"]:
+        assert P.pretokenize(P.normalize_ws(text))[0] == ref_loop(P.normalize_ws(text)), text
+
+
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=80))
+@settings(max_examples=200, deadline=None)
+def test_detokenize_roundtrip(text):
+    norm = P.normalize_ws(text)
+    toks, spa = P.pretokenize(norm)
+    rebuilt = "".join(t + (" " if s == P.SPACE else "") for t, s in zip(toks, spa))
+    # non-space whitespace (tabs etc.) separates tokens but is not
+    # reconstructed; restrict the property to space-delimited text
+    if not any(c.isspace() and c != " " for c in norm):
+        assert rebuilt.strip() == norm.strip()
+
+
+def test_no_space_language():
+    toks, spa = P.pretokenize("ab c", no_space_lang=True)
+    assert toks == ["a", "b", "c"]
+
+
+# ------------------------------------------------------------ segmenter
+
+def test_segment_micro_example():
+    _, sents = SR.segment("This is a test.", "en")
+    assert len(sents) == 1
+    forms = [f for f, _, _ in sents[0]]
+    assert forms == ["This", "is", "a", "test", "."]
+    # SpaceAfter=No on "test" and "."
+    assert [sp for _, sp, _ in sents[0]] == [True, True, True, False, False]
+
+
+def test_segment_multi_sentence_and_number_merge():
+    _, sents = SR.segment("Alice mentions 1,000 reports . Bob sat .", "en")
+    assert len(sents) == 2
+    assert [f for f, _, _ in sents[0]] == ["Alice", "mentions", "1,000", "reports", "."]
+
+
+def test_segment_mwt_flag():
+    _, sents = SR.segment("Emma viaja al planeta .", "es")
+    toks = sents[0]
+    al = [t for t in toks if t[0] == "al"]
+    assert al and al[0][2] is True
+    assert SR.expand_mwt("al", "es") == ["a", "el"]
+    assert SR.expand_mwt("al", "en") == ["al"]
+
+
+def test_segment_long_doc_windowing():
+    # force > SEQ_LEN pre-tokens to cross the 300/100 window machinery
+    text = " ".join(f"w{i}" for i in range(700)) + " ."
+    _, sents = SR.segment(text, "en")
+    forms = [f for s in sents for f, _, _ in s]
+    assert len(forms) == 701
+    assert forms[0] == "w0" and forms[-1] == "."
+
+
+# ------------------------------------------------------------ MST decode
+
+def _tree_ok(heads, n):
+    assert len(heads) == n
+    roots = [i for i, h in enumerate(heads) if h == 0]
+    assert len(roots) == 1
+    # acyclic: walking up always reaches 0
+    for i in range(n):
+        seen, v = set(), i + 1
+        while v != 0:
+            assert v not in seen
+            seen.add(v)
+            v = heads[v - 1]
+
+
+def test_mst_simple_chain():
+    probs = np.array(
+        [
+            [1.0, 0.0, 0.0],
+            [0.1, 0.0, 0.9],  # 1 <- 2
+            [0.9, 0.1, 0.0],  # 2 <- ROOT
+        ]
+    )
+    heads = mst.decode_tree(probs)
+    assert list(heads) == [2, 0]
+
+
+def test_mst_breaks_cycle():
+    # greedy picks 1<->2 cycle; CLE must contract and attach via ROOT
+    probs = np.array(
+        [
+            [1.0, 0.0, 0.0],
+            [0.4, 0.0, 0.6],
+            [0.35, 0.65, 0.0],
+        ]
+    )
+    heads = mst.decode_tree(probs)
+    _tree_ok(list(heads), 2)
+
+
+def test_mst_single_root_enforced():
+    # two words both prefer ROOT -> repair must leave exactly one root
+    probs = np.array(
+        [
+            [1.0, 0.0, 0.0],
+            [0.9, 0.0, 0.1],
+            [0.9, 0.1, 0.0],
+        ]
+    )
+    heads = mst.decode_tree(probs)
+    _tree_ok(list(heads), 2)
+
+
+@given(st.integers(min_value=2, max_value=9), st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=120, deadline=None)
+def test_mst_always_valid_tree(n, seed):
+    rng = np.random.RandomState(seed)
+    probs = rng.dirichlet(np.ones(n + 1), size=n + 1)
+    heads = mst.decode_tree(probs)
+    _tree_ok(list(heads), n)
+
+
+# ------------------------------------------------------------ tagger/parser rules
+
+def test_micro_example_parse_matches_reference_readme():
+    forms = ["This", "is", "a", "test", "."]
+    tags = TG.tag_sentence(forms, "en")
+    upos = [t[0] for t in tags]
+    assert upos == ["PRON", "AUX", "DET", "NOUN", "PUNCT"]
+    probs = arc_scores.score_matrix(forms, upos)
+    heads = list(mst.decode_tree(probs))
+    labels = arc_scores.label_arcs(forms, upos, heads)
+    # reference README.md:24-31 gold: heads 4,4,4,0,4; nsubj cop det root punct
+    assert heads == [4, 4, 4, 0, 4]
+    assert labels == ["nsubj", "cop", "det", "root", "punct"]
+
+
+def test_lemma_rules():
+    assert lemma_rules.lemmatize("admires", "VERB", "en") == "admire"
+    assert lemma_rules.lemmatize("sat", "VERB", "en") == "sit"
+    assert lemma_rules.lemmatize("is", "AUX", "en") == "be"
+    assert lemma_rules.lemmatize("reports", "NOUN", "en") == "report"
+    assert lemma_rules.lemmatize("Alice", "PROPN", "en") == "Alice"
+    assert lemma_rules.lemmatize("viaja", "VERB", "es") == "viajar"
+    assert lemma_rules.lemmatize(".", "PUNCT", "en") == "."

@@ -1,0 +1,90 @@
+"""Text stats, CoNLL-U round trip, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nlp_cube_spark.datagen import pages_df
+from nlp_cube_spark.io import conllu as CU
+from nlp_cube_spark.operators import annotate as A, multimodal as MM, textstats as TS
+
+
+def test_lang_id(spark):
+    rows = [
+        (1, "the cat is in the house and it is happy", "x"),
+        (2, "el perro esta en la casa y es feliz", "x"),
+        (3, "le chat est dans la maison et les oiseaux", "x"),
+        (4, "zzz qqq www", "x"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.doc_id: r.lang_pred for r in TS.lang_id(docs).collect()}
+    assert got == {1: "en", 2: "es", 3: "fr", 4: "und"}
+
+
+def test_quality_and_tokens(spark):
+    docs = spark.createDataFrame([(1, "The quick fox. It runs!", "en")], "doc_id long, text string, lang string")
+    q = TS.quality_score(docs).collect()[0]
+    assert q.n_tokens == 5 and 0 < q.quality <= 1
+    t = TS.token_counts(docs).collect()[0]
+    assert t.ws_tokens == 5 and t.pre_tokens == 7  # punct split in pre-tokens
+
+
+def test_fingerprint_normalization_stable(spark):
+    docs = spark.createDataFrame(
+        [(1, "Hello  World", "en"), (2, "hello world", "en"), (3, " HELLO WORLD ", "en")],
+        "doc_id long, text string, lang string",
+    )
+    fps = [r.fingerprint for r in TS.fingerprint(docs).orderBy("doc_id").collect()]
+    assert fps[0] == fps[1] == fps[2]
+
+
+def test_conllu_roundtrip(spark):
+    pages = pages_df(spark, 8, seed=77)
+    words = A.annotate(pages).localCheckpoint()
+    ser = CU.serialize_words(words).collect()
+    assert len(ser) == 8
+    txt = next(s.conllu for s in ser)
+    # parse back and compare the word-level columns
+    back = CU.parse_conllu_text(txt, url="u", lang="en")
+    orig = words.where(F.col("url") == ser[0].url if False else F.lit(True))
+    one = [r for r in words.collect() if r.url == ser[0].url]
+    assert len(back) == len(one)
+    bk = {(b["sent_id"], b["word_id"]): (b["form"], b["lemma"], b["upos"], b["head"], b["deprel"], b["space_after"]) for b in back}
+    og = {(r.sent_id, r.word_id): (r.form, r.lemma, r.upos, r.head, r.deprel, r.space_after) for r in one}
+    assert bk == og
+
+
+def test_conllu_mwt_serialization(spark):
+    pages = pages_df(spark, 60, seed=42)
+    es = pages.where("lang = 'es'").limit(2)
+    words = A.annotate(es)
+    ser = CU.serialize_words(words).collect()
+    assert any("-" in line.split("\t")[0] for s in ser for line in s.conllu.split("\n") if line)
+    # MWT head row precedes its words and round-trips
+    txt = ser[0].conllu
+    back = CU.parse_conllu_text(txt)
+    assert any(b["mwt_id"] > 0 for b in back)
+    mwt_words = [b for b in back if b["mwt_id"] > 0]
+    assert all(b["tok_form"] in ("al", "del") for b in mwt_words)
+
+
+def test_read_conllu_scan(spark, tmp_path):
+    pages = pages_df(spark, 4, seed=3)
+    words = A.annotate(pages)
+    for i, row in enumerate(CU.serialize_words(words).collect()):
+        (tmp_path / f"doc{i}.conllu").write_text(row.conllu)
+    df = CU.read_conllu(spark, str(tmp_path / "*.conllu"), lang="en")
+    assert df.count() == words.count()
+    assert df.where("head < 0").count() == 0
+
+
+def test_multimodal_features(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(30)
+    assets = MM.synth_assets(spark, docs)
+    feats = MM.extract_features(assets, dim=8).collect()
+    assert len(feats) == 30
+    assert all(len(f.features) == 8 and f.n_bytes > 0 for f in feats)
+    # deterministic across runs
+    feats2 = MM.extract_features(MM.synth_assets(spark, docs), dim=8).collect()
+    assert {(f.asset_id, f.content_hash) for f in feats} == {(f.asset_id, f.content_hash) for f in feats2}
+    with pytest.raises(NotImplementedError):
+        MM.decode_media(b"abc", "image", strict=True)
