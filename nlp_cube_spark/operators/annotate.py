@@ -235,3 +235,103 @@ def lemmatize(parsed: DataFrame) -> DataFrame:
 def annotate(pages: DataFrame, text_col: str = "text") -> DataFrame:
     """pages -> flat annotated words DF (the engine's `words` table)."""
     return lemmatize(tag_parse(segment(pages, text_col=text_col)))
+
+
+# ---------------------------------------------------------------- fusion
+
+def _annotate_doc(text: str, lang: str):
+    """One document through segment -> mwt -> tag -> parse. Returns
+    (forms, space, mwt_ids, tok_forms, tags, heads, labels) per sentence."""
+    _, sents = segment_rules.segment(text or "", lang)
+    out = []
+    for sent in sents:
+        forms, space, mwt_ids, tok_forms = [], [], [], []
+        for tok_idx, (form, spa, is_mwt) in enumerate(sent, start=1):
+            words = segment_rules.expand_mwt(form, lang) if is_mwt else [form]
+            for w in words:
+                forms.append(w)
+                space.append(spa)
+                mwt_ids.append(tok_idx if is_mwt and len(words) > 1 else 0)
+                tok_forms.append(form)
+        tags = tagger_rules.tag_sentence(forms, lang)
+        upos = [t[0] for t in tags]
+        heads = mst.decode_tree(arc_scores.score_matrix(forms, upos)).tolist()
+        labels = arc_scores.label_arcs(forms, upos, heads)
+        out.append((forms, space, mwt_ids, tok_forms, tags, heads, labels))
+    return out
+
+
+TRIPLES_FUSED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("sent_id", T.IntegerType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("subj", T.StringType()),
+        T.StructField("pred", T.StringType()),
+        T.StructField("obj", T.StringType()),
+        T.StructField("pattern", T.StringType()),
+    ]
+)
+
+
+def fused_triples(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """pages -> triples in ONE Arrow stage (the production scale path).
+
+    Chaining separate mapInPandas stages costs one python worker per stage
+    per task (segment|tagparse|triples = 3x workers -> measured negative
+    scaling at local[32] from CPU oversubscription). Fusing keeps exactly
+    one python worker per task and zero intermediate Arrow transfers —
+    the Spark analog of the reference running the LM forward inside
+    collate_fn (utils_tokenizer.py:560-572)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {k: [] for k in ("url", "sent_id", "lang", "subj", "pred", "obj", "pattern")}
+
+            def emit(url, sid, lang, s, p, o, pat):
+                out["url"].append(url)
+                out["sent_id"].append(sid)
+                out["lang"].append(lang)
+                out["subj"].append(s)
+                out["pred"].append(p)
+                out["obj"].append(o)
+                out["pattern"].append(pat)
+
+            for url, lang, text in zip(pdf["url"], pdf["lang"], pdf[text_col]):
+                for sid, (forms, _sp, _mw, _tf, tags, heads, labels) in enumerate(
+                    _annotate_doc(text, lang)
+                ):
+                    kids: dict[int, list[int]] = {}
+                    for i, h in enumerate(heads):
+                        kids.setdefault(int(h), []).append(i)
+                    upos = [t[0] for t in tags]
+                    for i in range(len(forms)):
+                        deps = kids.get(i + 1, [])
+                        subs = [d for d in deps if labels[d] == "nsubj"]
+                        if upos[i] == "VERB":
+                            v_lemma = lemma_rules.lemmatize(forms[i], "VERB", lang)
+                            objs = [d for d in deps if labels[d] == "obj"]
+                            obls = [d for d in deps if labels[d] == "obl"]
+                            for s in subs:
+                                for o in objs:
+                                    emit(url, sid, lang, forms[s], v_lemma, forms[o], "svo")
+                                for o in obls:
+                                    case = next(
+                                        (c for c in kids.get(o + 1, []) if labels[c] == "case"), None
+                                    )
+                                    pred = f"{v_lemma}_{forms[case].lower()}" if case is not None else v_lemma
+                                    emit(url, sid, lang, forms[s], pred, forms[o], "obl")
+                        if upos[i] in ("NOUN", "PROPN", "PRON", "NUM") and any(
+                            labels[d] == "cop" for d in deps
+                        ):
+                            for s in subs:
+                                emit(url, sid, lang, forms[s], "be", forms[i], "copula")
+                        for a in (d for d in deps if labels[d] == "appos"):
+                            emit(url, sid, lang, forms[i], "appos", forms[a], "appos")
+            if out["url"]:
+                yield pd.DataFrame(out)
+
+    cols = [c for c in ("url", "lang", text_col) if c in pages.columns]
+    return pages.select(*cols).mapInPandas(run, schema=TRIPLES_FUSED_SCHEMA)

@@ -64,8 +64,10 @@ def build_graph(
     obs_pages = Observation("pages")
     pages_b = pages_b.observe(obs_pages, F.count(F.lit(1)).alias("n"))
 
-    parsed = A.tag_parse(A.segment(pages_b))
-    triples = TR.extract_triples_nested(parsed)
+    # one fused Arrow stage: segment+tag+parse+extract (one python worker
+    # per task; chaining separate mapInPandas stages triples worker count
+    # and scaled negatively — see BENCH/BASELINE.md)
+    triples = A.fused_triples(pages_b)
     # cut lineage before the iterative cc loop: linking output is consumed
     # many times (edge build + per-iteration joins); without this the whole
     # annotate chain would recompute once per iteration
@@ -117,5 +119,5 @@ def annotate_and_triples(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Convenience: (flat lemmatized words, triples) without writing."""
     parsed = A.tag_parse(A.segment(pages)).localCheckpoint()  # reused twice
     words = A.lemmatize(parsed)
-    triples = TR.extract_triples_nested(parsed)
+    triples = TR.extract_triples_kernel(parsed)
     return words, triples

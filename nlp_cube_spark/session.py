@@ -17,6 +17,16 @@ from pyspark.sql import SparkSession
 
 ARROW_BATCH = 256  # rows/batch for pandas-UDF kernels; docs are large rows
 
+# Pin native math threadpools to one thread BEFORE the JVM (and hence the
+# python worker daemons) start: with K executor threads, unpinned OpenBLAS
+# spawns K x ncores spin-wait threads and local[32] runs SLOWER than
+# local[8] (measured 8x regression in the tag_parse kernel). The kernels
+# are parallel across Arrow batches, never inside numpy (SURVEY.md §4
+# "deterministic kernels").
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+           "VECLIB_MAXIMUM_THREADS", "NUMEXPR_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 
 def _ship_package(spark: SparkSession) -> None:
     """Make `nlp_cube_spark` importable on executors regardless of driver

@@ -104,11 +104,28 @@ def test_triples_pr_gate(spark, parsed):
 
 
 def test_triple_variants_agree(spark, parsed, words):
+    """Kernel (scale path), HOF-nested, and self-join variants all agree."""
+    kernel = TR.extract_triples_kernel(parsed)
     nested = TR.extract_triples_nested(parsed)
     joined = TR.extract_triples_join(words)
-    a = {(r.url, r.sent_id, r.subj, r.pred, r.obj, r.pattern) for r in nested.collect()}
-    b = {(r.url, r.sent_id, r.subj, r.pred, r.obj, r.pattern) for r in joined.collect()}
-    assert a == b
+    a = {(r.url, r.sent_id, r.subj, r.pred, r.obj, r.pattern) for r in kernel.collect()}
+    b = {(r.url, r.sent_id, r.subj, r.pred, r.obj, r.pattern) for r in nested.collect()}
+    c = {(r.url, r.sent_id, r.subj, r.pred, r.obj, r.pattern) for r in joined.collect()}
+    assert a == b == c
+
+
+def test_fused_equals_modular(spark, pages, parsed):
+    """Single-stage fused kernel == modular 3-stage chain (scale path
+    correctness; the fused variant is what build_graph/bench run)."""
+    fused = {
+        (r.url, r.sent_id, r.subj, r.pred, r.obj, r.pattern)
+        for r in A.fused_triples(pages).collect()
+    }
+    modular = {
+        (r.url, r.sent_id, r.subj, r.pred, r.obj, r.pattern)
+        for r in TR.extract_triples_kernel(parsed).collect()
+    }
+    assert fused == modular
 
 
 def test_deterministic_across_parallelism(spark, pages):
