@@ -303,6 +303,30 @@ def q_kg_linked_canonical(spark, sf_dir):
     )
 
 
+def q_vocab_words(spark, sf_dir):
+    """Encodings word2int analog (reference encodings.py:116-119)."""
+    from nlp_cube_spark.operators.vocab import word_vocab
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("form"))
+        .where(F.col("form") != "")
+    )
+    return word_vocab(toks, cutoff=7)
+
+
+def q_vocab_chars(spark, sf_dir):
+    """Encodings char2int analog (reference encodings.py:120-130)."""
+    from nlp_cube_spark.operators.vocab import char_vocab
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("form"))
+        .where(F.col("form") != "")
+    )
+    return char_vocab(toks, cutoff=5)
+
+
 def q_multimodal_features(spark, sf_dir):
     from nlp_cube_spark.operators import multimodal as MM
 
@@ -343,6 +367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": q_kg_triples,
         "kg_predicate_counts": q_kg_predicate_counts,
         "kg_linked_canonical": q_kg_linked_canonical,
+        "vocab_words": q_vocab_words,
+        "vocab_chars": q_vocab_chars,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -572,6 +598,22 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT lang, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
                   FROM documents)
           ) GROUP BY upos
+        """,
+        "vocab_words": """
+          SELECT word, count, row_number() OVER (ORDER BY count DESC, word) - 1 AS id
+          FROM (SELECT word, count(*) AS count
+                FROM (SELECT regexp_replace(lower(tok), '[0-9]', '0', 'g') AS word
+                      FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+                            FROM documents))
+                GROUP BY word HAVING count(*) >= 7)
+        """,
+        "vocab_chars": """
+          SELECT ch, count, row_number() OVER (ORDER BY count DESC, ch) - 1 AS id
+          FROM (SELECT ch, count(*) AS count
+                FROM (SELECT unnest([substr(lower(tok), i, 1) FOR i IN range(1, length(tok) + 1)]) AS ch
+                      FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+                            FROM documents))
+                GROUP BY ch HAVING count(*) >= 5 OR regexp_matches(ch, '^[0-9]$'))
         """,
         # kg_triples / kg_predicate_counts / kg_linked_canonical /
         # ann_ivf_topk / multimodal_features: non-SQL-expressible

