@@ -25,8 +25,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents table -> pages(url, warc_ts, html, text, lang) adapter."""
-    docs = _t(spark, sf_dir, "documents")
+    """documents table -> pages(url, warc_ts, html, text, lang) adapter.
+
+    The sf documents table is a single small parquet file -> one scan
+    partition; repartition so the Arrow kernels use every core (at real
+    scale the WARC/Iceberg scan supplies parallelism by itself)."""
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism * 2, "doc_id"
+    )
     return docs.select(
         F.concat(F.lit("https://ex.org/doc/"), F.col("doc_id")).alias("url"),
         (F.lit("2025-01-01 00:00:00").cast("timestamp") + F.make_interval(secs=F.col("doc_id") * 37)).alias("warc_ts"),

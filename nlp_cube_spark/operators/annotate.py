@@ -190,18 +190,14 @@ LEMMA_SCHEMA = T.StructType(
 )
 
 
-def lemmatize(parsed: DataFrame) -> DataFrame:
-    """parsed (nested) -> flat words DF with lemma column.
+def attach_lemmas(words: DataFrame) -> DataFrame:
+    """flat words (no lemma) -> flat words with lemma column.
 
     Dedup-then-join (SURVEY.md §2a #17): lemma is a pure function of
     (form, upos, lang) — reference dedups training data on exactly this key
     (utils.py:109-115) but recomputes per-occurrence at inference; we compute
     per DISTINCT key and broadcast-join back. At web scale distinct forms
     ≪ tokens (Zipf), so the kernel runs ~1000x fewer times."""
-    words = parsed.select(
-        "url", "lang", "sent_id", F.posexplode("words").alias("pos", "w")
-    ).select("url", "lang", "sent_id", "w.*").drop("pos")
-
     keys = words.select("form", "upos", "lang").dropDuplicates()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -232,8 +228,75 @@ def lemmatize(parsed: DataFrame) -> DataFrame:
     )
 
 
+def lemmatize(parsed: DataFrame) -> DataFrame:
+    """parsed (nested) -> flat words DF with lemma column."""
+    words = parsed.select(
+        "url", "lang", "sent_id", F.posexplode("words").alias("pos", "w")
+    ).select("url", "lang", "sent_id", "w.*").drop("pos")
+    return attach_lemmas(words)
+
+
+FLAT_WORDS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("sent_id", T.IntegerType()),
+        T.StructField("word_id", T.IntegerType()),
+        T.StructField("mwt_id", T.IntegerType()),
+        T.StructField("tok_form", T.StringType()),
+        T.StructField("form", T.StringType()),
+        T.StructField("upos", T.StringType()),
+        T.StructField("xpos", T.StringType()),
+        T.StructField("feats", T.StringType()),
+        T.StructField("head", T.IntegerType()),
+        T.StructField("deprel", T.StringType()),
+        T.StructField("space_after", T.BooleanType()),
+    ]
+)
+
+
+def fused_words(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """pages -> flat words (no lemma) in ONE Arrow stage (cf. fused_triples)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = {f.name: [] for f in FLAT_WORDS_SCHEMA.fields}
+            for url, lang, text in zip(pdf["url"], pdf["lang"], pdf[text_col]):
+                for sid, (forms, space, mwt_ids, tok_forms, tags, heads, labels) in enumerate(
+                    _annotate_doc(text, lang)
+                ):
+                    for i in range(len(forms)):
+                        rows["url"].append(url)
+                        rows["lang"].append(lang)
+                        rows["sent_id"].append(sid)
+                        rows["word_id"].append(i + 1)
+                        rows["mwt_id"].append(mwt_ids[i])
+                        rows["tok_form"].append(tok_forms[i])
+                        rows["form"].append(forms[i])
+                        rows["upos"].append(tags[i][0])
+                        rows["xpos"].append(tags[i][1])
+                        rows["feats"].append(tags[i][2])
+                        rows["head"].append(int(heads[i]))
+                        rows["deprel"].append(labels[i])
+                        rows["space_after"].append(bool(space[i]))
+            if rows["url"]:
+                yield pd.DataFrame(rows)
+
+    cols = [c for c in ("url", "lang", text_col) if c in pages.columns]
+    return pages.select(*cols).mapInPandas(run, schema=FLAT_WORDS_SCHEMA)
+
+
 def annotate(pages: DataFrame, text_col: str = "text") -> DataFrame:
-    """pages -> flat annotated words DF (the engine's `words` table)."""
+    """pages -> flat annotated words DF (the engine's `words` table).
+
+    One fused Arrow stage + the lemma dedup-broadcast-join."""
+    return attach_lemmas(fused_words(pages, text_col=text_col))
+
+
+def annotate_modular(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stage-by-stage variant (kept for parity tests / composability)."""
     return lemmatize(tag_parse(segment(pages, text_col=text_col)))
 
 

@@ -114,6 +114,12 @@ def test_triple_variants_agree(spark, parsed, words):
     assert a == b == c
 
 
+def test_annotate_fused_equals_modular(spark, pages):
+    a = {tuple(r) for r in A.annotate(pages).collect()}
+    b = {tuple(r) for r in A.annotate_modular(pages).collect()}
+    assert a == b
+
+
 def test_fused_equals_modular(spark, pages, parsed):
     """Single-stage fused kernel == modular 3-stage chain (scale path
     correctness; the fused variant is what build_graph/bench run)."""
