@@ -50,32 +50,35 @@ def _sentence(rng: random.Random, lang: str) -> str:
     if kind == "svo":
         v = _zipf_choice(rng, v3 if rng.random() < 0.7 else vp)
         o = _zipf_choice(rng, [p for p in L.PROPER if p != s] or L.PROPER)
-        return f"{s} {v} {o} ."
-    if kind == "svo_det":
+        core = f"{s} {v} {o}"
+    elif kind == "svo_det":
         v = _zipf_choice(rng, v3)
         n = _zipf_choice(rng, L.NOUNS[:15])
-        return f"{s} {v} the {n} ."
-    if kind == "copula":
+        core = f"{s} {v} the {n}"
+    elif kind == "copula":
         n = _zipf_choice(rng, L.NOUNS[:10])
         det = "an" if n[0] in "aeiou" else "a"
-        return f"{s} is {det} {n} ."
-    if kind == "appos":
+        core = f"{s} is {det} {n}"
+    elif kind == "appos":
         n = _zipf_choice(rng, L.NOUNS[:10])
         v = _zipf_choice(rng, v3)
         o = _zipf_choice(rng, [p for p in L.PROPER if p != s] or L.PROPER)
-        return f"{s} , the {n} , {v} {o} ."
-    if kind == "obl":
+        core = f"{s} , the {n} , {v} {o}"
+    elif kind == "obl":
         v = rng.choice(["sat", "worked", "lived", "arrived", "stayed"])
         p = rng.choice(["on", "in", "at", "near"])
         o = _zipf_choice(rng, L.PROPER[14:] + ["Mars", "Paris"])
-        return f"{s} {v} {p} {o} ."
-    if kind == "num":
+        core = f"{s} {v} {p} {o}"
+    elif kind == "num":
         num = rng.choice(["1,000", "3.5", "12", "2,500"])
         n = rng.choice(["reports", "papers", "ideas"])
-        return f"{s} mentions {num} {n} ."
-    # es_mwt
-    o = rng.choice(["planeta", "libro", "equipo"])
-    return f"{s} viaja al {o} ."
+        core = f"{s} mentions {num} {n}"
+    else:  # es_mwt
+        o = rng.choice(["planeta", "libro", "equipo"])
+        core = f"{s} viaja al {o}"
+    # half the sentences attach the final period (SpaceAfter=No coverage,
+    # reference README example "a test." style), half keep it detached
+    return core + ("." if rng.random() < 0.5 else " .")
 
 
 def gen_pages(n_docs: int, seed: int = 42, sents_per_doc: tuple[int, int] = (2, 5)) -> list[dict]:

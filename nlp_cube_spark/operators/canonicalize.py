@@ -30,14 +30,23 @@ def connected_components(edges: DataFrame, max_iter: int = 15) -> DataFrame:
     labels = nodes.withColumn("component", F.col("node"))
 
     for _ in range(max_iter):
+        # hop step: min label over neighbors + self
         nbr = (
             sym.join(labels, sym["src"] == labels["node"])
             .select(F.col("dst").alias("node"), "component")
         )
-        new_labels = (
+        hop = (
             nbr.unionByName(labels.select("node", "component"))
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+        )
+        # pointer-doubling step: component <- component(component); turns
+        # O(diameter) min-propagation into O(log diameter) rounds (the
+        # small-star/large-star contraction idea)
+        parent = hop.select(F.col("node").alias("_p"), F.col("component").alias("_pc"))
+        new_labels = (
+            hop.join(parent, hop["component"] == parent["_p"], "left")
+            .select("node", F.least(F.col("component"), F.coalesce("_pc", "component")).alias("component"))
             .localCheckpoint()
         )
         changed = (

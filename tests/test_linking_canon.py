@@ -48,6 +48,31 @@ def test_connected_components_known_graph(spark):
     assert comps["p"] == "p"
 
 
+def test_connected_components_long_chain(spark):
+    """Pointer doubling: a 120-node chain converges in O(log d) rounds
+    (pure min-propagation would need 120)."""
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i+1:03d}") for i in range(120)], "src string, dst string"
+    )
+    comps = C.connected_components(edges, max_iter=10)
+    assert {r.component for r in comps.collect()} == {"n000"}
+
+
+def test_salting_helpers(spark):
+    from nlp_cube_spark.operators import salting as S
+
+    df = spark.createDataFrame(
+        [("hot", i) for i in range(500)] + [("cold", i) for i in range(3)],
+        "k string, v int",
+    )
+    counts = {r.k: r["count"] for r in S.salted_agg_count(df, "k", n_salt=8).collect()}
+    assert counts == {"hot": 500, "cold": 3}
+    hot = [r.k for r in S.hot_keys(df, "k", min_count=100).collect()]
+    assert hot == ["hot"]
+    nd = {r.k: r.n_distinct for r in S.salted_distinct_count(df, "k", "v", n_salt=8).collect()}
+    assert nd == {"hot": 500, "cold": 3}
+
+
 def test_canonicalize_appos_cluster(spark, aliases):
     rows = [
         ("u1", 0, "en", "Alice", "appos", "scientist", "appos"),
