@@ -309,6 +309,28 @@ def q_kg_linked_canonical(spark, sf_dir):
     )
 
 
+def q_doc_hash_embeddings(spark, sf_dir):
+    """Word-embedding attach seam (#11/#12): Arrow-kernel hash embeddings
+    mean-pooled per document; DuckDB reproduces every value (md5 math)."""
+    from nlp_cube_spark.operators.embed import attach_embeddings
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("form"))
+        .where(F.col("form") != "")
+    )
+    emb = attach_embeddings(toks, dim=4)
+    slots = emb.select("doc_id", F.posexplode("emb").alias("slot", "v"))
+    pooled = slots.groupBy("doc_id", "slot").agg(F.round(F.avg("v"), 6).alias("v"))
+    return (
+        pooled.groupBy("doc_id")
+        .pivot("slot", [0, 1, 2, 3])
+        .agg(F.first("v"))
+        .select("doc_id", F.col("0").alias("e0"), F.col("1").alias("e1"),
+                F.col("2").alias("e2"), F.col("3").alias("e3"))
+    )
+
+
 def q_vocab_words(spark, sf_dir):
     """Encodings word2int analog (reference encodings.py:116-119)."""
     from nlp_cube_spark.operators.vocab import word_vocab
@@ -373,6 +395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": q_kg_triples,
         "kg_predicate_counts": q_kg_predicate_counts,
         "kg_linked_canonical": q_kg_linked_canonical,
+        "doc_hash_embeddings": q_doc_hash_embeddings,
         "vocab_words": q_vocab_words,
         "vocab_chars": q_vocab_chars,
         "multimodal_features": q_multimodal_features,
@@ -686,6 +709,16 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples": _KG_TRIPLES_DUCK,
         "kg_predicate_counts": f"""
           SELECT pred, count(*) AS n FROM ({_KG_TRIPLES_DUCK}) GROUP BY pred
+        """,
+        "doc_hash_embeddings": """
+          SELECT doc_id,
+                 round(avg(('0x' || substr(md5(lower(tok) || ':0'), 1, 15))::BIGINT / 1152921504606846976.0), 6) AS e0,
+                 round(avg(('0x' || substr(md5(lower(tok) || ':1'), 1, 15))::BIGINT / 1152921504606846976.0), 6) AS e1,
+                 round(avg(('0x' || substr(md5(lower(tok) || ':2'), 1, 15))::BIGINT / 1152921504606846976.0), 6) AS e2,
+                 round(avg(('0x' || substr(md5(lower(tok) || ':3'), 1, 15))::BIGINT / 1152921504606846976.0), 6) AS e3
+          FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+                FROM documents)
+          GROUP BY doc_id
         """,
         "vocab_words": """
           SELECT word, count, row_number() OVER (ORDER BY count DESC, word) - 1 AS id

@@ -72,6 +72,29 @@ def main() -> None:
     shutil.rmtree(out, ignore_errors=True)
     timings["kg_build_graph"] = pipeline_sec
 
+    # reference-style single-process baseline: the oracle runs the same
+    # kernels as an eager per-document Python loop — exactly the reference's
+    # execution model (cube/api.py:108-128, one process, no parallelism).
+    sample = [
+        {"url": r.url, "html": bytes(r.html), "text": r.text, "lang": r.lang}
+        for r in pages.limit(500).collect()
+    ]
+    from nlp_cube_spark import oracle as _oracle
+
+    t0 = time.time()
+    _oracle.run_oracle(sample)
+    ref_sec = time.time() - t0
+    ref_docs_per_sec = round(len(sample) / ref_sec, 2)
+
+    # engine's same stage (annotate -> triples), distributed + warmed
+    from nlp_cube_spark.operators import annotate as _A
+
+    rp = pages.repartition(int(cpus) * 2, "url").localCheckpoint()
+    t0 = time.time()
+    materialize(_A.fused_triples(rp))
+    annotate_sec = time.time() - t0
+    engine_docs_per_sec = round(n_docs / annotate_sec, 2)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -85,6 +108,9 @@ def main() -> None:
                 "n_triples": m["n_triples"],
                 "docs_per_sec": round(n_docs / pipeline_sec, 2),
                 "triples_per_sec": round(m["n_triples"] / pipeline_sec, 2),
+                "reference_style_docs_per_sec": ref_docs_per_sec,
+                "engine_annotate_docs_per_sec": engine_docs_per_sec,
+                "speedup_vs_reference_style": round(engine_docs_per_sec / ref_docs_per_sec, 2),
             }
         )
     )

@@ -1,0 +1,79 @@
+"""Word-embedding attach (reference ops #11/#12, SURVEY.md §2a).
+
+The reference attaches per-word LM embeddings (fasttext 300-d or XLM-R
+13x768) inside `LMHelper.apply` (cube/networks/lm.py:53-57,199-208) and
+consumes them transiently in the parser — they are never stored. Our
+contract is the same: `emb ARRAY<FLOAT>` is a TRANSIENT column produced by
+one Arrow stage and consumed by the next fused kernel; this module is the
+seam where a real encoder plugs in.
+
+v0 encoder: deterministic feature-hash embedding — dim buckets filled from
+md5 of (lower(form), slot). Engine-portable (DuckDB reproduces values
+exactly), deterministic at any parallelism, and exercises the full
+plumbing: Arrow batch shape, per-word array column, sentence-mean pooling,
+and the reference's long-input chunking analog (inputs are processed in
+CHUNK-word slices, cf. the 512-wordpiece slicing at lm.py:172-181).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+CHUNK = 512  # words per kernel slice (reference lm.py:172-181 analog)
+
+
+def hash_embed_np(forms: list[str], dim: int) -> np.ndarray:
+    """Deterministic (len(forms), dim) float64 embedding matrix."""
+    import hashlib
+
+    out = np.zeros((len(forms), dim), dtype=np.float64)
+    for i, f in enumerate(forms):
+        low = (f or "").lower()
+        for j in range(dim):
+            h = hashlib.md5(f"{low}:{j}".encode("utf-8")).hexdigest()
+            out[i, j] = int(h[:15], 16) / float(1 << 60)
+    return out
+
+
+def attach_embeddings(words: DataFrame, dim: int = 16, form_col: str = "form") -> DataFrame:
+    """flat words -> words + emb ARRAY<FLOAT> (one Arrow stage)."""
+    out_schema = T.StructType(words.schema.fields + [T.StructField("emb", T.ArrayType(T.DoubleType()))])
+    cols = [f.name for f in words.schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            forms = list(pdf[form_col])
+            embs = []
+            for lo in range(0, len(forms), CHUNK):  # chunked like the reference
+                embs.append(hash_embed_np(forms[lo : lo + CHUNK], dim))
+            mat = np.concatenate(embs) if embs else np.zeros((0, dim), dtype=np.float64)
+            pdf = pdf.copy()
+            pdf["emb"] = [row.tolist() for row in mat]
+            yield pdf
+
+    return words.select(*cols).mapInPandas(run, schema=out_schema)
+
+
+def sentence_embeddings(words_with_emb: DataFrame) -> DataFrame:
+    """Mean-pool word embeddings per sentence — pure Catalyst aggregation
+    over the array column (zip_with-free: posexplode + avg per slot)."""
+    dim_probe = F.size(F.col("emb"))
+    exploded = words_with_emb.select(
+        "url", "sent_id", F.posexplode("emb").alias("slot", "v")
+    )
+    pooled = exploded.groupBy("url", "sent_id", "slot").agg(F.avg("v").alias("v"))
+    return (
+        pooled.groupBy("url", "sent_id")
+        .agg(F.array_sort(F.collect_list(F.struct("slot", "v"))).alias("sv"))
+        .select(
+            "url",
+            "sent_id",
+            F.expr("transform(sv, x -> round(x.v, 6))").alias("sent_emb"),
+        )
+    )
