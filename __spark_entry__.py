@@ -20,6 +20,21 @@ TABLES = [
 ]
 
 
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Queries run under the DRIVER's SparkSession (not ours): make the
+    package importable on executors regardless of that session's cwd, and
+    pin BLAS threads for any python workers it spawns."""
+    try:
+        from nlp_cube_spark.session import _ship_package
+
+        key = "_nlp_cube_spark_shipped"
+        if not getattr(spark, key, False):
+            _ship_package(spark)
+            setattr(spark, key, True)
+    except Exception:
+        pass  # already shipped or non-local session; imports may still work
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -50,6 +65,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full annotate -> open-IE triples over sf0.001 documents."""
     from nlp_cube_spark.operators import annotate as A, triples as TR
 
+    _ensure_shipped(spark)
     pages = _docs_as_pages(spark, "/root/testdata/sf0.001")
     return A.fused_triples(pages)
 
@@ -362,8 +378,19 @@ def q_multimodal_features(spark, sf_dir):
     return MM.extract_features(assets, dim=8).select("asset_id", "kind", "n_bytes", "content_hash")
 
 
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    def inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_shipped(spark)
+        return fn(spark, sf_dir)
+
+    return inner
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return {name: _wrap(fn) for name, fn in _QUERIES.items()}
+
+
+_QUERIES = {
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "region_revenue": q_region_revenue,
