@@ -1,0 +1,28 @@
+"""Bucketed co-located joins: no Exchange on either side."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nlp_cube_spark.io.tables import bucketed_join, join_is_shuffle_free, write_bucketed
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        write_bucketed(orders, "b_orders", "o_orderkey", 8, sort_col="o_orderkey")
+        write_bucketed(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem", "o_orderkey", 8, sort_col="o_orderkey"
+        )
+        j = bucketed_join(spark, "b_orders", "b_lineitem", ["o_orderkey"])
+        assert join_is_shuffle_free(spark, j), "bucketed SMJ must not shuffle"
+        # same join on raw parquet DOES shuffle (the thing bucketing removes)
+        raw = orders.join(lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey")
+        assert not join_is_shuffle_free(spark, raw)
+        # and the result is correct
+        assert j.count() == raw.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

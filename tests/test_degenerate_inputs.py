@@ -1,0 +1,64 @@
+"""Degenerate web inputs must flow through the whole pipeline, not throw
+(found via runtime probing; see .claude/skills/verify/SKILL.md gotchas)."""
+
+import datetime as dt
+import shutil
+import tempfile
+
+from pyspark.sql import types as T
+
+from nlp_cube_spark.datagen import aliases_df
+from nlp_cube_spark.operators import annotate as A
+from nlp_cube_spark.plans import pipeline as P
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def _weird(spark):
+    rows = [
+        ("u1", dt.datetime(2025, 1, 1), b"<html><body>no para</body></html>", "", "en"),
+        ("u2", dt.datetime(2025, 1, 1), b"<html><p></p></html>", "   \n\r  ", "en"),
+        ("u3", dt.datetime(2025, 1, 1), "<html><p>Ünïcodé tëst . Ça va ?</p></html>".encode(), "Ünïcodé tëst . Ça va ?", "fr"),
+        ("u4", dt.datetime(2025, 1, 1), b"<html><p>one two three</p></html>", "one two three", "zz"),
+        ("u5", dt.datetime(2025, 1, 1), None, None, "en"),
+        ("u6", dt.datetime(2025, 1, 1), b"<html><p>a</p></html>", "a", "en"),
+        ("u7", dt.datetime(2025, 1, 1), b"<html><p>....</p></html>", "....", "en"),
+        ("u8", dt.datetime(2025, 1, 1), b"<html><p>" + b"x" * 20000 + b"</p></html>", "x" * 20000, "en"),
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_degenerate_pages_through_full_pipeline(spark):
+    out = tempfile.mkdtemp(prefix="kg_weird_")
+    try:
+        m = P.build_graph(spark, _weird(spark), aliases_df(spark), out, n_buckets=2, run_id=1)
+        assert m["n_pages"] == 8
+        tri = spark.read.parquet(f"{out}/triples")
+        assert tri.count() >= 0  # no throw is the contract
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_degenerate_pages_extraction(spark):
+    ext = A.extract_text(_weird(spark)).collect()
+    got = {r.url: r.extracted_text for r in ext}
+    assert got["u1"] == "" and got["u5"] == ""
+    assert got["u3"] == "Ünïcodé tëst . Ça va ?"
+    assert got["u8"] == "x" * 20000
+
+
+def test_single_char_and_punct_only_docs(spark):
+    words = A.annotate(_weird(spark).where("url in ('u6','u7')"))
+    rows = words.collect()
+    # "a" -> one word; "...." -> 4 punct tokens across 4 sentences
+    assert {r.url for r in rows} == {"u6", "u7"}
+    u7 = [r for r in rows if r.url == "u7"]
+    assert all(r.upos == "PUNCT" for r in u7)
