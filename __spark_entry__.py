@@ -469,7 +469,12 @@ _KG_TRIPLES_DUCK = """
 WITH tk AS (
   SELECT doc_id, lang,
          unnest([{'pos': i, 'tok': t[i]} FOR i IN range(1, len(t)+1)], recursive := true)
-  FROM (SELECT doc_id, lang, list_filter(string_split(text,' '), x -> x <> '') AS t
+  FROM (SELECT doc_id, lang,
+          CASE WHEN lang = 'zh'
+               THEN [substr(replace(text, ' ', ''), i, 1)
+                     FOR i IN range(1, length(replace(text, ' ', '')) + 1)]
+               ELSE list_filter(string_split(text, ' '), x -> x <> '')
+          END AS t
         FROM documents)
 ), tagged AS (
   SELECT doc_id, lang, pos, tok,
@@ -477,6 +482,7 @@ WITH tk AS (
               WHEN tok = 'a' AND lang = 'en' THEN 'DET'
               WHEN tok = 'a' THEN 'ADP'
               WHEN tok = 'the' AND lang = 'en' THEN 'DET'
+              WHEN tok = 'o' AND lang <> 'en' THEN 'DET'
               ELSE 'NOUN' END AS upos
   FROM tk
 ), roots AS (
@@ -728,8 +734,14 @@ def oracle_sql() -> dict[str, str]:
                         WHEN tok = 'a' AND lang = 'en' THEN 'DET'
                         WHEN tok = 'a' THEN 'ADP'
                         WHEN tok = 'the' AND lang = 'en' THEN 'DET'
+                        WHEN tok = 'o' AND lang <> 'en' THEN 'DET'
                         ELSE 'NOUN' END AS upos
-            FROM (SELECT lang, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+            FROM (SELECT lang, unnest(
+                    CASE WHEN lang = 'zh'
+                         THEN [substr(replace(text, ' ', ''), i, 1)
+                               FOR i IN range(1, length(replace(text, ' ', '')) + 1)]
+                         ELSE list_filter(string_split(text, ' '), t -> t <> '')
+                    END) AS tok
                   FROM documents)
           ) GROUP BY upos
         """,

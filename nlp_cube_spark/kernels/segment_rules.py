@@ -124,10 +124,23 @@ def decode(
     return sents
 
 
-def segment(text: str, lang: str, no_space_lang: bool = False):
-    """normalize -> pretokenize -> classify -> decode, one document."""
+NO_SPACE_LANGS = {"zh", "ja", "th"}  # reference autodetects per model
+# (tokenizer.py:327-338 samples the corpus); ours is a per-lang config
+
+
+def is_no_space_lang(lang: str) -> bool:
+    return (lang or "").split("_")[0] in NO_SPACE_LANGS
+
+
+def segment(text: str, lang: str, no_space_lang: bool | None = None):
+    """normalize -> pretokenize -> classify -> decode, one document.
+
+    no_space_lang=None derives the mode from `lang` (zh/ja-style
+    char-per-token pre-tokenization, reference utils_tokenizer.py:37-38)."""
     from .pretokenizer import normalize_ws, pretokenize
 
+    if no_space_lang is None:
+        no_space_lang = is_no_space_lang(lang)
     norm = normalize_ws(text)
     toks, spa = pretokenize(norm, no_space_lang=no_space_lang)
     labels = classify(toks, spa, lang)
