@@ -213,6 +213,41 @@ def q_salted_supplier_counts(spark, sf_dir):
     return salted_agg_count(li, "l_suppkey", n_salt=8)
 
 
+def q_cube_order_counts(spark, sf_dir):
+    """Grouping-sets hierarchy (SURVEY §2d rollup/cube row)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+def q_events_tumbling_window(spark, sf_dir):
+    """Tumbling window() aggregation; windows align to the unix epoch in
+    both engines, so the 6h bucket start is engine-portable."""
+    e = _t(spark, sf_dir, "events")
+    w = F.window("ts", "6 hours")
+    return e.groupBy(w).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value")
+    ).select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+        "n",
+        "avg_value",
+    )
+
+
+def q_salted_join_parts(spark, sf_dir):
+    """Hot-key fan-out join == plain join (skew handling demo)."""
+    from nlp_cube_spark.operators.salting import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    p = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("l_partkey"), "p_brand")
+    return (
+        salted_join(li, p, "l_partkey", n_salt=4)
+        .groupBy("p_brand")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+
+
 def q_hot_parts(spark, sf_dir):
     from nlp_cube_spark.operators.salting import hot_keys
 
@@ -407,6 +442,9 @@ _QUERIES = {
         "orders_topk": q_orders_topk,
         "map_extract": q_map_extract,
         "salted_supplier_counts": q_salted_supplier_counts,
+        "salted_join_parts": q_salted_join_parts,
+        "cube_order_counts": q_cube_order_counts,
+        "events_tumbling_window": q_events_tumbling_window,
         "hot_parts": q_hot_parts,
         "doc_fingerprints": q_doc_fingerprints,
         "doc_token_counts": q_doc_token_counts,
@@ -654,6 +692,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hot_parts": """
           SELECT l_partkey FROM lineitem GROUP BY l_partkey HAVING count(*) >= 50
+        """,
+        "salted_join_parts": """
+          SELECT p_brand, round(sum(l_quantity), 2) AS qty
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY p_brand
+        """,
+        "cube_order_counts": """
+          SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                 round(sum(o_totalprice), 2) AS total
+          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "events_tumbling_window": """
+          SELECT strftime(to_timestamp(floor(epoch(ts) / 21600) * 21600),
+                          '%Y-%m-%d %H:%M:%S') AS w_start,
+                 count(*) AS n, round(avg(value), 6) AS avg_value
+          FROM events GROUP BY 1
         """,
         "doc_fingerprints": """
           SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint

@@ -41,6 +41,19 @@ def salted_agg_count(df: DataFrame, key: str, n_salt: int = 16) -> DataFrame:
     return partial.groupBy(key).agg(F.sum("count").alias("count"))
 
 
+def salted_join(big: DataFrame, small: DataFrame, key: str, n_salt: int = 16) -> DataFrame:
+    """Equi-join with manual hot-key fan-out: the big side gets a salt in
+    [0, n_salt); the small side is replicated n_salt times so every salted
+    partition finds its match. Use when one join key dominates (Zipf head)
+    and AQE's skew splitting isn't available (e.g. broadcast not possible
+    and the hot key exceeds a single task). Result == plain inner join."""
+    salted_big = with_salt(big, key, n_salt)
+    replicated = small.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    ).withColumn("salt", F.col("salt").cast("long"))
+    return salted_big.join(replicated, [key, "salt"]).drop("salt")
+
+
 def salted_distinct_count(df: DataFrame, key: str, value: str, n_salt: int = 16) -> DataFrame:
     """distinct values per key with salted pre-dedup: dedup on
     (key, salt, value) spreads a hot key's dedup work across reducers,
