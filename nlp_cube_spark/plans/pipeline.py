@@ -50,6 +50,7 @@ def build_graph(
     n_buckets: int = 16,
     resume: bool = True,
     run_id: int = 0,
+    write_words: bool = False,
 ) -> dict:
     """Run the full pipeline; returns metrics dict. Restart-safe."""
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -84,6 +85,20 @@ def build_graph(
     # (tasks x buckets small files — measured 8x slowdown locally, and the
     # classic small-file problem on object storage at cluster scale)
     out.repartition("bucket").write.partitionBy("bucket").mode("overwrite").parquet(f"{out_dir}/triples")
+
+    if write_words:
+        # full CoNLL-U-equivalent annotation table (lemma via dedup-join)
+        words = A.annotate(pages_b)
+        with_bucket(words, n_buckets).repartition("bucket").write.partitionBy("bucket").mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/words")
+
+    # per-partition lineage counters (north rule): triples per bucket
+    spark.read.parquet(f"{out_dir}/triples").groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_triples")
+    ).withColumn("run_id", F.lit(run_id)).write.mode("overwrite").parquet(
+        f"{out_dir}/_metrics_buckets"
+    )
 
     # nodes table: canonical entities with degree
     nodes = (

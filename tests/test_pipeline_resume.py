@@ -47,6 +47,20 @@ def test_build_graph_and_resume(spark, pages, aliases):
         assert spark.read.parquet(f"{out2}/_manifest").count() == 4
         assert spark.read.parquet(f"{out2}/_metrics").where("stage = 'pipeline'").count() >= 2
         assert spark.read.parquet(f"{out1}/nodes").where(F.col("degree") <= 0).count() == 0
+        # per-partition counters cover every bucket and sum to the total
+        mb = spark.read.parquet(f"{out1}/_metrics_buckets")
+        assert mb.agg(F.sum("n_triples")).collect()[0][0] == m1["n_triples"]
     finally:
         shutil.rmtree(out1, ignore_errors=True)
         shutil.rmtree(out2, ignore_errors=True)
+
+
+def test_build_graph_write_words(spark, pages, aliases):
+    out = tempfile.mkdtemp(prefix="kg_w_")
+    try:
+        P.build_graph(spark, pages, aliases, out, n_buckets=4, run_id=1, write_words=True)
+        words = spark.read.parquet(f"{out}/words")
+        assert words.count() > 0
+        assert {"form", "lemma", "upos", "head", "deprel", "bucket"} <= set(words.columns)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
