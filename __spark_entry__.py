@@ -63,7 +63,7 @@ def _docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full annotate -> open-IE triples over sf0.001 documents."""
-    from nlp_cube_spark.operators import annotate as A, triples as TR
+    from nlp_cube_spark.operators import annotate as A
 
     _ensure_shipped(spark)
     pages = _docs_as_pages(spark, "/root/testdata/sf0.001")

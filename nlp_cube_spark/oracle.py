@@ -18,8 +18,6 @@ import html as html_mod
 import re
 from dataclasses import dataclass
 
-import numpy as np
-
 from .kernels import arc_scores, lemma_rules, mst, segment_rules, tagger_rules
 
 

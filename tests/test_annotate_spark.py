@@ -7,7 +7,6 @@ from pyspark.sql import functions as F
 from nlp_cube_spark import oracle
 from nlp_cube_spark.datagen import gen_pages, pages_df
 from nlp_cube_spark.operators import annotate as A, triples as TR
-from nlp_cube_spark.plans import pipeline as PL
 
 N_DOCS = 50
 SEED = 1234

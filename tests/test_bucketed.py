@@ -1,8 +1,5 @@
 """Bucketed co-located joins: no Exchange on either side."""
 
-import pytest
-from pyspark.sql import functions as F
-
 from nlp_cube_spark.io.tables import bucketed_join, join_is_shuffle_free, write_bucketed
 
 
