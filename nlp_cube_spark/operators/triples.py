@@ -4,18 +4,22 @@ Patterns: svo (nsubj + VERB + obj), obl (nsubj + VERB + obl/case),
 copula (cop child on a nominal root: README.md:24-31 — "is" is cop, the
 nominal is root), appos.
 
-Two physical strategies:
+Three physical strategies, all producing identical triples (tested):
 
-- `extract_triples_nested` (default scale path): Catalyst higher-order
-  functions (filter/transform/exists) over the per-sentence `words` array.
-  Arc navigation is array indexing inside one row — ZERO shuffle, full
-  whole-stage codegen, no Python. The only join is the broadcast of the
-  distinct predicate-lemma dimension (Zipf-bounded).
+- `extract_triples_kernel` (DEFAULT / scale path): arc navigation inside
+  the same Arrow stage that holds the parse — zero shuffle, zero Python
+  round trips beyond the batch it already owns. `annotate.fused_triples`
+  goes further and fuses segment+tag+parse+extract into one stage.
 
-- `extract_triples_join` (relational demo, §2d): equi self-joins of the flat
-  words table on (url, sent_id, head = word_id). Same results; costs three
-  shuffle joins — kept as the oracle-checkable variant and for engines
-  without HOF support.
+- `extract_triples_nested`: Catalyst higher-order functions
+  (filter/transform/exists) over the per-sentence `words` array. Zero
+  shuffle and no Python, but Spark evaluates HOF lambdas interpreted (no
+  codegen) — measured ~5 JVM-core-ms/doc vs ~0.3 Python-ms for the kernel,
+  which is why it is not the default (PLANS.md).
+
+- `extract_triples_join` (relational demo, §2d): equi self-joins of the
+  flat words table on (url, sent_id, head = word_id). Costs three shuffle
+  joins; kept as the SQL-shaped variant.
 """
 
 from __future__ import annotations

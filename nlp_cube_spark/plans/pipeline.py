@@ -1,8 +1,8 @@
 """End-to-end KG construction: pages -> partitioned graph tables.
 
 Lifecycle (SURVEY.md §3 "Our Spark lifecycle"):
-    pages -> extract -> segment -> tag+parse -> triples(nested, no shuffle)
-          -> link (broadcast) -> canonicalize (cc loop) -> write
+    pages -> [one fused Arrow stage: segment+tag+parse+extract]
+          -> link (broadcast) -> canonicalize (cc loop) -> bucketed write
 
 Resumability + lineage (north rule):
 - work unit = url-hash bucket (`pmod(xxhash64(url), n_buckets)`), the same
