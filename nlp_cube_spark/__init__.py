@@ -23,3 +23,13 @@ loop. No RDDs, no per-row Python UDFs.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # convenience: `from nlp_cube_spark import Cube` without importing the
+    # api module (and transitively pyspark) at package import time
+    if name == "Cube":
+        from .api import Cube
+
+        return Cube
+    raise AttributeError(name)

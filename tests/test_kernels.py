@@ -155,6 +155,38 @@ def test_mst_single_root_enforced():
     _tree_ok(list(heads), 2)
 
 
+def test_mst_no_root_candidate_fallback():
+    """Repair ladder when the raw MST attaches nothing to ROOT and no word
+    clears the 1/n prior (reference utils.py:530-534 branches)."""
+    # root column all zero probability -> greedy tree has no root arcs
+    probs = np.array(
+        [
+            [1.0, 0.0, 0.0, 0.0],
+            [0.0, 0.0, 0.7, 0.3],
+            [0.0, 0.6, 0.0, 0.4],
+            [0.0, 0.5, 0.5, 0.0],
+        ]
+    )
+    heads = mst.decode_tree(probs)
+    _tree_ok(list(heads), 3)
+
+
+def test_mst_multiple_plausible_roots_picks_best():
+    # words 1 and 3 both clear the uniform prior for ROOT; scorer must try
+    # both and keep the higher-scoring single-root tree
+    probs = np.array(
+        [
+            [1.0, 0.0, 0.0, 0.0],
+            [0.45, 0.0, 0.35, 0.20],
+            [0.10, 0.80, 0.0, 0.10],
+            [0.40, 0.30, 0.30, 0.0],
+        ]
+    )
+    heads = mst.decode_tree(probs)
+    _tree_ok(list(heads), 3)
+    assert heads[0] == 0  # word 1 is the stronger root
+
+
 @given(st.integers(min_value=2, max_value=9), st.integers(min_value=0, max_value=10_000))
 @settings(max_examples=120, deadline=None)
 def test_mst_always_valid_tree(n, seed):
