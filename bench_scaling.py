@@ -8,7 +8,8 @@ long-lived on a real cluster; imports are paid once) and 3 timed runs,
 reporting the MIN to suppress noisy-neighbor variance on this shared VM.
 Each parallelism level gets a fresh JVM (subprocess).
 
-Prints one JSON line and rewrites BENCH/BASELINE.md.
+Prints one JSON line and writes BENCH/scaling_latest.md (the curated
+primary evidence lives in BENCH/BASELINE.md and is not overwritten).
 
 efficiency = (T_8 / T_32) / (32 / 8); gate >= 0.8.
 """
@@ -101,7 +102,7 @@ def main() -> None:
     }
     print(json.dumps(summary))
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
+    with open("BENCH/scaling_latest.md", "w") as f:
         f.write(
             "# BENCH — scaling + throughput evidence\n\n"
             "North-rule scaling criterion, evidenced per the sandbox proxy:\n"
