@@ -126,8 +126,10 @@ def q_semi_join(spark, sf_dir):
 
 
 def q_anti_join(spark, sf_dir):
+    """Customers with no recent (1998+) order — non-empty at sf0.01 so the
+    anti-join check is discriminating (every customer has SOME order)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") >= F.lit("1998-01-01"))
     return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select("c_custkey", "c_name")
 
 
@@ -251,8 +253,10 @@ def q_salted_join_parts(spark, sf_dir):
 def q_hot_parts(spark, sf_dir):
     from nlp_cube_spark.operators.salting import hot_keys
 
+    # min_count=40 yields ~85 hot keys at sf0.01 (50 matched nothing —
+    # a trivially-green 0-row check)
     li = _t(spark, sf_dir, "lineitem")
-    return hot_keys(li, "l_partkey", min_count=50)
+    return hot_keys(li, "l_partkey", min_count=40)
 
 
 # --------------------------------------------------------------------------
@@ -285,10 +289,20 @@ def q_doc_quality(spark, sf_dir):
     )
 
 
+def _docs_with_dups(spark, sf_dir):
+    """sf documents have no exact duplicates; re-inject every 25th doc under
+    a shifted id so the dedup operators have real dup groups to find."""
+    docs = _t(spark, sf_dir, "documents")
+    clones = docs.where(F.col("doc_id") % 25 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    return docs.unionByName(clones)
+
+
 def q_exact_dups(spark, sf_dir):
     from nlp_cube_spark.operators.dedup import exact_duplicates
 
-    return exact_duplicates(_t(spark, sf_dir, "documents"))
+    return exact_duplicates(_docs_with_dups(spark, sf_dir))
 
 
 def q_minhash_band_pairs(spark, sf_dir):
@@ -639,7 +653,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "anti_join": """
           SELECT c_custkey, c_name FROM customer c
-          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '1998-01-01')
         """,
         "window_top3": """
           SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rn
@@ -691,7 +706,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT l_suppkey, count(*) AS count FROM lineitem GROUP BY l_suppkey
         """,
         "hot_parts": """
-          SELECT l_partkey FROM lineitem GROUP BY l_partkey HAVING count(*) >= 50
+          SELECT l_partkey FROM lineitem GROUP BY l_partkey HAVING count(*) >= 40
         """,
         "salted_join_parts": """
           SELECT p_brand, round(sum(l_quantity), 2) AS qty
@@ -744,8 +759,13 @@ def oracle_sql() -> dict[str, str]:
           FROM base
         """,
         "exact_dups": """
+          WITH docs AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 25 = 0
+          )
           SELECT md5(text) AS content_hash, count(*) AS n_dups, min(doc_id) AS keep_doc_id
-          FROM documents GROUP BY md5(text) HAVING count(*) > 1
+          FROM docs GROUP BY md5(text) HAVING count(*) > 1
         """,
         "minhash_band_pairs": f"""
           WITH sig AS ({_minhash_duck(8)}),

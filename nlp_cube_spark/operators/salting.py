@@ -21,13 +21,14 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def with_salt(df: DataFrame, key: str, n_salt: int = 16, col: str = "salt") -> DataFrame:
-    """Deterministic salt derived from the whole row's key + a spread hash.
+    """Deterministic, rerun-stable salt: xxhash64 over ALL row columns.
 
-    Uses xxhash64 of the key plus a monotonic disambiguator so identical
-    keys spread across salt buckets without RNG (rerun-stable)."""
-    return df.withColumn(
-        col, F.pmod(F.xxhash64(F.col(key), F.spark_partition_id(), F.monotonically_increasing_id()), F.lit(n_salt))
-    )
+    Content-derived, so it is stable under repartitioning and task retry
+    (monotonically_increasing_id / spark_partition_id are not). Rows that
+    are bitwise-identical in every column land in the same salt bucket —
+    fine for skew (they are one logical value), and the degenerate
+    all-rows-identical case is exact-dedup territory, not salting."""
+    return df.withColumn(col, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salt)))
 
 
 def hot_keys(df: DataFrame, key: str, min_count: int) -> DataFrame:
