@@ -318,9 +318,14 @@ def q_simhash_signatures(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    from nlp_cube_spark.operators.dedup import ngram_jaccard_pairs
+    """The scale shape: LSH candidates (hot-bucket capped) -> exact Jaccard
+    verify on the pair list. No block-cartesian join anywhere in the plan;
+    the injected duplicate docs guarantee jaccard=1.0 hits."""
+    from nlp_cube_spark.operators.dedup import jaccard_verify_pairs, lsh_candidate_pairs
 
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.8, block_col="lang")
+    docs = _docs_with_dups(spark, sf_dir)
+    pairs = lsh_candidate_pairs(docs, k=8, bands=2, max_bucket=64)
+    return jaccard_verify_pairs(pairs, docs, threshold=0.8)
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -488,7 +493,7 @@ _QUERIES = {
 _H60_DUCK = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
 
-def _minhash_duck(k: int, n: int = 3) -> str:
+def _minhash_duck(k: int, n: int = 3, src: str = "documents") -> str:
     mins = ", ".join(
         "list_min(list_transform(sh, s -> %s))" % _H60_DUCK.format(x=f"'{j}:' || s")
         for j in range(k)
@@ -497,8 +502,15 @@ def _minhash_duck(k: int, n: int = 3) -> str:
       SELECT doc_id, [{mins}] AS minhash
       FROM (SELECT doc_id, list_distinct([substr(lower(text), i, {n})
              FOR i IN range(1, greatest(length(lower(text)) - {n - 1}, 1) + 1)]) AS sh
-            FROM documents)
+            FROM {src})
     """
+
+
+_DOCS_DUPS_DUCK = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 25 = 0
+"""
 
 
 def _simhash_duck() -> str:
@@ -758,12 +770,8 @@ def oracle_sql() -> dict[str, str]:
                        + (CASE WHEN mean_token_len BETWEEN 3 AND 10 THEN 0.2 ELSE 0.0 END), 6) AS quality
           FROM base
         """,
-        "exact_dups": """
-          WITH docs AS (
-            SELECT doc_id, text FROM documents
-            UNION ALL
-            SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 25 = 0
-          )
+        "exact_dups": f"""
+          WITH docs AS ({_DOCS_DUPS_DUCK})
           SELECT md5(text) AS content_hash, count(*) AS n_dups, min(doc_id) AS keep_doc_id
           FROM docs GROUP BY md5(text) HAVING count(*) > 1
         """,
@@ -779,15 +787,32 @@ def oracle_sql() -> dict[str, str]:
           WHERE a.doc_id < b.doc_id
         """,
         "simhash_signatures": _simhash_duck(),
-        "ngram_jaccard": """
-          WITH sh AS (
-            SELECT doc_id, lang, list_distinct([substr(lower(text), i, 3)
+        "ngram_jaccard": f"""
+          WITH docs AS ({_DOCS_DUPS_DUCK}),
+          sig AS ({_minhash_duck(8, src="docs")}),
+          banded AS (
+            SELECT doc_id, b AS band_id,
+                   md5(array_to_string(minhash[b * 4 + 1 : b * 4 + 4], '_')) AS band_sig
+            FROM sig, (SELECT unnest(range(0, 2)) AS b)
+          ),
+          capped AS (
+            SELECT doc_id, band_id, band_sig FROM (
+              SELECT *, count(*) OVER (PARTITION BY band_id, band_sig) AS _bn FROM banded
+            ) WHERE _bn <= 64
+          ),
+          pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM capped a JOIN capped b USING (band_id, band_sig)
+            WHERE a.doc_id < b.doc_id
+          ),
+          sh AS (
+            SELECT doc_id, list_distinct([substr(lower(text), i, 3)
                    FOR i IN range(1, greatest(length(lower(text)) - 2, 1) + 1)]) AS s
-            FROM documents)
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            FROM docs)
+          SELECT doc_a, doc_b,
                  round(len(list_intersect(a.s, b.s))
                        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
-          FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+          FROM pairs JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b
           WHERE len(list_intersect(a.s, b.s))
                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
         """,
@@ -840,6 +865,52 @@ def oracle_sql() -> dict[str, str]:
                       FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
                             FROM documents))
                 GROUP BY word HAVING count(*) >= 7)
+        """,
+        "ann_ivf_topk": f"""
+          WITH cents AS (
+            SELECT row_number() OVER (ORDER BY _h) AS centroid_id, embedding AS c_emb
+            FROM (
+              SELECT vec_id, embedding,
+                     CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS VARCHAR) AS _h
+              FROM embeddings ORDER BY _h LIMIT 16
+            )
+          ),
+          assigned AS (
+            SELECT vec_id, embedding, centroid_id FROM (
+              SELECT v.vec_id, v.embedding, c.centroid_id,
+                     row_number() OVER (PARTITION BY v.vec_id
+                                        ORDER BY {_COS_DUCK.format(a="c_emb", b="v.embedding")} DESC,
+                                                 c.centroid_id) AS rn
+              FROM embeddings v, cents c
+            ) WHERE rn = 1
+          ),
+          q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+          probes AS (
+            SELECT q_id, q_emb, centroid_id FROM (
+              SELECT q.q_id, q.q_emb, c.centroid_id,
+                     row_number() OVER (PARTITION BY q.q_id
+                                        ORDER BY {_COS_DUCK.format(a="c_emb", b="q.q_emb")} DESC,
+                                                 c.centroid_id) AS rn
+              FROM q, cents c
+            ) WHERE rn <= 4
+          ),
+          scored AS (
+            SELECT p.q_id, a.vec_id,
+                   round({_COS_DUCK.format(a="p.q_emb", b="a.embedding")}, 6) AS cos_sim
+            FROM assigned a JOIN probes p USING (centroid_id)
+          )
+          SELECT q_id, vec_id, rank FROM (
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rank
+            FROM scored
+          ) WHERE rank <= 5
+        """,
+        "multimodal_features": """
+          SELECT doc_id AS asset_id,
+                 ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+                 CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                 md5(text) AS content_hash
+          FROM documents
         """,
         "vocab_chars": """
           SELECT ch, count, row_number() OVER (ORDER BY count DESC, ch) - 1 AS id

@@ -21,7 +21,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 H60 = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
 
@@ -58,16 +58,13 @@ def minhash_signature(docs: DataFrame, text_col: str = "text", k: int = 16, n: i
     ).drop("_sh")
 
 
-def lsh_candidate_pairs(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    k: int = 16, bands: int = 4, n: int = 3,
+def _banded_signatures(
+    docs: DataFrame, id_col: str, text_col: str, k: int, bands: int, n: int,
 ) -> DataFrame:
-    """LSH banding: docs agreeing on any band of k/bands minhashes.
-
-    Returns (doc_a, doc_b, band_id) candidate pairs, doc_a < doc_b."""
+    """(id, band_id, band_sig) — one row per doc per band."""
     rows_per_band = k // bands
     sig = minhash_signature(docs, text_col, k, n).select(id_col, "minhash")
-    banded = sig.select(
+    return sig.select(
         id_col,
         F.explode(
             F.expr(
@@ -76,6 +73,29 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_sig")
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 16, bands: int = 4, n: int = 3, max_bucket: int | None = None,
+) -> DataFrame:
+    """LSH banding: docs agreeing on any band of k/bands minhashes.
+
+    Returns (doc_a, doc_b, band_id) candidate pairs, doc_a < doc_b.
+
+    `max_bucket` guards the quadratic blowup on a hot band signature (K
+    boilerplate near-identical docs => K^2/2 pairs through ONE shuffle key):
+    buckets with more than max_bucket members emit no pairs here. Those
+    buckets are near-certain duplicate *clusters*, not pairs — recover them
+    with `oversized_band_buckets` (bucket -> member list, linear cost) or
+    route them to `exact_duplicates`. Documented recall note: a true
+    near-dup pair is missed only if EVERY band it agrees on is oversized."""
+    banded = _banded_signatures(docs, id_col, text_col, k, bands, n)
+    if max_bucket is not None:
+        w = Window.partitionBy("band_id", "band_sig")
+        banded = banded.withColumn("_bn", F.count(F.lit(1)).over(w)).where(
+            F.col("_bn") <= max_bucket
+        ).drop("_bn")
     a = banded.select(F.col(id_col).alias("doc_a"), "band_id", "band_sig")
     b = banded.select(F.col(id_col).alias("doc_b"), "band_id", "band_sig")
     return (
@@ -86,14 +106,57 @@ def lsh_candidate_pairs(
     )
 
 
+def oversized_band_buckets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 16, bands: int = 4, n: int = 3, max_bucket: int = 1024,
+) -> DataFrame:
+    """Band buckets too hot for pairwise expansion, as clusters:
+    (band_id, band_sig, n_members, member_ids ARRAY) — linear in corpus
+    size. At web scale these are boilerplate families; dedup keeps
+    min(member_ids) per cluster without ever materializing the pairs."""
+    banded = _banded_signatures(docs, id_col, text_col, k, bands, n)
+    return (
+        banded.groupBy("band_id", "band_sig")
+        .agg(F.count(F.lit(1)).alias("n_members"), F.sort_array(F.collect_list(id_col)).alias("member_ids"))
+        .where(F.col("n_members") > max_bucket)
+    )
+
+
+def jaccard_verify_pairs(
+    pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id",
+    text_col: str = "text", n: int = 3, threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard verification of a CANDIDATE pair list.
+
+    This is the scale shape: cost is O(|pairs|), never all-pairs — feed it
+    `lsh_candidate_pairs` (or `simhash_near_dups`) output. Shingle sets are
+    joined onto both pair sides by id (two shuffles keyed on doc id, which
+    is uniform); the Jaccard math is pure Catalyst array expressions."""
+    sh = docs.select(F.col(id_col), F.expr(shingle_expr(text_col, n)).alias("_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     n: int = 3, threshold: float = 0.5, block_col: str | None = "lang",
 ) -> DataFrame:
-    """Exact n-gram Jaccard over blocked pairs (or LSH candidates).
+    """Exact n-gram Jaccard, all pairs WITHIN a block — small-block tool only.
 
-    At scale run on `lsh_candidate_pairs` output; the block join here keeps
-    the sf-test O(pairs-in-block)."""
+    At web scale one language is ~the whole corpus, making this a cartesian
+    product: use `jaccard_verify_pairs(lsh_candidate_pairs(...), docs)`
+    instead (that composition is what the driver query exercises). This form
+    remains as the brute-force cross-check for fixture-sized blocks."""
     sh = docs.select(
         F.col(id_col), F.col(block_col).alias("_blk") if block_col else F.lit(1).alias("_blk"),
         F.expr(shingle_expr(text_col, n)).alias("_sh"),

@@ -52,13 +52,21 @@ def deterministic_centroids(vectors: DataFrame, n_centroids: int = 16, id_col: s
 
 
 def ivf_assign(vectors: DataFrame, centroids: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Assign each vector to its nearest centroid (broadcast, argmax)."""
+    """Assign each vector to its nearest centroid (broadcast, argmax).
+
+    argmax is a max_by aggregate keyed on the vector id, not a window: the
+    n x C scored rows reduce map-side (partial aggregation) instead of
+    sort-shuffling 16x the data just to keep row_number()=1. Ties break to
+    the smallest centroid_id (struct max on (_sim, -centroid_id))."""
     cos = F.expr(COS_EXPR.format(a="c_emb", b=vec_col))
     scored = vectors.join(F.broadcast(centroids)).select(
         id_col, vec_col, "centroid_id", cos.alias("_sim")
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("centroid_id"))
-    return scored.withColumn("_rn", F.row_number().over(w)).where("_rn = 1").select(id_col, vec_col, "centroid_id")
+    rank_key = F.struct(F.col("_sim"), (-F.col("centroid_id")).alias("neg_cid"))
+    return scored.groupBy(id_col).agg(
+        F.max_by(F.col("centroid_id"), rank_key).alias("centroid_id"),
+        F.first(vec_col).alias(vec_col),
+    ).select(id_col, vec_col, "centroid_id")
 
 
 def ivf_topk(

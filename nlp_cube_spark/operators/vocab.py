@@ -23,8 +23,27 @@ CHAR_CUTOFF = 5
 
 
 def _rank_ids(df: DataFrame, key: str) -> DataFrame:
-    w = Window.orderBy(F.desc("count"), F.asc(key))
-    return df.withColumn("id", F.row_number().over(w) - 1)
+    """Global dense ids by (count desc, key asc) WITHOUT a single-task sort.
+
+    A bare Window.orderBy funnels the whole vocab through one partition —
+    fine at sf0.01, a straggler at a 100M-row vocab. Two-phase instead:
+    range-partition on the sort key, rank within each partition (parallel),
+    then add per-partition offsets computed from the partition-size dim
+    (#partitions rows — broadcast join). Ids are identical to the global
+    window's because (count, key) is a total order (key is unique)."""
+    parts = df.repartitionByRange(F.desc("count"), F.asc(key)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid").orderBy(F.desc("count"), F.asc(key))
+    local = parts.withColumn("_rk", F.row_number().over(w_local))
+    sizes = local.groupBy("_pid").agg(F.max("_rk").alias("_n"))
+    w_cum = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.withColumn("_off", F.coalesce(F.sum("_n").over(w_cum), F.lit(0))).select("_pid", "_off")
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("id", (F.col("_off") + F.col("_rk") - 1).cast("int"))
+        .drop("_pid", "_rk", "_off")
+    )
 
 
 def word_vocab(words: DataFrame, form_col: str = "form", cutoff: int = WORD_CUTOFF) -> DataFrame:

@@ -108,3 +108,50 @@ def test_ivf_recall_vs_exact(spark):
     for i in range(5):
         assert (i, i) in approx
     assert len(exact & approx) / len(exact) >= 0.5
+
+
+def test_lsh_verify_equals_blocked_direct(spark, docs):
+    """LSH -> jaccard_verify_pairs == all-pairs blocked Jaccard on planted
+    dups (LSH at bands=8 recalls everything above the 0.5 threshold here)."""
+    pairs = D.lsh_candidate_pairs(docs, k=16, bands=8)
+    via_lsh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.jaccard_verify_pairs(pairs, docs, threshold=0.5).collect()
+    }
+    direct = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.5, block_col=None).collect()
+    }
+    assert via_lsh == direct
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """K identical boilerplate docs: uncapped LSH emits K*(K-1)/2 pairs
+    through one band_sig; the cap suppresses the blowup and
+    oversized_band_buckets recovers the cluster linearly."""
+    k_docs = 40
+    rows = [(i, "identical boilerplate page body for every doc", "en") for i in range(k_docs)]
+    rows += [(1000, "a genuinely unique document about distributed joins", "en")]
+    boiler = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    uncapped = D.lsh_candidate_pairs(boiler, k=8, bands=2).count()
+    assert uncapped == k_docs * (k_docs - 1) // 2
+    capped = D.lsh_candidate_pairs(boiler, k=8, bands=2, max_bucket=10).count()
+    assert capped == 0
+    clusters = D.oversized_band_buckets(boiler, k=8, bands=2, max_bucket=10).collect()
+    assert clusters and all(c.n_members == k_docs for c in clusters)
+    assert sorted(clusters[0].member_ids) == list(range(k_docs))
+
+
+def test_ivf_assign_no_window_sort(spark):
+    """ivf_assign is a hash aggregate (max_by), not an n x C window sort."""
+    rows = [(i, [float(i % 7), float(i % 3), 1.0]) for i in range(30)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = S.deterministic_centroids(vecs, n_centroids=4)
+    assigned = S.ivf_assign(vecs, cents)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    # the only Window allowed is the centroid-id one over <=C rows inside
+    # deterministic_centroids; the n-vector argmax must be an aggregate
+    assert "windowspecdefinition(vec_id" not in plan
+    assert "max_by" in plan
+    got = {r.vec_id: r.centroid_id for r in assigned.collect()}
+    assert len(got) == 30 and all(1 <= c <= 4 for c in got.values())
