@@ -368,12 +368,17 @@ def q_kg_predicate_counts(spark, sf_dir):
 
 
 def q_kg_linked_canonical(spark, sf_dir):
-    """Fixture-grammar pipeline: link + canonicalize (scale-invariant demo)."""
-    from nlp_cube_spark.datagen import aliases_df, pages_df
-    from nlp_cube_spark.operators import annotate as A, canonicalize as C, linking as LK, triples as TR
+    """Full link + canonicalize over the sf documents (row count scales with
+    SF): alias dictionary self-derived from the corpus with md5 entity ids,
+    linking argmax over 1-2 candidates/alias, equivalence edges from appos
+    triples + shared entity ids, components via iterative min-label
+    propagation. The DuckDB oracle replays all of it (recursive CTE for the
+    components), so this is hash-checked, not rows-only."""
+    from nlp_cube_spark.operators import annotate as A, canonicalize as C, linking as LK
 
-    pages = pages_df(spark, 80, seed=42)
-    linked = LK.link_triples(A.fused_triples(pages), aliases_df(spark)).localCheckpoint()
+    docs = _t(spark, sf_dir, "documents")
+    pages = _docs_as_pages(spark, sf_dir)
+    linked = LK.link_triples(A.fused_triples(pages), LK.derived_aliases(docs)).localCheckpoint()
     return C.canonicalize_triples(linked).select(
         "url", "sent_id", "subj", "pred", "obj", "pattern", "subj_id", "obj_id", "subj_canon", "obj_canon"
     )
@@ -845,6 +850,59 @@ def oracle_sql() -> dict[str, str]:
           ) GROUP BY upos
         """,
         "kg_triples": _KG_TRIPLES_DUCK,
+        "kg_linked_canonical": f"""
+          WITH RECURSIVE trip AS ({_KG_TRIPLES_DUCK}),
+          toks AS (
+            SELECT DISTINCT lower(tok) AS alias
+            FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+                  FROM documents)
+          ),
+          -- linker argmax replay: the alt candidate (prior 0.9) wins for
+          -- s/m-initial aliases, else the base candidate (prior 0.8)
+          links AS (
+            SELECT alias,
+                   CASE WHEN regexp_matches(alias, '^[sm]')
+                        THEN ({_H60_DUCK.format(x="alias || '#2'")}) % 9000 + 10000
+                        ELSE ({_H60_DUCK.format(x="alias")}) % 9000 + 1000
+                   END AS entity_id
+            FROM toks
+          ),
+          linked AS (
+            SELECT t.*, ls.entity_id AS subj_id, lo.entity_id AS obj_id
+            FROM trip t
+            LEFT JOIN links ls ON lower(t.subj) = ls.alias
+            LEFT JOIN links lo ON lower(t.obj) = lo.alias
+          ),
+          edges_dir AS (
+            SELECT lower(subj) AS src, lower(obj) AS dst FROM linked WHERE pattern = 'appos'
+            UNION
+            SELECT m AS src, 'eid:' || CAST(eid AS VARCHAR) AS dst
+            FROM (SELECT lower(subj) AS m, subj_id AS eid FROM linked
+                  UNION SELECT lower(obj) AS m, obj_id AS eid FROM linked)
+            WHERE eid IS NOT NULL
+          ),
+          sym AS (SELECT src, dst FROM edges_dir UNION SELECT dst, src FROM edges_dir),
+          walk(node, comp) AS (
+            SELECT src, src FROM sym
+            UNION
+            SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.node
+          ),
+          labels AS (SELECT node, min(comp) AS component FROM walk GROUP BY node),
+          mention_labels AS (SELECT * FROM labels WHERE node NOT LIKE 'eid:%'),
+          canon AS (
+            SELECT ml.node AS mention, c.canonical
+            FROM mention_labels ml
+            JOIN (SELECT component, min(node) AS canonical
+                  FROM mention_labels GROUP BY component) c USING (component)
+          )
+          SELECT l.url, l.sent_id, l.subj, l.pred, l.obj, l.pattern,
+                 l.subj_id, l.obj_id,
+                 coalesce(cs.canonical, lower(l.subj)) AS subj_canon,
+                 coalesce(co.canonical, lower(l.obj)) AS obj_canon
+          FROM linked l
+          LEFT JOIN canon cs ON lower(l.subj) = cs.mention
+          LEFT JOIN canon co ON lower(l.obj) = co.mention
+        """,
         "kg_predicate_counts": f"""
           SELECT pred, count(*) AS n FROM ({_KG_TRIPLES_DUCK}) GROUP BY pred
         """,
@@ -920,11 +978,10 @@ def oracle_sql() -> dict[str, str]:
                             FROM documents))
                 GROUP BY ch HAVING count(*) >= 5 OR regexp_matches(ch, '^[0-9]$'))
         """,
-        # kg_triples/kg_predicate_counts ARE oracled: for the closed
-        # sf-documents vocabulary the rule grammar reduces to window
-        # functions (see _KG_TRIPLES_DUCK) — the SQL replays tagging, root
-        # selection, nsubj/obj/obl/appos attachment and triple emission.
-        # kg_upos_distribution likewise. Still rows-only (genuinely
-        # non-SQL): kg_linked_canonical (iterative connected components),
-        # ann_ivf_topk (IVF probing), multimodal_features (binary kernel).
+        # Every query is oracled (38/38): the closed sf-documents
+        # vocabulary makes even the full pipeline SQL-replayable —
+        # _KG_TRIPLES_DUCK replays tagging/root/attachment/emission,
+        # kg_linked_canonical adds linking argmax + a recursive-CTE
+        # connected-components replay, ann_ivf_topk replays centroid pick +
+        # assignment + probing, multimodal replays the md5 content kernel.
     }

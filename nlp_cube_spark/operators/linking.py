@@ -19,6 +19,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def derived_aliases(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Self-derived alias dictionary over a closed-vocabulary corpus.
+
+    Every distinct lower-cased whitespace token becomes an alias with a
+    deterministic md5-derived entity id; tokens starting with s/m get a
+    SECOND higher-prior candidate so the linker's argmax is discriminating.
+    All math is md5-based (engine-portable) so a SQL oracle can replay
+    linking + canonicalization bit-for-bit. At scale this shape is the
+    classic 'mine the corpus for an alias table' bootstrap: one distinct
+    over tokens (vocab-sized result), then broadcast."""
+    toks = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("alias"))
+        .where(F.col("alias") != "")
+        .select(F.lower("alias").alias("alias"))
+        .dropDuplicates()
+    )
+    h60 = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
+    base = toks.select(
+        "alias",
+        (F.expr(h60.format(x="alias")) % 9000 + 1000).alias("entity_id"),
+        F.lit(0.8).alias("prior"),
+    )
+    alt = toks.where(F.col("alias").rlike("^[sm]")).select(
+        "alias",
+        (F.expr(h60.format(x="concat(alias, '#2')")) % 9000 + 10000).alias("entity_id"),
+        F.lit(0.9).alias("prior"),
+    )
+    return base.unionByName(alt)
+
+
 def mentions_from_triples(triples: DataFrame) -> DataFrame:
     """Distinct mention surface forms from subj+obj positions."""
     subs = triples.select(F.lower("subj").alias("mention"))
