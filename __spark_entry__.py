@@ -250,6 +250,32 @@ def q_salted_join_parts(spark, sf_dir):
     )
 
 
+def q_sampled_hot_parts(spark, sf_dir):
+    """Sketch-style hot keys: deterministic 10% md5 row-sample + scaled
+    threshold — no full first-pass aggregation (SURVEY §2d approx row)."""
+    from nlp_cube_spark.operators.salting import sampled_hot_keys
+
+    li = _t(spark, sf_dir, "lineitem")
+    return sampled_hot_keys(
+        li, "l_partkey", min_count=40,
+        sample_cols=["l_orderkey", "l_partkey", "l_linenumber"], sample_mod=10,
+    )
+
+
+def q_approx_distinct_parts(spark, sf_dir):
+    """HLL++ distinct-per-key vs exact, asserted within 10% — the oracle
+    pins `within_tol` to true, so a broken sketch fails the hash check."""
+    from nlp_cube_spark.operators.salting import approx_distinct_per_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    ap = approx_distinct_per_key(li, "l_returnflag", "l_partkey", rsd=0.02)
+    ex = li.groupBy("l_returnflag").agg(F.countDistinct("l_partkey").alias("_exact"))
+    return ap.join(ex, "l_returnflag").select(
+        "l_returnflag",
+        (F.abs(F.col("approx_distinct") - F.col("_exact")) <= 0.1 * F.col("_exact")).alias("within_tol"),
+    )
+
+
 def q_hot_parts(spark, sf_dir):
     from nlp_cube_spark.operators.salting import hot_keys
 
@@ -470,6 +496,8 @@ _QUERIES = {
         "cube_order_counts": q_cube_order_counts,
         "events_tumbling_window": q_events_tumbling_window,
         "hot_parts": q_hot_parts,
+        "sampled_hot_parts": q_sampled_hot_parts,
+        "approx_distinct_parts": q_approx_distinct_parts,
         "doc_fingerprints": q_doc_fingerprints,
         "doc_token_counts": q_doc_token_counts,
         "doc_lang_id": q_doc_lang_id,
@@ -724,6 +752,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hot_parts": """
           SELECT l_partkey FROM lineitem GROUP BY l_partkey HAVING count(*) >= 40
+        """,
+        "sampled_hot_parts": """
+          SELECT l_partkey, count(*) * 10 AS est_count
+          FROM lineitem
+          WHERE (('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+                                     CAST(l_partkey AS VARCHAR) || ':' ||
+                                     CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT % 10) = 0
+          GROUP BY l_partkey HAVING count(*) >= 4
+        """,
+        "approx_distinct_parts": """
+          SELECT l_returnflag, true AS within_tol
+          FROM lineitem GROUP BY l_returnflag
         """,
         "salted_join_parts": """
           SELECT p_brand, round(sum(l_quantity), 2) AS qty

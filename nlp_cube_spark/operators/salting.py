@@ -35,6 +35,44 @@ def hot_keys(df: DataFrame, key: str, min_count: int) -> DataFrame:
     return df.groupBy(key).count().where(F.col("count") >= min_count).select(key)
 
 
+def sampled_hot_keys(
+    df: DataFrame, key: str, min_count: int, sample_cols: list[str],
+    sample_mod: int = 10,
+) -> DataFrame:
+    """Sketch-style hot-key detection WITHOUT a full first-pass aggregation.
+
+    `hot_keys` is itself a full shuffle+agg over the fact table — at 100 TB
+    that is the cost you were trying to avoid. This estimates key frequency
+    on a deterministic 1/sample_mod row sample (md5 of `sample_cols`, so the
+    sample is content-derived: rerun-stable AND replayable by a SQL oracle,
+    unlike df.sample's partition-order-dependent RNG) and scales the
+    threshold. The scan stays narrow (key + sample cols), the shuffle
+    carries ~1/sample_mod of the rows. Returns (key, est_count).
+
+    Estimation error ~ sqrt(mod/true_count): choose sample_mod so hot keys
+    still land well above min_count/sample_mod in the sample."""
+    cat = " || ':' || ".join(f"cast({c} as string)" for c in sample_cols)
+    h = f"cast(conv(substr(md5({cat}), 1, 15), 16, 10) as bigint)"
+    sampled = df.where(F.expr(f"pmod({h}, {sample_mod}) = 0"))
+    thresh = max(1, min_count // sample_mod)
+    return (
+        sampled.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= thresh)
+        .select(key, (F.col("_n") * sample_mod).alias("est_count"))
+    )
+
+
+def approx_distinct_per_key(df: DataFrame, group: str, value: str, rsd: float = 0.05) -> DataFrame:
+    """HyperLogLog++ distinct-cardinality per group (one pass, fixed-size
+    sketch per key — the §2d approx-distinct surface). Use to find keys
+    whose DISTINCT fan-out is hot (e.g. predicates with millions of distinct
+    subjects) without the exact count-distinct's full dedup shuffle."""
+    return df.groupBy(group).agg(
+        F.approx_count_distinct(value, rsd=rsd).alias("approx_distinct")
+    )
+
+
 def salted_agg_count(df: DataFrame, key: str, n_salt: int = 16) -> DataFrame:
     """count per key via (key, salt) partial then final sum."""
     salted = with_salt(df, key, n_salt)
