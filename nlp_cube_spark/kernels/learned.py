@@ -1,0 +1,129 @@
+"""Pinned-weight micro-parser: a LEARNED drop-in for the arc-score seam.
+
+The reference's value is trained models (biaffine parser,
+cube/networks/parser.py:109-233). v0 ships rule kernels; this module proves
+the seam those rules sit behind is model-shaped (SURVEY.md §7 step 4): a
+first-order arc-factored perceptron with FROZEN committed weights
+(micro_parser_weights.json, produced by scripts/train_micro_parser.py on
+rule-pipeline annotations of seeded fixture pages) implements the exact
+`score_matrix(forms, upos) -> (n+1, n+1) row-stochastic matrix` contract
+consumed by mst.decode_tree. Swapping it in changes ZERO Spark plans — the
+kernel runs inside the same fused mapInPandas stage (tested in
+tests/test_learned_kernel.py, incl. head parity on held-out seeds).
+
+Features are per-arc (dep d, head h), computable from the UPOS sequence:
+pair/direction/distance plus "h is d's nearest nominal left/right" and
+"h is the first verb" indicators — the standard McDonald-style first-order
+feature shapes, NOT a re-encoding of the rule table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import lru_cache
+
+import numpy as np
+
+NOMINALS = ("NOUN", "PROPN", "PRON", "NUM")
+
+WEIGHTS_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "micro_parser_weights.json")
+
+
+def sentence_context(upos: list[str]) -> tuple:
+    """(next_nominal, prev_nominal, first_verb) index helpers, 0-based."""
+    n = len(upos)
+    next_nom: list[int | None] = [None] * n
+    prev_nom: list[int | None] = [None] * n
+    last: int | None = None
+    for i in range(n - 1, -1, -1):
+        next_nom[i] = last
+        if upos[i] in NOMINALS:
+            last = i
+    last = None
+    for i in range(n):
+        prev_nom[i] = last
+        if upos[i] in NOMINALS:
+            last = i
+    first_verb = next((i for i, u in enumerate(upos) if u == "VERB"), None)
+    return next_nom, prev_nom, first_verb
+
+
+def arc_features(upos: list[str], ctx: tuple, d: int, h: int) -> list[str]:
+    """Feature strings for arc (dep d 0-based, head h 0-based or -1=ROOT)."""
+    u = upos[d]
+    next_nom, prev_nom, first_verb = ctx
+    if h < 0:
+        fs = ["root", f"root:{u}"]
+        if first_verb is not None and d == first_verb:
+            fs.append("root_first_verb")
+        if first_verb is None and u in NOMINALS:
+            fs.append("root_nom_noverb")
+            if prev_nom[d] is None:
+                fs.append("root_first_nom_noverb")
+        return fs
+    uh = upos[h]
+    dirn = "L" if h < d else "R"
+    dist = min(abs(d - h), 4)
+    fs = [
+        f"pair:{u}:{uh}",
+        f"pairdir:{u}:{uh}:{dirn}",
+        f"dir:{u}:{dirn}",
+        f"dist:{u}:{dist}",
+        f"pp:{u}:{uh}:{dirn}:{dist}",
+    ]
+    if next_nom[d] == h:
+        fs.append(f"nextnom:{u}")
+    if prev_nom[d] == h:
+        fs.append(f"prevnom:{u}")
+    if first_verb == h:
+        fs.append(f"firstverb:{u}")
+        if d < h:
+            fs.append(f"firstverb_left:{u}")
+        if prev_nom[d] is None and u in NOMINALS:
+            fs.append("first_nom_to_verb")
+    return fs
+
+
+def raw_scores(upos: list[str], weights: dict[str, float]) -> np.ndarray:
+    """(n+1, n+1) raw arc scores; row d+1, col h+1 (col 0 = ROOT)."""
+    n = len(upos)
+    ctx = sentence_context(upos)
+    raw = np.full((n + 1, n + 1), -30.0)
+    for d in range(n):
+        for h in range(-1, n):
+            if h == d:
+                continue
+            raw[d + 1, h + 1] = sum(weights.get(f, 0.0) for f in arc_features(upos, ctx, d, h))
+    return raw
+
+
+@lru_cache(maxsize=1)
+def load_weights() -> dict:
+    with open(WEIGHTS_FILE) as f:
+        return json.load(f)
+
+
+def score_matrix(forms: list[str], upos: list[str]) -> np.ndarray:
+    """Learned drop-in for arc_scores.score_matrix: same contract —
+    (n+1, n+1) row-stochastic head probabilities, row/col 0 = ROOT."""
+    n = len(forms)
+    raw = raw_scores(upos, load_weights())
+    m = np.zeros((n + 1, n + 1))
+    ex = np.exp(raw[1:] - raw[1:].max(axis=1, keepdims=True))
+    m[1:] = ex / ex.sum(axis=1, keepdims=True)
+    m[0, 0] = 1.0
+    return m
+
+
+def get_scorer(name: str):
+    """Kernel registry for the arc-score seam: 'rules' (v0 default) or
+    'learned' (pinned-weight micro-parser). Resolved INSIDE the python
+    worker so only the name string crosses the closure boundary."""
+    if name == "rules":
+        from . import arc_scores
+
+        return arc_scores.score_matrix
+    if name == "learned":
+        return score_matrix
+    raise ValueError(f"unknown arc scorer: {name!r}")

@@ -120,15 +120,20 @@ def segment(pages: DataFrame, text_col: str = "text") -> DataFrame:
 
 # ---------------------------------------------------------------- tag+parse
 
-def tag_parse(sentences: DataFrame) -> DataFrame:
+def tag_parse(sentences: DataFrame, scorer: str = "rules") -> DataFrame:
     """sentences -> parsed words (MWT expansion + tagging + biaffine-style
     scoring + Chu-Liu/Edmonds + label assignment).
 
     Fuses reference ops #10-#16 (compound.py:183-245, parser.py:404-448,
     utils.py:400-577) into one Arrow stage; the score matrix lives only
-    inside the kernel."""
+    inside the kernel. `scorer` picks the arc-score kernel behind the seam
+    ('rules' default, 'learned' = pinned-weight micro-parser) — only the
+    name string crosses the closure; the plan is identical either way."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.learned import get_scorer
+
+        score_fn = get_scorer(scorer)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -146,7 +151,7 @@ def tag_parse(sentences: DataFrame) -> DataFrame:
                         tok_forms.append(tok["form"])
                 tags = tagger_rules.tag_sentence(forms, lang)
                 upos = [t[0] for t in tags]
-                probs = arc_scores.score_matrix(forms, upos)
+                probs = score_fn(forms, upos)
                 heads = mst.decode_tree(probs).tolist()
                 labels = arc_scores.label_arcs(forms, upos, heads)
                 out_words.append(
@@ -255,7 +260,7 @@ FLAT_WORDS_SCHEMA = T.StructType(
 )
 
 
-def fused_words(pages: DataFrame, text_col: str = "text") -> DataFrame:
+def fused_words(pages: DataFrame, text_col: str = "text", scorer: str = "rules") -> DataFrame:
     """pages -> flat words (no lemma) in ONE Arrow stage (cf. fused_triples)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -265,7 +270,7 @@ def fused_words(pages: DataFrame, text_col: str = "text") -> DataFrame:
             rows = {f.name: [] for f in FLAT_WORDS_SCHEMA.fields}
             for url, lang, text in zip(pdf["url"], pdf["lang"], pdf[text_col]):
                 for sid, (forms, space, mwt_ids, tok_forms, tags, heads, labels) in enumerate(
-                    _annotate_doc(text, lang)
+                    _annotate_doc(text, lang, scorer)
                 ):
                     for i in range(len(forms)):
                         rows["url"].append(url)
@@ -288,11 +293,11 @@ def fused_words(pages: DataFrame, text_col: str = "text") -> DataFrame:
     return pages.select(*cols).mapInPandas(run, schema=FLAT_WORDS_SCHEMA)
 
 
-def annotate(pages: DataFrame, text_col: str = "text") -> DataFrame:
+def annotate(pages: DataFrame, text_col: str = "text", scorer: str = "rules") -> DataFrame:
     """pages -> flat annotated words DF (the engine's `words` table).
 
     One fused Arrow stage + the lemma dedup-broadcast-join."""
-    return attach_lemmas(fused_words(pages, text_col=text_col))
+    return attach_lemmas(fused_words(pages, text_col=text_col, scorer=scorer))
 
 
 def annotate_modular(pages: DataFrame, text_col: str = "text") -> DataFrame:
@@ -302,9 +307,12 @@ def annotate_modular(pages: DataFrame, text_col: str = "text") -> DataFrame:
 
 # ---------------------------------------------------------------- fusion
 
-def _annotate_doc(text: str, lang: str):
+def _annotate_doc(text: str, lang: str, scorer: str = "rules"):
     """One document through segment -> mwt -> tag -> parse. Returns
     (forms, space, mwt_ids, tok_forms, tags, heads, labels) per sentence."""
+    from ..kernels.learned import get_scorer
+
+    score_fn = get_scorer(scorer)
     _, sents = segment_rules.segment(text or "", lang)
     out = []
     for sent in sents:
@@ -318,7 +326,7 @@ def _annotate_doc(text: str, lang: str):
                 tok_forms.append(form)
         tags = tagger_rules.tag_sentence(forms, lang)
         upos = [t[0] for t in tags]
-        heads = mst.decode_tree(arc_scores.score_matrix(forms, upos)).tolist()
+        heads = mst.decode_tree(score_fn(forms, upos)).tolist()
         labels = arc_scores.label_arcs(forms, upos, heads)
         out.append((forms, space, mwt_ids, tok_forms, tags, heads, labels))
     return out
@@ -337,7 +345,7 @@ TRIPLES_FUSED_SCHEMA = T.StructType(
 )
 
 
-def fused_triples(pages: DataFrame, text_col: str = "text") -> DataFrame:
+def fused_triples(pages: DataFrame, text_col: str = "text", scorer: str = "rules") -> DataFrame:
     """pages -> triples in ONE Arrow stage (the production scale path).
 
     Chaining separate mapInPandas stages costs one python worker per stage
@@ -364,7 +372,7 @@ def fused_triples(pages: DataFrame, text_col: str = "text") -> DataFrame:
 
             for url, lang, text in zip(pdf["url"], pdf["lang"], pdf[text_col]):
                 for sid, (forms, _sp, _mw, _tf, tags, heads, labels) in enumerate(
-                    _annotate_doc(text, lang)
+                    _annotate_doc(text, lang, scorer)
                 ):
                     kids: dict[int, list[int]] = {}
                     for i, h in enumerate(heads):
