@@ -8,6 +8,13 @@ Parse semantics match reference cube/io_utils/objects.py:27-62,86-87:
 
 Serialization matches objects.py:67-68,140-144: MWT head row emitted before
 its covered words; `SpaceAfter=No` in MISC when space_after is false.
+
+MWT spacing lives on the TOKEN (the head row), as in valid CoNLL-U: parse
+propagates the head row's MISC flag to its covered words (their own MISC is
+ignored — covered rows carry '_'), and both serializers emit the flag on
+the head row only (from the group's last word) with '_' on covered rows.
+Round-trips of external CoNLL-U with SpaceAfter=No on an MWT line are
+byte-faithful.
 """
 
 from __future__ import annotations
@@ -43,6 +50,7 @@ def parse_conllu_text(text: str, url: str = "", lang: str = "") -> list[dict]:
     sent_id = 0
     mwt_until = -1
     mwt_tok = None
+    mwt_space = True
     mwt_idx = 0
     saw_word = False
     for line in text.split("\n"):
@@ -65,6 +73,7 @@ def parse_conllu_text(text: str, url: str = "", lang: str = "") -> list[dict]:
             a, b = idx.split("-")
             mwt_until = int(b)
             mwt_tok = parts[1]
+            mwt_space = "SpaceAfter=No" not in parts[9]
             mwt_idx += 1
             continue
         wid = int(idx)
@@ -84,7 +93,8 @@ def parse_conllu_text(text: str, url: str = "", lang: str = "") -> list[dict]:
                 "feats": parts[5],
                 "head": int(parts[6]) if parts[6].isdigit() else 0,
                 "deprel": parts[7],
-                "space_after": "SpaceAfter=No" not in parts[9],
+                # covered words inherit the token's (head row's) flag
+                "space_after": mwt_space if in_mwt else "SpaceAfter=No" not in parts[9],
             }
         )
         saw_word = True
@@ -145,7 +155,9 @@ def serialize_words_grouped(words: DataFrame) -> DataFrame:
                         [
                             str(w["word_id"]), w["form"], w["lemma"], w["upos"],
                             w["xpos"], w["feats"], str(w["head"]), w["deprel"], "_",
-                            "_" if w["space_after"] else "SpaceAfter=No",
+                            # covered rows carry '_': the token (head row)
+                            # owns the spacing flag
+                            "_" if (w["mwt_id"] > 0 or w["space_after"]) else "SpaceAfter=No",
                         ]
                     )
                 )
@@ -189,14 +201,16 @@ def serialize_words(words: DataFrame) -> DataFrame:
                     concat(cast(w.word_id as string), '-',
                            cast(w.word_id + size(filter(ws, q -> q.mwt_id = w.mwt_id)) - 1 as string)),
                     w.tok_form, '_', '_', '_', '_', '_', '_', '_',
-                    CASE WHEN w.space_after THEN '_' ELSE 'SpaceAfter=No' END),
+                    -- token flag = the group's LAST word (same word the
+                    -- grouped serializer uses; covered rows carry '_')
+                    CASE WHEN element_at(filter(ws, q -> q.mwt_id = w.mwt_id), -1).space_after
+                         THEN '_' ELSE 'SpaceAfter=No' END),
                   concat_ws('\t', cast(w.word_id as string), w.form, w.lemma, w.upos,
-                            w.xpos, w.feats, cast(w.head as string), w.deprel, '_',
-                            CASE WHEN w.space_after THEN '_' ELSE 'SpaceAfter=No' END))
+                            w.xpos, w.feats, cast(w.head as string), w.deprel, '_', '_'))
                 ELSE array(
                   concat_ws('\t', cast(w.word_id as string), w.form, w.lemma, w.upos,
                             w.xpos, w.feats, cast(w.head as string), w.deprel, '_',
-                            CASE WHEN w.space_after THEN '_' ELSE 'SpaceAfter=No' END))
+                            CASE WHEN w.mwt_id > 0 OR w.space_after THEN '_' ELSE 'SpaceAfter=No' END))
                 END)))
             """
         ).alias("sent_text"),

@@ -108,6 +108,8 @@ def _cle(logs: np.ndarray) -> np.ndarray:
 def decode_tree(probs: np.ndarray) -> np.ndarray:
     """probs (n+1, n+1) -> heads for words 1..n (0 = ROOT)."""
     n1 = probs.shape[0]
+    if n1 <= 1:  # zero-word input: nothing to decode
+        return np.zeros(0, dtype=np.int64)
     with np.errstate(divide="ignore"):
         logs = np.log(np.maximum(probs.astype(np.float64), 0.0))
     logs[logs == -np.inf] = NEG
@@ -134,8 +136,15 @@ def decode_tree(probs: np.ndarray) -> np.ndarray:
         forced[r, 0] = 0.0
         t = _cle(forced)
         arc_scores = forced[np.arange(1, n1), t[1:]]
-        score = float(arc_scores[arc_scores > NEG / 2].sum()) + (root_score if root_score > NEG / 2 else -1e9)
-        if score > best_score:
+        # reference semantics (utils.py:530 `tree_probs.all()`): a candidate
+        # using ANY zero-probability arc is invalid (-inf) — the forced root
+        # arc scores its TRUE log prob, not the 0.0 placeholder
+        others = arc_scores[np.arange(n1 - 1) != (r - 1)]
+        if root_score <= NEG / 2 or (others <= NEG / 2).any():
+            score = -np.inf
+        else:
+            score = float(others.sum()) + root_score
+        if best is None or score > best_score:
             best_score, best = score, t
     return best[1:]
 

@@ -9,9 +9,15 @@ DataFrame iterative min-label propagation — no GraphFrames dependency.
 Scale notes: each round is one shuffle on node id; lineage is cut with
 localCheckpoint() per round (SURVEY.md §4 item 3) so plans don't grow.
 Alias/coref clusters are shallow (diameter <= ~6), so rounds ≈ diameter;
-for adversarial graphs switch `large_star_small_star=True` pseudo-mode by
-raising max_iter — each round is still O(E) work. Deterministic: canonical
-id = min node id in the component.
+pointer doubling makes deep chains O(log diameter). Deterministic:
+canonical id = min node id in the component.
+
+Skew note (tested: test_connected_components_star_skew, 20k-leaf hub): a
+mega-component does NOT concentrate on one reducer — the per-round groupBy
+key is the NODE, so each leaf is its own group and the hub's deg(hub)-row
+group is collapsed map-side by partial min() before the shuffle. The
+residual cost of a mega-component is edge-table size, not key skew; the
+iteration cap (max_iter) bounds pathological diameters.
 """
 
 from __future__ import annotations

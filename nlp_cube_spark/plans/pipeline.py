@@ -13,6 +13,17 @@ Resumability + lineage (north rule):
   idempotent (partial writes from a killed run are simply overwritten);
 - `_metrics` parquet records per-run, per-stage row counts collected with
   `DataFrame.observe` (piggybacks on the write action — no extra job).
+
+Canonicalization is GLOBAL, never per-resume-slice: the expensive per-page
+work (annotate -> triples -> link) is bucket-resumable and stored WITHOUT
+canon columns in `triples`; the mention -> canonical mapping is a
+dimension (`entities`) recomputed every run from the FULL stored triples
+table — its input is the distinct-mention edge set (vocab-sized, Zipf),
+its cost a narrow 5-column scan + the cc loop on the dimension. Canonical
+triples are a read-time broadcast join (`read_canonical_triples`), so a
+resumed run and a one-shot run agree on EVERY column, including canon
+(tested in test_pipeline_resume) — entity components spanning buckets
+processed in different runs are merged correctly by construction.
 """
 
 from __future__ import annotations
@@ -69,13 +80,9 @@ def build_graph(
     # per task; chaining separate mapInPandas stages triples worker count
     # and scaled negatively — see BENCH/BASELINE.md)
     triples = A.fused_triples(pages_b)
-    # cut lineage before the iterative cc loop: linking output is consumed
-    # many times (edge build + per-iteration joins); without this the whole
-    # annotate chain would recompute once per iteration
-    linked = LK.link_triples(triples, aliases).localCheckpoint()
-    canon = C.canonicalize_triples(linked)
+    linked = LK.link_triples(triples, aliases)
 
-    out = with_bucket(canon, n_buckets).withColumn(
+    out = with_bucket(linked, n_buckets).withColumn(
         "conf", F.when(F.col("subj_id").isNotNull() & F.col("obj_id").isNotNull(), F.lit(1.0)).otherwise(F.lit(0.8))
     )
     obs_triples = Observation("triples")
@@ -85,6 +92,14 @@ def build_graph(
     # (tasks x buckets small files — measured 8x slowdown locally, and the
     # classic small-file problem on object storage at cluster scale)
     out.repartition("bucket").write.partitionBy("bucket").mode("overwrite").parquet(f"{out_dir}/triples")
+
+    # GLOBAL canonicalization dimension from the full stored table (old +
+    # new buckets): a narrow 5-column scan feeding a vocab-sized cc loop.
+    # localCheckpoint cuts lineage before the iterative loop re-reads it.
+    full = spark.read.parquet(f"{out_dir}/triples").select(
+        "subj", "obj", "pattern", "subj_id", "obj_id"
+    ).localCheckpoint()
+    C.canonical_entities(full).write.mode("overwrite").parquet(f"{out_dir}/entities")
 
     if write_words:
         # full CoNLL-U-equivalent annotation table (lemma via dedup-join)
@@ -100,11 +115,11 @@ def build_graph(
         f"{out_dir}/_metrics_buckets"
     )
 
-    # nodes table: canonical entities with degree
+    # nodes table: canonical entities with degree (via the read-time view)
+    canon_triples = read_canonical_triples(spark, out_dir)
     nodes = (
-        spark.read.parquet(f"{out_dir}/triples")
-        .select(F.col("subj_canon").alias("node"))
-        .unionByName(spark.read.parquet(f"{out_dir}/triples").select(F.col("obj_canon").alias("node")))
+        canon_triples.select(F.col("subj_canon").alias("node"))
+        .unionByName(canon_triples.select(F.col("obj_canon").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
@@ -141,6 +156,24 @@ def build_graph(
         "run_id int, stage string, rows_in long, rows_out long, elapsed_sec double",
     ).write.mode("append").parquet(f"{out_dir}/_metrics")
     return metrics
+
+
+def read_canonical_triples(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The authoritative canonical view: stored triples + the GLOBAL
+    entities dimension joined at read time (two broadcast joins — the
+    dimension is vocab-sized). Canon columns from this view are identical
+    for a one-shot run and any resumed-run sequence over the same input."""
+    triples = spark.read.parquet(f"{out_dir}/triples")
+    ents = spark.read.parquet(f"{out_dir}/entities")
+    csub = F.broadcast(ents.select(F.col("mention").alias("_cs"), F.col("canonical").alias("subj_canon")))
+    cobj = F.broadcast(ents.select(F.col("mention").alias("_co"), F.col("canonical").alias("obj_canon")))
+    return (
+        triples.join(csub, F.lower(triples["subj"]) == F.col("_cs"), "left")
+        .join(cobj, F.lower(triples["obj"]) == F.col("_co"), "left")
+        .withColumn("subj_canon", F.coalesce("subj_canon", F.lower("subj")))
+        .withColumn("obj_canon", F.coalesce("obj_canon", F.lower("obj")))
+        .drop("_cs", "_co")
+    )
 
 
 def annotate_and_triples(pages: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -12,8 +12,12 @@ incremental extension a crawl pipeline needs:
                                           table partitioned by url bucket
 
 foreachBatch is the right sink here because the per-batch work is the same
-deterministic batch pipeline (exactly-once via checkpoint + idempotent
-append of (url, sent_id)-keyed rows); a custom stateful operator
+deterministic batch pipeline. Exactly-once is checkpoint + IDEMPOTENT
+REPLAY: output is partitioned by (batch_id, bucket) and each batch writes
+with dynamic-partition OVERWRITE of its own batch_id partitions — if the
+job dies between the write and the checkpoint commit, the replayed batch
+overwrites its partial output instead of duplicating it (plain
+mode('append') would double the batch). A custom stateful operator
 (applyInPandasWithState) is not needed — no cross-batch NLP state exists.
 """
 
@@ -49,9 +53,14 @@ def start_triples_stream(
     stream = read_pages_stream(spark, src_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         triples = A.fused_triples(batch_df)
         out = with_bucket(triples, n_buckets).withColumn("batch_id", F.lit(batch_id))
-        out.write.partitionBy("bucket").mode("append").parquet(f"{out_dir}/triples")
+        # dynamic overwrite touches ONLY this batch_id's partitions ->
+        # micro-batch replay after a crash is idempotent, not duplicating
+        out.repartition("bucket").write.partitionBy("batch_id", "bucket").mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/triples")
 
     writer = (
         stream.writeStream.outputMode("update")

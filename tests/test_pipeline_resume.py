@@ -34,9 +34,13 @@ def test_build_graph_and_resume(spark, pages, aliases):
         m3 = P.build_graph(spark, pages, aliases, out2, n_buckets=4, run_id=2, resume=True)
         assert 0 < m3["n_pages"] < 24  # only the remainder was processed
 
-        key = ["url", "sent_id", "subj", "pred", "obj"]
-        a = {tuple(r) for r in spark.read.parquet(f"{out1}/triples").select(*key).collect()}
-        b = {tuple(r) for r in spark.read.parquet(f"{out2}/triples").select(*key).collect()}
+        # full-column equality INCLUDING canon: the entities dimension is
+        # recomputed globally each run, so components spanning buckets
+        # processed in different runs still canonicalize identically
+        key = ["url", "sent_id", "subj", "pred", "obj", "subj_id", "obj_id",
+               "subj_canon", "obj_canon"]
+        a = {tuple(r) for r in P.read_canonical_triples(spark, out1).select(*key).collect()}
+        b = {tuple(r) for r in P.read_canonical_triples(spark, out2).select(*key).collect()}
         assert a == b
 
         # second resume over a complete output is a no-op

@@ -88,3 +88,28 @@ def test_multimodal_features(spark):
     assert {(f.asset_id, f.content_hash) for f in feats} == {(f.asset_id, f.content_hash) for f in feats2}
     with pytest.raises(NotImplementedError):
         MM.decode_media(b"abc", "image", strict=True)
+
+
+def test_external_mwt_spaceafter_roundtrip(spark):
+    """External CoNLL-U with SpaceAfter=No on the MWT HEAD row: parse must
+    propagate the token flag to covered words, both serializers must emit
+    it on the head row (from the group's last word) with '_' on covered
+    rows — byte-faithful round trip."""
+    src = (
+        "1\tEmma\tEmma\tPROPN\tNNP\t_\t2\tnsubj\t_\t_\n"
+        "2\tviaja\tviajar\tVERB\tVBZ\t_\t0\troot\t_\t_\n"
+        "3-4\tal\t_\t_\t_\t_\t_\t_\t_\tSpaceAfter=No\n"
+        "3\ta\ta\tADP\tIN\t_\t5\tcase\t_\t_\n"
+        "4\tel\tel\tDET\tDT\t_\t5\tdet\t_\t_\n"
+        "5\tlibro\tlibro\tNOUN\tNN\t_\t2\tobl\t_\t_\n"
+    )
+    rows = CU.parse_conllu_text(src, url="u", lang="es")
+    assert [r["space_after"] for r in rows if r["mwt_id"] > 0] == [False, False]
+    from nlp_cube_spark.io.conllu import WORDS_SCHEMA
+
+    df = spark.createDataFrame(rows, WORDS_SCHEMA)
+    out_cat = CU.serialize_words(df).collect()[0].conllu
+    out_grp = CU.serialize_words_grouped(df).collect()[0].conllu
+    assert out_cat == src + "\n" or out_cat == src  # trailing newline policy
+    assert out_cat.rstrip("\n") == src.rstrip("\n")
+    assert out_grp.rstrip("\n") == src.rstrip("\n")
