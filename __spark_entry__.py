@@ -237,6 +237,21 @@ def q_events_tumbling_window(spark, sf_dir):
     )
 
 
+def q_user_sessions(spark, sf_dir):
+    """Gap-based session windows (F.session_window; same operator runs
+    streaming with a watermark). Oracle = gaps-and-islands replay."""
+    from nlp_cube_spark.operators.sessions import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    s = sessionize(e, key="user_id", ts_col="ts", gap="30 minutes", agg_col="value")
+    return s.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("s_start"),
+        "n_events",
+        "sum_value",
+    )
+
+
 def q_salted_join_parts(spark, sf_dir):
     """Hot-key fan-out join == plain join (skew handling demo)."""
     from nlp_cube_spark.operators.salting import salted_join
@@ -493,6 +508,7 @@ _QUERIES = {
         "map_extract": q_map_extract,
         "salted_supplier_counts": q_salted_supplier_counts,
         "salted_join_parts": q_salted_join_parts,
+        "user_sessions": q_user_sessions,
         "cube_order_counts": q_cube_order_counts,
         "events_tumbling_window": q_events_tumbling_window,
         "hot_parts": q_hot_parts,
@@ -769,6 +785,24 @@ def oracle_sql() -> dict[str, str]:
           SELECT p_brand, round(sum(l_quantity), 2) AS qty
           FROM lineitem JOIN part ON l_partkey = p_partkey
           GROUP BY p_brand
+        """,
+        "user_sessions": """
+          WITH marked AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             < INTERVAL 30 MINUTE
+                        THEN 0 ELSE 1 END AS new_sess
+            FROM events
+          ),
+          sess AS (
+            SELECT user_id, ts, value,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked
+          )
+          SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+                 count(*) AS n_events, round(sum(value), 2) AS sum_value
+          FROM sess GROUP BY user_id, sid
         """,
         "cube_order_counts": """
           SELECT o_orderstatus, o_orderpriority, count(*) AS n,

@@ -59,3 +59,46 @@ def test_first_seen_across_batches(spark):
     finally:
         for d in (src, out, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_sessionize_streaming_matches_batch(spark):
+    """session_window is the SAME operator batch and streaming: the
+    streamed (watermarked, append-mode) result is a subset of the batch
+    result (windows still open at end-of-stream are withheld by the
+    watermark), and every emitted session matches the batch one exactly."""
+    from pyspark.sql import functions as F
+
+    from nlp_cube_spark.operators.sessions import sessionize
+
+    src = tempfile.mkdtemp(prefix="sess_src_")
+    ckpt = tempfile.mkdtemp(prefix="sess_ck_")
+    try:
+        # sf parquet carries TIMESTAMP_NTZ; event-time watermarks need
+        # TIMESTAMP (session tz is pinned UTC, so the cast is value-stable)
+        events = (
+            spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        events.write.mode("append").parquet(src)
+        batch = {
+            tuple(r)
+            for r in sessionize(events, gap="30 minutes").collect()
+        }
+
+        stream = spark.readStream.schema(events.schema).parquet(src).withWatermark("ts", "1 hour")
+        q = (
+            sessionize(stream, gap="30 minutes")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("sess_mem")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        emitted = {tuple(r) for r in spark.sql("SELECT * FROM sess_mem").collect()}
+        assert emitted  # watermark passed most of the 2024 event range
+        assert emitted <= batch
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
