@@ -1,0 +1,126 @@
+"""Model/kernel-artifact store: catalog -> verified local path -> executors.
+
+Plays the role of the reference's ModelStore (cube/io_utils/modelstore.py:
+9-132 — catalog.json lookup, latest-version resolution, download/unpack,
+local cache), re-expressed for a Spark deployment:
+
+- the catalog maps (name, version) to an artifact path/URI + sha256; the
+  'latest' resolution rule matches the reference (highest numeric version,
+  modelstore.py:54-66);
+- `resolve` verifies integrity (sha256 — the reference trusts transport;
+  at cluster scale silent object-store corruption is a real failure) and
+  returns a local path, fetching into a cache dir when the source is
+  remote. Remote fetch goes through fsspec/urllib ONLY if available and is
+  stubbed out in this container (the seam raises with instructions, like
+  the multimodal codec seam);
+- `ship` registers the artifact with SparkContext.addFile so every
+  executor's python worker resolves it via SparkFiles.get — the
+  distributed analog of the reference unpacking into ~/.nlpcube (driver
+  downloads once; the cluster manager fans the file out, instead of every
+  node hitting the model host).
+
+The packaged micro-parser weights are the first catalog entry; kernels
+load through `resolve`, so swapping pinned weights = one catalog edit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+_PKG_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# name -> version -> {"path": local-or-remote, "sha256": hex}
+# Local catalog (packaged artifacts). A deployment overrides/extends via
+# register() or a catalog.json next to the cache dir.
+_CATALOG: dict[str, dict[str, dict]] = {
+    "micro_parser": {
+        "1.0": {
+            "path": os.path.join(_PKG_DIR, "kernels", "micro_parser_weights.json"),
+            # sha256 pinned at training time (scripts/train_micro_parser.py)
+            "sha256": None,  # filled lazily for packaged files on first use
+        }
+    }
+}
+
+
+def register(name: str, version: str, path: str, sha256: str | None = None) -> None:
+    _CATALOG.setdefault(name, {})[version] = {"path": path, "sha256": sha256}
+
+
+def _sha256(path: str) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def latest_version(name: str) -> str:
+    """Highest numeric version (reference modelstore.py:54-66)."""
+    entries = _CATALOG.get(name)
+    if not entries:
+        raise KeyError(f"model '{name}' not in catalog")
+    return max(entries, key=lambda v: float(v))
+
+
+def resolve(name: str, version: str = "latest", cache_dir: str | None = None) -> str:
+    """Catalog entry -> verified LOCAL path (reference ModelStore.solve).
+
+    Local artifacts are verified in place; remote URIs are fetched into
+    cache_dir once and verified (the fetch seam raises in this container —
+    no network — exactly like the multimodal codec seam)."""
+    version = latest_version(name) if version == "latest" else version
+    try:
+        entry = _CATALOG[name][version]
+    except KeyError:
+        raise KeyError(f"model '{name}' version '{version}' not in catalog") from None
+    path = entry["path"]
+    if "://" in path:
+        cache_dir = cache_dir or os.path.join(os.path.expanduser("~"), ".nlp_cube_spark")
+        local = os.path.join(cache_dir, f"{name}.{version}", os.path.basename(path))
+        if not os.path.exists(local):
+            raise NotImplementedError(
+                f"no network in this environment; fetch {path} to {local} "
+                "(plug fsspec/urllib here) — local catalog entries work as-is"
+            )
+        path = local
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"artifact missing: {path}")
+    digest = _sha256(path)
+    if entry.get("sha256") is None:
+        entry["sha256"] = digest  # pin packaged files on first resolve
+    elif digest != entry["sha256"]:
+        raise ValueError(
+            f"sha256 mismatch for {name} {version}: got {digest}, want {entry['sha256']}"
+        )
+    return path
+
+
+def ship(spark, name: str, version: str = "latest") -> str:
+    """Register the artifact with the cluster: driver resolves + verifies,
+    SparkContext.addFile fans it out, executors read it back with
+    SparkFiles.get(basename). Returns the basename executors should use."""
+    path = resolve(name, version)
+    spark.sparkContext.addFile(path)
+    return os.path.basename(path)
+
+
+def executor_path(basename: str) -> str:
+    """Inside a task/python worker: local path of a shipped artifact."""
+    from pyspark import SparkFiles
+
+    p = SparkFiles.get(basename)
+    if os.path.exists(p):
+        return p
+    # driver-local mode, or artifact packaged with the code
+    fallback = os.path.join(_PKG_DIR, "kernels", basename)
+    if os.path.exists(fallback):
+        return fallback
+    raise FileNotFoundError(f"shipped artifact not found: {basename}")
+
+
+def load_json(name: str, version: str = "latest") -> dict:
+    with open(resolve(name, version)) as f:
+        return json.load(f)

@@ -100,8 +100,26 @@ def raw_scores(upos: list[str], weights: dict[str, float]) -> np.ndarray:
 
 @lru_cache(maxsize=1)
 def load_weights() -> dict:
-    with open(WEIGHTS_FILE) as f:
-        return json.load(f)
+    """Load the pinned weights, worker-safe in every deploy mode:
+    1. on a driver/checkout with a real file: through the artifact store
+       (catalog + sha256 verify, io/modelstore.py);
+    2. inside an executor importing the package from an addPyFile ZIP
+       (session._ship_package): importlib.resources, which reads through
+       zipimport — a bare open(path-into-zip) raises NotADirectoryError."""
+    if os.path.isfile(WEIGHTS_FILE):
+        try:
+            from ..io.modelstore import load_json
+
+            return load_json("micro_parser")
+        except Exception:
+            with open(WEIGHTS_FILE) as f:
+                return json.load(f)
+    from importlib import resources
+
+    txt = resources.files("nlp_cube_spark.kernels").joinpath(
+        os.path.basename(WEIGHTS_FILE)
+    ).read_text()
+    return json.loads(txt)
 
 
 def score_matrix(forms: list[str], upos: list[str]) -> np.ndarray:
