@@ -35,13 +35,25 @@ _PKG_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Local catalog (packaged artifacts). A deployment overrides/extends via
 # register() or a catalog.json next to the cache dir.
 _CATALOG: dict[str, dict[str, dict]] = {
+    # sha256 None = pinned lazily on first resolve for packaged files
     "micro_parser": {
         "1.0": {
             "path": os.path.join(_PKG_DIR, "kernels", "micro_parser_weights.json"),
-            # sha256 pinned at training time (scripts/train_micro_parser.py)
-            "sha256": None,  # filled lazily for packaged files on first use
+            "sha256": None,
         }
-    }
+    },
+    "micro_tagger": {
+        "1.0": {
+            "path": os.path.join(_PKG_DIR, "kernels", "micro_tagger_weights.json"),
+            "sha256": None,
+        }
+    },
+    "micro_boundary": {
+        "1.0": {
+            "path": os.path.join(_PKG_DIR, "kernels", "micro_boundary_weights.json"),
+            "sha256": None,
+        }
+    },
 }
 
 

@@ -100,26 +100,13 @@ def raw_scores(upos: list[str], weights: dict[str, float]) -> np.ndarray:
 
 @lru_cache(maxsize=1)
 def load_weights() -> dict:
-    """Load the pinned weights, worker-safe in every deploy mode:
+    """Pinned parser weights, worker-safe in every deploy mode:
     1. on a driver/checkout with a real file: through the artifact store
        (catalog + sha256 verify, io/modelstore.py);
     2. inside an executor importing the package from an addPyFile ZIP
        (session._ship_package): importlib.resources, which reads through
        zipimport — a bare open(path-into-zip) raises NotADirectoryError."""
-    if os.path.isfile(WEIGHTS_FILE):
-        try:
-            from ..io.modelstore import load_json
-
-            return load_json("micro_parser")
-        except Exception:
-            with open(WEIGHTS_FILE) as f:
-                return json.load(f)
-    from importlib import resources
-
-    txt = resources.files("nlp_cube_spark.kernels").joinpath(
-        os.path.basename(WEIGHTS_FILE)
-    ).read_text()
-    return json.loads(txt)
+    return _load_artifact("micro_parser", os.path.basename(WEIGHTS_FILE))
 
 
 def score_matrix(forms: list[str], upos: list[str]) -> np.ndarray:
@@ -145,3 +132,149 @@ def get_scorer(name: str):
     if name == "learned":
         return score_matrix
     raise ValueError(f"unknown arc scorer: {name!r}")
+
+
+# ---------------------------------------------------------------------------
+# Generic sparse multiclass perceptron (shared by the tagger and boundary
+# micro-models; weights layout: {"classes": [...], "w": {feat: {cls: w}}})
+# ---------------------------------------------------------------------------
+
+def perceptron_predict(weights: dict, feats: list[str]) -> str:
+    """argmax class; ties break to the earlier class in weights['classes']
+    (a fixed, committed order) — deterministic under any parallelism."""
+    w = weights["w"]
+    scores: dict[str, float] = {}
+    for f in feats:
+        for cls, v in w.get(f, {}).items():
+            scores[cls] = scores.get(cls, 0.0) + v
+    best, best_s = None, None
+    for cls in weights["classes"]:
+        s = scores.get(cls, 0.0)
+        if best_s is None or s > best_s:
+            best, best_s = cls, s
+    return best
+
+
+# ----------------------------------------------------------------- tagger
+
+_NUM_RE_STR = r"^\d[\d.,]*$"
+
+
+def tag_features(forms: list[str], lang: str, i: int) -> list[str]:
+    """Joint-tagger features: word identity/shape/suffix + one word of
+    context each side + language — the standard linear-tagger shapes."""
+    import re
+
+    f = forms[i]
+    low = f.lower()
+    prev = forms[i - 1].lower() if i > 0 else "<s>"
+    nxt = forms[i + 1].lower() if i + 1 < len(forms) else "</s>"
+    return [
+        f"w:{low}",
+        f"wl:{low}:{lang}",
+        f"suf1:{low[-1:]}",
+        f"suf2:{low[-2:]}",
+        f"suf3:{low[-3:]}",
+        f"shape:U{f[:1].isupper()}:F{i == 0}",
+        f"num:{bool(re.match(_NUM_RE_STR, f))}",
+        f"prev:{prev}",
+        f"next:{nxt}",
+        f"lang:{lang}",
+        "bias",
+    ]
+
+
+@lru_cache(maxsize=1)
+def _tagger_weights() -> dict:
+    return _load_artifact("micro_tagger", "micro_tagger_weights.json")
+
+
+def tag_sentence(forms: list[str], lang: str) -> list[tuple[str, str, str]]:
+    """Learned drop-in for tagger_rules.tag_sentence: same (upos, xpos,
+    feats) triple contract; the joint class is the full triple (the
+    reference's tagger predicts upos/xpos/attrs off one shared encoder)."""
+    w = _tagger_weights()
+    out = []
+    for i in range(len(forms)):
+        cls = perceptron_predict(w, tag_features(forms, lang, i))
+        upos, xpos, feats = cls.split("\t")
+        out.append((upos, xpos, feats))
+    return out
+
+
+def get_tagger(name: str):
+    if name == "rules":
+        from . import tagger_rules
+
+        return tagger_rules.tag_sentence
+    if name == "learned":
+        return tag_sentence
+    raise ValueError(f"unknown tagger: {name!r}")
+
+
+# --------------------------------------------------------------- boundary
+
+def boundary_features(toks: list[str], spa: list[int], lang: str, i: int) -> list[str]:
+    """Boundary-classifier features: token identity + spacing + one token
+    of context each side + digit-context conjunctions (the signals a CNN
+    over a char window learns; reference tokenizer.py:70-127)."""
+    n = len(toks)
+    t = toks[i]
+    low = t.lower()
+    prev_dig = toks[i - 1].isdigit() if i > 0 else False
+    nxt = toks[i + 1].lower() if i + 1 < n else "</s>"
+    nxt_dig = toks[i + 1].isdigit() if i + 1 < n else False
+    nxt_spa = spa[i + 1] if i + 1 < n else 0
+    nxt2_dig = toks[i + 2].isdigit() if i + 2 < n else False
+    return [
+        f"t:{low}",
+        f"tl:{low}:{lang}",
+        f"tls:{low}:{lang}:{spa[i]}",
+        f"sp:{spa[i]}",
+        f"dig:{t.isdigit()}",
+        f"next:{nxt}",
+        f"numsep:{low}:{prev_dig}:{nxt_dig}:{spa[i]}",
+        f"digrun:{t.isdigit()}:{spa[i]}:{nxt}:{nxt_spa}:{nxt2_dig}",
+        f"lang:{lang}",
+        "bias",
+    ]
+
+
+@lru_cache(maxsize=1)
+def _boundary_weights() -> dict:
+    return _load_artifact("micro_boundary", "micro_boundary_weights.json")
+
+
+def classify(toks: list[str], spa: list[int], lang: str) -> list[int]:
+    """Learned drop-in for segment_rules.classify: same 5-label alphabet,
+    same window/concat bookkeeping (labels are position-local here too)."""
+    w = _boundary_weights()
+    return [int(perceptron_predict(w, boundary_features(toks, spa, lang, i))) for i in range(len(toks))]
+
+
+def get_boundary(name: str):
+    if name == "rules":
+        from . import segment_rules
+
+        return segment_rules.classify
+    if name == "learned":
+        return classify
+    raise ValueError(f"unknown boundary classifier: {name!r}")
+
+
+# ---------------------------------------------------------------- loading
+
+def _load_artifact(store_name: str, basename: str) -> dict:
+    """Same zip-safe loading ladder as load_weights."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), basename)
+    if os.path.isfile(path):
+        try:
+            from ..io.modelstore import load_json
+
+            return load_json(store_name)
+        except Exception:
+            with open(path) as f:
+                return json.load(f)
+    from importlib import resources
+
+    return json.loads(resources.files("nlp_cube_spark.kernels").joinpath(basename).read_text())

@@ -132,18 +132,25 @@ def is_no_space_lang(lang: str) -> bool:
     return (lang or "").split("_")[0] in NO_SPACE_LANGS
 
 
-def segment(text: str, lang: str, no_space_lang: bool | None = None):
+def segment(text: str, lang: str, no_space_lang: bool | None = None, boundary: str = "rules"):
     """normalize -> pretokenize -> classify -> decode, one document.
 
     no_space_lang=None derives the mode from `lang` (zh/ja-style
-    char-per-token pre-tokenization, reference utils_tokenizer.py:37-38)."""
+    char-per-token pre-tokenization, reference utils_tokenizer.py:37-38).
+    `boundary` picks the label classifier behind the seam ('rules' default,
+    'learned' = pinned-weight micro-model in kernels/learned.py)."""
     from .pretokenizer import normalize_ws, pretokenize
 
     if no_space_lang is None:
         no_space_lang = is_no_space_lang(lang)
     norm = normalize_ws(text)
     toks, spa = pretokenize(norm, no_space_lang=no_space_lang)
-    labels = classify(toks, spa, lang)
+    if boundary == "rules":
+        labels = classify(toks, spa, lang)
+    else:
+        from .learned import get_boundary
+
+        labels = get_boundary(boundary)(toks, spa, lang)
     return norm, decode(toks, spa, labels)
 
 

@@ -260,7 +260,10 @@ FLAT_WORDS_SCHEMA = T.StructType(
 )
 
 
-def fused_words(pages: DataFrame, text_col: str = "text", scorer: str = "rules") -> DataFrame:
+def fused_words(
+    pages: DataFrame, text_col: str = "text", scorer: str = "rules",
+    tagger: str = "rules", boundary: str = "rules",
+) -> DataFrame:
     """pages -> flat words (no lemma) in ONE Arrow stage (cf. fused_triples)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -270,7 +273,7 @@ def fused_words(pages: DataFrame, text_col: str = "text", scorer: str = "rules")
             rows = {f.name: [] for f in FLAT_WORDS_SCHEMA.fields}
             for url, lang, text in zip(pdf["url"], pdf["lang"], pdf[text_col]):
                 for sid, (forms, space, mwt_ids, tok_forms, tags, heads, labels) in enumerate(
-                    _annotate_doc(text, lang, scorer)
+                    _annotate_doc(text, lang, scorer, tagger, boundary)
                 ):
                     for i in range(len(forms)):
                         rows["url"].append(url)
@@ -293,11 +296,14 @@ def fused_words(pages: DataFrame, text_col: str = "text", scorer: str = "rules")
     return pages.select(*cols).mapInPandas(run, schema=FLAT_WORDS_SCHEMA)
 
 
-def annotate(pages: DataFrame, text_col: str = "text", scorer: str = "rules") -> DataFrame:
+def annotate(
+    pages: DataFrame, text_col: str = "text", scorer: str = "rules",
+    tagger: str = "rules", boundary: str = "rules",
+) -> DataFrame:
     """pages -> flat annotated words DF (the engine's `words` table).
 
     One fused Arrow stage + the lemma dedup-broadcast-join."""
-    return attach_lemmas(fused_words(pages, text_col=text_col, scorer=scorer))
+    return attach_lemmas(fused_words(pages, text_col=text_col, scorer=scorer, tagger=tagger, boundary=boundary))
 
 
 def annotate_modular(pages: DataFrame, text_col: str = "text") -> DataFrame:
@@ -307,13 +313,18 @@ def annotate_modular(pages: DataFrame, text_col: str = "text") -> DataFrame:
 
 # ---------------------------------------------------------------- fusion
 
-def _annotate_doc(text: str, lang: str, scorer: str = "rules"):
+def _annotate_doc(
+    text: str, lang: str, scorer: str = "rules",
+    tagger: str = "rules", boundary: str = "rules",
+):
     """One document through segment -> mwt -> tag -> parse. Returns
-    (forms, space, mwt_ids, tok_forms, tags, heads, labels) per sentence."""
-    from ..kernels.learned import get_scorer
+    (forms, space, mwt_ids, tok_forms, tags, heads, labels) per sentence.
+    scorer/tagger/boundary pick the kernel behind each model seam."""
+    from ..kernels.learned import get_scorer, get_tagger
 
     score_fn = get_scorer(scorer)
-    _, sents = segment_rules.segment(text or "", lang)
+    tag_fn = get_tagger(tagger)
+    _, sents = segment_rules.segment(text or "", lang, boundary=boundary)
     out = []
     for sent in sents:
         forms, space, mwt_ids, tok_forms = [], [], [], []
@@ -324,7 +335,7 @@ def _annotate_doc(text: str, lang: str, scorer: str = "rules"):
                 space.append(spa)
                 mwt_ids.append(tok_idx if is_mwt and len(words) > 1 else 0)
                 tok_forms.append(form)
-        tags = tagger_rules.tag_sentence(forms, lang)
+        tags = tag_fn(forms, lang)
         upos = [t[0] for t in tags]
         heads = mst.decode_tree(score_fn(forms, upos)).tolist()
         labels = arc_scores.label_arcs(forms, upos, heads)
@@ -345,7 +356,10 @@ TRIPLES_FUSED_SCHEMA = T.StructType(
 )
 
 
-def fused_triples(pages: DataFrame, text_col: str = "text", scorer: str = "rules") -> DataFrame:
+def fused_triples(
+    pages: DataFrame, text_col: str = "text", scorer: str = "rules",
+    tagger: str = "rules", boundary: str = "rules",
+) -> DataFrame:
     """pages -> triples in ONE Arrow stage (the production scale path).
 
     Chaining separate mapInPandas stages costs one python worker per stage
@@ -372,7 +386,7 @@ def fused_triples(pages: DataFrame, text_col: str = "text", scorer: str = "rules
 
             for url, lang, text in zip(pdf["url"], pdf["lang"], pdf[text_col]):
                 for sid, (forms, _sp, _mw, _tf, tags, heads, labels) in enumerate(
-                    _annotate_doc(text, lang, scorer)
+                    _annotate_doc(text, lang, scorer, tagger, boundary)
                 ):
                     kids: dict[int, list[int]] = {}
                     for i, h in enumerate(heads):

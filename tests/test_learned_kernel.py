@@ -59,3 +59,35 @@ def test_score_matrix_contract():
     assert m.shape == (4, 4)
     assert np.allclose(m[1:].sum(axis=1), 1.0)
     assert m[0, 0] == 1.0
+
+
+def test_learned_tagger_and_boundary_match_rules_on_heldout():
+    from nlp_cube_spark.kernels import segment_rules, tagger_rules
+    from nlp_cube_spark.kernels.pretokenizer import normalize_ws, pretokenize
+
+    n_words = n_toks = 0
+    for page in gen_pages(80, seed=HELDOUT_SEED):
+        lang = page["lang"]
+        norm = normalize_ws(page["text"])
+        toks, spa = pretokenize(norm, no_space_lang=segment_rules.is_no_space_lang(lang))
+        assert learned.classify(toks, spa, lang) == segment_rules.classify(toks, spa, lang)
+        n_toks += len(toks)
+        for forms, *_ in _annotate_doc(page["text"], lang):
+            assert learned.tag_sentence(forms, lang) == tagger_rules.tag_sentence(forms, lang)
+            n_words += len(forms)
+    assert n_words > 1000 and n_toks > 1000
+
+
+def test_all_three_learned_kernels_same_engine_output(spark):
+    """Full model-shaped pipeline: boundary + tagger + parser all swapped
+    to pinned-weight micro-models at once — identical engine output and
+    identical plan to the rule pipeline."""
+    pages = pages_df(spark, 30, seed=HELDOUT_SEED).localCheckpoint()
+    rules = A.fused_triples(pages)
+    learned_df = A.fused_triples(pages, scorer="learned", tagger="learned", boundary="learned")
+    assert rules.exceptAll(learned_df).count() == 0
+    assert learned_df.exceptAll(rules).count() == 0
+    p_r = rules._jdf.queryExecution().executedPlan().toString()
+    p_l = learned_df._jdf.queryExecution().executedPlan().toString()
+    assert p_r.count("MapInPandas") == p_l.count("MapInPandas") == 1
+    assert p_r.count("Exchange") == p_l.count("Exchange")
