@@ -54,6 +54,12 @@ _CATALOG: dict[str, dict[str, dict]] = {
             "sha256": None,
         }
     },
+    "micro_embeddings": {
+        "1.0": {
+            "path": os.path.join(_PKG_DIR, "kernels", "micro_embeddings.json"),
+            "sha256": None,
+        }
+    },
 }
 
 

@@ -7,12 +7,18 @@ contract is the same: `emb ARRAY<FLOAT>` is a TRANSIENT column produced by
 one Arrow stage and consumed by the next fused kernel; this module is the
 seam where a real encoder plugs in.
 
-v0 encoder: deterministic feature-hash embedding — dim buckets filled from
-md5 of (lower(form), slot). Engine-portable (DuckDB reproduces values
-exactly), deterministic at any parallelism, and exercises the full
-plumbing: Arrow batch shape, per-word array column, sentence-mean pooling,
-and the reference's long-input chunking analog (inputs are processed in
-CHUNK-word slices, cf. the 512-wordpiece slicing at lm.py:172-181).
+Two encoders behind the seam:
+- `source="hash"` (v0 default): deterministic feature-hash embedding — dim
+  buckets from md5 of (lower(form), slot). Engine-portable (DuckDB
+  reproduces values exactly), deterministic at any parallelism.
+- `source="pinned"`: LEARNED static vectors (PPMI+SVD over the seeded
+  corpus, scripts/train_micro_embeddings.py) served via the modelstore —
+  the fasttext-style pretrained-artifact path; OOV forms fall back to the
+  hash encoder, mirroring fasttext's subword fallback role.
+Both run in the same one-Arrow-stage shape and exercise the full plumbing:
+Arrow batch shape, per-word array column, sentence-mean pooling, and the
+reference's long-input chunking analog (inputs are processed in CHUNK-word
+slices, cf. the 512-wordpiece slicing at lm.py:172-181).
 """
 
 from __future__ import annotations
@@ -39,19 +45,49 @@ def hash_embed_np(forms: list[str], dim: int) -> np.ndarray:
     return out
 
 
-def attach_embeddings(words: DataFrame, dim: int = 16, form_col: str = "form") -> DataFrame:
-    """flat words -> words + emb ARRAY<FLOAT> (one Arrow stage)."""
+def pinned_embed_np(forms: list[str], dim: int) -> np.ndarray:
+    """Learned static vectors (modelstore artifact) with hash-embed OOV
+    fallback; vectors are truncated/zero-padded to `dim`."""
+    from ..kernels.learned import _load_artifact
+
+    art = _load_artifact("micro_embeddings", "micro_embeddings.json")
+    vecs = art["vectors"]
+    out = np.zeros((len(forms), dim), dtype=np.float64)
+    oov: list[int] = []
+    for i, f in enumerate(forms):
+        v = vecs.get((f or "").lower())
+        if v is None:
+            oov.append(i)
+        else:
+            k = min(dim, len(v))
+            out[i, :k] = v[:k]
+    if oov:
+        out[oov] = hash_embed_np([forms[i] for i in oov], dim)
+    return out
+
+
+_ENCODERS = {"hash": hash_embed_np, "pinned": pinned_embed_np}
+
+
+def attach_embeddings(
+    words: DataFrame, dim: int = 16, form_col: str = "form", source: str = "hash"
+) -> DataFrame:
+    """flat words -> words + emb ARRAY<FLOAT> (one Arrow stage). `source`
+    picks the encoder behind the seam; only the name crosses the closure."""
     out_schema = T.StructType(words.schema.fields + [T.StructField("emb", T.ArrayType(T.DoubleType()))])
     cols = [f.name for f in words.schema.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from nlp_cube_spark.operators.embed import _ENCODERS as enc
+
+        embed_fn = enc[source]
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             forms = list(pdf[form_col])
             embs = []
             for lo in range(0, len(forms), CHUNK):  # chunked like the reference
-                embs.append(hash_embed_np(forms[lo : lo + CHUNK], dim))
+                embs.append(embed_fn(forms[lo : lo + CHUNK], dim))
             mat = np.concatenate(embs) if embs else np.zeros((0, dim), dtype=np.float64)
             pdf = pdf.copy()
             pdf["emb"] = [row.tolist() for row in mat]

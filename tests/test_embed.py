@@ -35,3 +35,42 @@ def test_attach_embeddings_spark(spark):
     # pooled value spot-check for a single-word check: mean == word emb
     one = emb.where((F.col("sent_id") == 0)).limit(0)  # structural only
     assert sent.count() == words.select("url", "sent_id").dropDuplicates().count()
+
+
+def test_pinned_embeddings_seam(spark):
+    """Learned PPMI-SVD vectors behind the same one-Arrow-stage seam:
+    in-vocab forms get the committed unit vectors, OOV falls back to the
+    hash encoder, and the plan shape is identical to the hash source."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from nlp_cube_spark.operators import embed as E
+
+    toks = spark.createDataFrame(
+        [("u", "joins"), ("u", "merges"), ("u", "ZZZ-oov-ZZZ")], "url string, form string"
+    )
+    pinned = E.attach_embeddings(toks, dim=16, source="pinned")
+    rows = {r.form: np.array(r.emb) for r in pinned.collect()}
+    assert abs(np.linalg.norm(rows["joins"]) - 1.0) < 1e-5  # committed unit vector
+    oov_hash = E.hash_embed_np(["ZZZ-oov-ZZZ"], 16)[0]
+    assert np.allclose(rows["ZZZ-oov-ZZZ"], oov_hash)  # OOV fallback
+    p_h = E.attach_embeddings(toks, dim=16)._jdf.queryExecution().executedPlan().toString()
+    p_p = pinned._jdf.queryExecution().executedPlan().toString()
+    assert p_h.count("MapInPandas") == p_p.count("MapInPandas") == 1
+    assert p_h.count("Exchange") == p_p.count("Exchange")
+
+
+def test_pinned_embeddings_have_distributional_structure():
+    """The committed vectors are genuinely learned: verbs are closer to
+    verbs than to sentence punctuation (PPMI+SVD structure)."""
+    import numpy as np
+
+    from nlp_cube_spark.kernels import lexicon as L
+    from nlp_cube_spark.kernels.learned import _load_artifact
+
+    art = _load_artifact("micro_embeddings", "micro_embeddings.json")
+    vecs = {w: np.array(v) for w, v in art["vectors"].items()}
+    verbs = [v.lower() for v in L.VERBS_3SG if v.lower() in vecs]
+    intra = np.mean([vecs[a] @ vecs[b] for a in verbs for b in verbs if a != b])
+    to_punct = np.mean([vecs[a] @ vecs["."] for a in verbs])
+    assert intra > to_punct
