@@ -32,3 +32,50 @@ def join_is_shuffle_free(spark: SparkSession, df: DataFrame) -> bool:
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     return "Exchange" not in plan
+
+
+def compact_partitions(
+    spark: SparkSession, path: str, partition_col: str = "bucket",
+    target_mb: int = 128, sort_col: str | None = None,
+) -> dict:
+    """Small-file compaction for a partitioned parquet directory.
+
+    The streaming sink appends a file per (micro-batch x bucket); on object
+    storage at 100 TB the resulting file census dominates scan planning
+    time. This rewrites each partition into ceil(bytes/target_mb) files
+    via repartition on the partition column (one task per output partition
+    group), preserving the partition layout with dynamic overwrite —
+    rerunnable, and readers see either the old or the new complete
+    partition. `sort_col` additionally sorts rows within files so parquet
+    min/max page stats become selective (data-skipping, the non-catalog
+    half of what a Z-order/table-format OPTIMIZE buys).
+
+    Returns {'files_before': n, 'files_after': m}."""
+    import math
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(hconf)
+
+    def census() -> tuple[int, int]:
+        n = total = 0
+        it = fs.listFiles(hpath, True)
+        while it.hasNext():
+            f = it.next()
+            name = f.getPath().getName()
+            if name.endswith(".parquet"):
+                n += 1
+                total += f.getLen()
+        return n, total
+
+    files_before, total_bytes = census()
+    df = spark.read.parquet(path)
+    n_out = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    out = df.repartition(n_out, partition_col)
+    if sort_col:
+        out = out.sortWithinPartitions(partition_col, sort_col)
+    out.write.partitionBy(partition_col).mode("overwrite").parquet(path)
+    files_after, _ = census()
+    return {"files_before": files_before, "files_after": files_after}

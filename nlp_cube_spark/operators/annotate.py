@@ -24,7 +24,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from ..kernels import arc_scores, lemma_rules, mst, segment_rules, tagger_rules
+from ..kernels import arc_scores, lemma_rules, mst, segment_rules
 
 # ---------------------------------------------------------------- schemas
 
@@ -120,7 +120,7 @@ def segment(pages: DataFrame, text_col: str = "text") -> DataFrame:
 
 # ---------------------------------------------------------------- tag+parse
 
-def tag_parse(sentences: DataFrame, scorer: str = "rules") -> DataFrame:
+def tag_parse(sentences: DataFrame, scorer: str = "rules", tagger: str = "rules") -> DataFrame:
     """sentences -> parsed words (MWT expansion + tagging + biaffine-style
     scoring + Chu-Liu/Edmonds + label assignment).
 
@@ -131,9 +131,10 @@ def tag_parse(sentences: DataFrame, scorer: str = "rules") -> DataFrame:
     name string crosses the closure; the plan is identical either way."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..kernels.learned import get_scorer
+        from ..kernels.learned import get_scorer, get_tagger
 
         score_fn = get_scorer(scorer)
+        tag_fn = get_tagger(tagger)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -149,7 +150,7 @@ def tag_parse(sentences: DataFrame, scorer: str = "rules") -> DataFrame:
                         space.append(bool(tok["space_after"]))
                         mwt_ids.append(tok_idx if tok["is_mwt"] and len(words) > 1 else 0)
                         tok_forms.append(tok["form"])
-                tags = tagger_rules.tag_sentence(forms, lang)
+                tags = tag_fn(forms, lang)
                 upos = [t[0] for t in tags]
                 probs = score_fn(forms, upos)
                 heads = mst.decode_tree(probs).tolist()

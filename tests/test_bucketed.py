@@ -23,3 +23,27 @@ def test_bucketed_join_is_shuffle_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_compact_partitions(spark, tmp_path):
+    """Many per-batch appended files -> one file per bucket (at test sizes),
+    same rows, partition layout preserved."""
+    from pyspark.sql import functions as F
+
+    from nlp_cube_spark.io.tables import compact_partitions
+
+    out = str(tmp_path / "t")
+    df = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 4).cast("int").alias("bucket")
+    )
+    # simulate a streaming sink: 5 appends => >= 20 files
+    for i in range(5):
+        df.where(F.col("id") % 5 == i).repartition(3).write.partitionBy("bucket").mode(
+            "append"
+        ).parquet(out)
+    before = {tuple(r) for r in spark.read.parquet(out).collect()}
+    stats = compact_partitions(spark, out, "bucket", target_mb=128, sort_col="id")
+    after = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert after == before
+    assert stats["files_before"] >= 20
+    assert stats["files_after"] <= 4  # one group landed per partition
