@@ -377,6 +377,19 @@ def q_ann_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, q, k=5).select("q_id", "vec_id", "rank")
 
 
+def q_embedding_near_dups(spark, sf_dir):
+    """SRP-LSH blocked embedding near-dup pairs over embeddings with
+    injected exact clones (random 64-d vectors have no natural near-dups);
+    every clone pair must surface with cos_sim = 1.0."""
+    from nlp_cube_spark.operators.similarity import cosine_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings")
+    clones = emb.where(F.col("vec_id") % 25 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1000000)
+    )
+    return cosine_near_dups(emb.unionByName(clones), dim=64, threshold=0.99)
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     from nlp_cube_spark.operators.similarity import ivf_topk
 
@@ -523,6 +536,7 @@ _QUERIES = {
         "simhash_signatures": q_simhash_signatures,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_near_dups": q_embedding_near_dups,
         "ann_ivf_topk": q_ann_ivf_topk,
         "kg_upos_distribution": q_kg_upos_distribution,
         "kg_triples": q_kg_triples,
@@ -660,6 +674,20 @@ SELECT 'https://ex.org/doc/' || doc_id AS url, CAST(0 AS INT) AS sent_id,
        subj, pred, obj, pattern
 FROM allt
 """
+
+
+def _srp_sig_duck(vec: str = "embedding", dim: int = 64, n_planes: int = 16) -> str:
+    """SRP-LSH bit-string, identical plane math to similarity.hyperplane_sig_expr."""
+    bits = []
+    for k in range(n_planes):
+        dot = (
+            f"list_aggregate(list_transform(range(0, {dim}), i -> "
+            f"CAST({vec}[i + 1] AS DOUBLE) * "
+            f"(('0x' || substr(md5('h{k}:' || CAST(i AS VARCHAR)), 1, 15))::BIGINT"
+            f" / 1152921504606846976.0 - 0.5)), 'sum')"
+        )
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bits)
 
 
 _COS_DUCK = """
@@ -997,6 +1025,27 @@ def oracle_sql() -> dict[str, str]:
                       FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
                             FROM documents))
                 GROUP BY word HAVING count(*) >= 7)
+        """,
+        "embedding_near_dups": f"""
+          WITH vecs AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0
+          ),
+          sig AS (SELECT vec_id, embedding, {_srp_sig_duck()} AS s FROM vecs),
+          banded AS (
+            SELECT vec_id, embedding, b AS band_id, substr(s, b * 4 + 1, 4) AS band_bits
+            FROM sig, (SELECT unnest(range(0, 4)) AS b)
+          ),
+          pairs AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   a.embedding AS emb_a, b.embedding AS emb_b
+            FROM banded a JOIN banded b USING (band_id, band_bits)
+            WHERE a.vec_id < b.vec_id
+          )
+          SELECT vec_a, vec_b, round({_COS_DUCK.format(a="emb_a", b="emb_b")}, 6) AS cos_sim
+          FROM pairs
+          WHERE round({_COS_DUCK.format(a="emb_a", b="emb_b")}, 6) >= 0.99
         """,
         "ann_ivf_topk": f"""
           WITH cents AS (

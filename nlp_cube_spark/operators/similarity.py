@@ -69,6 +69,67 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
     ).select(id_col, vec_col, "centroid_id")
 
 
+def hyperplane_sig_expr(vec_col: str, dim: int, n_planes: int) -> str:
+    """SRP-LSH signature as a bit-string column expression.
+
+    Plane k's components are md5-derived rationals in [-0.5, 0.5):
+    h_k[i] = md5_60('h{k}:{i}') / 2^60 - 0.5 — deterministic, engine-
+    portable (the DuckDB oracle rebuilds identical planes), no RNG. Sign
+    of <v, h_k> gives bit k. Pure Catalyst: the signature is a narrow
+    map-side projection like the MinHash signature."""
+    bits = []
+    for k in range(n_planes):
+        h = (
+            f"transform(sequence(0, {dim - 1}), i -> "
+            f"cast(conv(substr(md5(concat('h{k}:', cast(i as string))), 1, 15), 16, 10) as bigint)"
+            f" / 1152921504606846976.0 - 0.5)"
+        )
+        dot = (
+            f"aggregate(zip_with({vec_col}, {h}, (x, y) -> cast(x as double) * y),"
+            f" 0D, (a, v) -> a + v)"
+        )
+        bits.append(f"(case when {dot} >= 0D then '1' else '0' end)")
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def cosine_near_dups(
+    vectors: DataFrame, dim: int = 64, threshold: float = 0.99, n_planes: int = 16,
+    bands: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: SRP-LSH blocking + exact cosine.
+
+    Scale shape mirrors MinHash-LSH dedup: a narrow signature projection,
+    a self-equi-join keyed on (band_id, band bits) — never all-pairs —
+    then exact cosine verification on the candidate pair list only.
+    Recall: a pair is missed only if every band has a plane separating it
+    (P(miss) ~ (1 - (1 - theta/pi)^(n_planes/bands))^bands)."""
+    bits_per_band = n_planes // bands
+    sig = vectors.select(
+        id_col, vec_col, F.expr(hyperplane_sig_expr(vec_col, dim, n_planes)).alias("_sig")
+    )
+    banded = sig.select(
+        id_col,
+        vec_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> struct(b as band_id,"
+                f" substr(_sig, b * {bits_per_band} + 1, {bits_per_band}) as band_bits))"
+            )
+        ).alias("band"),
+    ).select(id_col, vec_col, "band.band_id", "band.band_bits")
+    a = banded.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("emb_a"), "band_id", "band_bits")
+    b = banded.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("emb_b"), "band_id", "band_bits")
+    cos = F.expr(COS_EXPR.format(a="emb_a", b="emb_b"))
+    return (
+        a.join(b, ["band_id", "band_bits"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+        .withColumn("cos_sim", F.round(cos, 6))
+        .where(F.col("cos_sim") >= threshold)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
 def ivf_topk(
     vectors: DataFrame, queries: DataFrame, k: int = 5, n_centroids: int = 16, nprobe: int = 4,
     id_col: str = "vec_id", q_id_col: str = "q_id", vec_col: str = "embedding",

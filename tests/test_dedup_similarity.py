@@ -155,3 +155,19 @@ def test_ivf_assign_no_window_sort(spark):
     assert "max_by" in plan
     got = {r.vec_id: r.centroid_id for r in assigned.collect()}
     assert len(got) == 30 and all(1 <= c <= 4 for c in got.values())
+
+
+def test_cosine_near_dups_finds_planted_clones(spark):
+    """SRP-LSH blocking recalls exact clones (same bits in every band) and
+    emits no random-pair false positives at threshold 0.99."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.randn(64).astype(float).tolist()) for i in range(60)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    clones = vecs.where("vec_id % 20 = 0").withColumn("vec_id", F.col("vec_id") + 1000)
+    got = {(r.vec_a, r.vec_b): r.cos_sim
+           for r in S.cosine_near_dups(vecs.unionByName(clones), dim=64, threshold=0.99).collect()}
+    assert set(got) == {(0, 1000), (20, 1020), (40, 1040)}
+    assert all(abs(v - 1.0) < 1e-6 for v in got.values())
