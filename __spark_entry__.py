@@ -252,6 +252,22 @@ def q_user_sessions(spark, sf_dir):
     )
 
 
+def q_events_sliding_window(spark, sf_dir):
+    """Overlapping windows (6h length, 3h slide): every event lands in two
+    windows; starts are epoch-aligned by the SLIDE in both engines."""
+    e = _t(spark, sf_dir, "events")
+    w = F.window("ts", "6 hours", "3 hours")
+    return (
+        e.groupBy(w)
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def q_salted_join_parts(spark, sf_dir):
     """Hot-key fan-out join == plain join (skew handling demo)."""
     from nlp_cube_spark.operators.salting import salted_join
@@ -524,6 +540,7 @@ _QUERIES = {
         "user_sessions": q_user_sessions,
         "cube_order_counts": q_cube_order_counts,
         "events_tumbling_window": q_events_tumbling_window,
+        "events_sliding_window": q_events_sliding_window,
         "hot_parts": q_hot_parts,
         "sampled_hot_parts": q_sampled_hot_parts,
         "approx_distinct_parts": q_approx_distinct_parts,
@@ -813,6 +830,19 @@ def oracle_sql() -> dict[str, str]:
           SELECT p_brand, round(sum(l_quantity), 2) AS qty
           FROM lineitem JOIN part ON l_partkey = p_partkey
           GROUP BY p_brand
+        """,
+        "events_sliding_window": """
+          SELECT strftime(to_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS w_start,
+                 count(*) AS n, round(sum(value), 2) AS sum_value
+          FROM (
+            SELECT value,
+                   unnest([CAST(floor(epoch(ts) / 10800) * 10800 AS BIGINT),
+                           CAST(floor(epoch(ts) / 10800) * 10800 - 10800 AS BIGINT)]) AS ws,
+                   epoch(ts) AS et
+            FROM events
+          )
+          WHERE et >= ws AND et < ws + 21600
+          GROUP BY ws
         """,
         "user_sessions": """
           WITH marked AS (
