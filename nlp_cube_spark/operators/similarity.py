@@ -17,8 +17,11 @@ from pyspark.sql import DataFrame, Window, functions as F
 COS_EXPR = (
     "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
     " 0D, (acc, v) -> acc + v)"
-    " / (sqrt(aggregate({a}, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))"
-    " * sqrt(aggregate({b}, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double))))"
+    # nullif guards zero-norm vectors: ANSI mode (Spark 4 default) THROWS on
+    # /0; NULL matches DuckDB's x/0.0 semantics, and a NULL cosine fails
+    # every threshold/rank predicate instead of crashing the job
+    " / nullif(sqrt(aggregate({a}, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))"
+    " * sqrt(aggregate({b}, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double))), 0D)"
 )
 
 

@@ -62,3 +62,40 @@ def test_single_char_and_punct_only_docs(spark):
     assert {r.url for r in rows} == {"u6", "u7"}
     u7 = [r for r in rows if r.url == "u7"]
     assert all(r.upos == "PUNCT" for r in u7)
+
+
+def test_sessionize_degenerate(spark):
+    from nlp_cube_spark.operators.sessions import sessionize
+
+    empty = spark.createDataFrame([], "user_id long, ts timestamp, value double")
+    assert sessionize(empty).count() == 0
+    one = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 2.0)], "user_id long, ts timestamp, value double"
+    )
+    rows = sessionize(one).collect()
+    assert len(rows) == 1 and rows[0].n_events == 1
+
+
+def test_cosine_near_dups_zero_vector_no_crash(spark):
+    """Zero-norm embeddings produce NaN cosines; they must be filtered,
+    never crash or surface as pairs."""
+    from nlp_cube_spark.operators import similarity as S
+
+    rows = [
+        (1, [0.0] * 8),
+        (2, [0.0] * 8),
+        (3, [1.0] + [0.0] * 7),
+        (4, [1.0] + [0.0] * 7),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r.vec_a, r.vec_b) for r in S.cosine_near_dups(vecs, dim=8, threshold=0.99).collect()}
+    assert (3, 4) in got
+    assert all(1 not in p and 2 not in p for p in got)
+
+
+def test_jaccard_verify_empty_pairs(spark):
+    from nlp_cube_spark.operators import dedup as D
+
+    docs = spark.createDataFrame([(1, "alpha beta", "en")], "doc_id long, text string, lang string")
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert D.jaccard_verify_pairs(pairs, docs).count() == 0
