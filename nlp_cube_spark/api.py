@@ -152,12 +152,17 @@ class Cube:
         return out
 
     # ---- batch (Spark) mode -------------------------------------------
-    def process(self, spark, pages_df):
+    # kernels= selects the implementation behind every model seam:
+    # "rules" (v0 default) or "learned" (pinned-weight micro-models —
+    # boundary classifier, joint tagger, biaffine-style parser). Output is
+    # identical on the fixture grammar (tests/test_learned_kernel.py); the
+    # option exists so a retrained artifact swap is one argument.
+    def process(self, spark, pages_df, kernels: str = "rules"):
         from .operators.annotate import annotate
 
-        return annotate(pages_df)
+        return annotate(pages_df, scorer=kernels, tagger=kernels, boundary=kernels)
 
-    def process_triples(self, spark, pages_df):
+    def process_triples(self, spark, pages_df, kernels: str = "rules"):
         from .operators.annotate import fused_triples
 
-        return fused_triples(pages_df)
+        return fused_triples(pages_df, scorer=kernels, tagger=kernels, boundary=kernels)

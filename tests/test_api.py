@@ -58,3 +58,14 @@ def test_batch_mode_matches_single(spark):
         for t in cube.triples(row.text):
             single.add((row.url, t["sent_id"], t["subj"], t["pred"], t["obj"]))
     assert batch == single
+
+
+def test_process_learned_kernels_equal(spark):
+    from nlp_cube_spark.api import Cube
+    from nlp_cube_spark.datagen import pages_df
+
+    pages = pages_df(spark, 12, seed=77).localCheckpoint()
+    cube = Cube()
+    a = cube.process_triples(spark, pages)
+    b = cube.process_triples(spark, pages, kernels="learned")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
