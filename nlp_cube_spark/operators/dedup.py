@@ -192,6 +192,48 @@ def simhash64(docs: DataFrame, text_col: str = "text", out_col: str = "simhash")
     )
 
 
+def simhash64_arrow(docs: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
+    """Arrow-kernel variant of `simhash64` — bit-identical output.
+
+    Measured (sf0.1, 5k docs, ~35 tokens/doc, warm workers, local[32]):
+    the interpreted-HOF Catalyst form wins at this shape — 0.36s vs 0.57s
+    here — because Arrow transfer + python dispatch outweigh the ~60
+    interpreted bit-terms at small token counts. This kernel exists for
+    the LONG-document regime (token count per doc ≫ 100), where per-token
+    HOF cost grows linearly but the numpy bit-majority pass stays ~flat
+    per batch. Default stays `simhash64` (also the DuckDB-oracle form)."""
+    import hashlib
+
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(docs.schema.fields + [T.StructField(out_col, T.LongType())])
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sigs = []
+            for text in pdf[text_col]:
+                toks = [t for t in (text or "").lower().split(" ") if t]
+                if not toks:
+                    sigs.append(0)
+                    continue
+                hs = np.fromiter(
+                    (int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16) for t in toks),
+                    dtype=np.int64, count=len(toks),
+                )
+                bits = (hs[:, None] >> np.arange(60)) & 1
+                maj = bits.sum(axis=0) * 2 >= len(toks)
+                sigs.append(int((maj.astype(np.int64) << np.arange(60)).sum()))
+            pdf = pdf.copy()
+            pdf[out_col] = sigs
+            yield pdf
+
+    return docs.mapInPandas(run, schema=schema)
+
+
 def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash: block on 15-bit chunks (pigeonhole: any
     pair with Hamming<=3 over 60 bits shares at least one of 4 chunks),

@@ -171,3 +171,9 @@ def test_cosine_near_dups_finds_planted_clones(spark):
            for r in S.cosine_near_dups(vecs.unionByName(clones), dim=64, threshold=0.99).collect()}
     assert set(got) == {(0, 1000), (20, 1020), (40, 1040)}
     assert all(abs(v - 1.0) < 1e-6 for v in got.values())
+
+
+def test_simhash_arrow_bit_identical(spark, docs):
+    a = {(r.doc_id, r.simhash) for r in D.simhash64(docs).select("doc_id", "simhash").collect()}
+    b = {(r.doc_id, r.simhash) for r in D.simhash64_arrow(docs).select("doc_id", "simhash").collect()}
+    assert a == b
