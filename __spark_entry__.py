@@ -847,8 +847,10 @@ def oracle_sql() -> dict[str, str]:
         "user_sessions": """
           WITH marked AS (
             SELECT user_id, ts, value,
+                   -- INCLUSIVE boundary: Spark merges an event at exactly
+                   -- session_end (gap <= 30min), verified empirically
                    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                             < INTERVAL 30 MINUTE
+                             <= INTERVAL 30 MINUTE
                         THEN 0 ELSE 1 END AS new_sess
             FROM events
           ),

@@ -4,9 +4,10 @@
 static DataFrame and a Structured Stream with a watermark — the same code
 is the incremental operator a crawl/clickstream pipeline runs). Batch
 semantics are the classic gaps-and-islands: consecutive events of the same
-key merge while the gap to the PREVIOUS event is < gap (session window end
-is exclusive at last_event + gap), which is exactly what the DuckDB oracle
-replays with lag() + a running island counter.
+key merge while the gap to the PREVIOUS event is <= gap — the boundary is
+INCLUSIVE (an event at exactly last_event + gap merges; pinned empirically
+and in tests with 1799/1800/1801-second deltas) — which is what the DuckDB
+oracle replays with lag() + a running island counter.
 
 Scale shape: one shuffle keyed on (key), then per-key ordered merge —
 the same cost as any window aggregation; no skew beyond the key's own

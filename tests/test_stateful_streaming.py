@@ -102,3 +102,47 @@ def test_sessionize_streaming_matches_batch(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_sessionize_matches_bruteforce(spark):
+    """session_window semantics == the gaps-and-islands model on seeded
+    random event streams. Boundary is INCLUSIVE: an event at exactly
+    last_event + gap merges (verified against Spark; the 1799/1800/1801
+    deltas below pin all three cases)."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nlp_cube_spark.operators.sessions import sessionize
+
+    rng = random.Random(99)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in range(6):
+        t = 0
+        for _ in range(rng.randint(5, 40)):
+            t += rng.choice([60, 300, 900, 1799, 1800, 1801, 7200])
+            rows.append((u, base + dt.timedelta(seconds=t), round(rng.random() * 10, 2)))
+    events = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+
+    got = {
+        (r.user_id, r.session_start, r.n_events, r.sum_value)
+        for r in sessionize(events, gap="30 minutes").collect()
+    }
+
+    want = set()
+    by_user = {}
+    for u, ts, v in rows:
+        by_user.setdefault(u, []).append((ts, v))
+    for u, evs in by_user.items():
+        evs.sort()
+        cur = [evs[0]]
+        for prev, nxt in zip(evs, evs[1:]):
+            if (nxt[0] - cur[-1][0]).total_seconds() <= 1800:
+                cur.append(nxt)
+            else:
+                want.add((u, cur[0][0], len(cur), round(sum(x[1] for x in cur), 2)))
+                cur = [nxt]
+        want.add((u, cur[0][0], len(cur), round(sum(x[1] for x in cur), 2)))
+    assert got == want
