@@ -330,11 +330,49 @@ def _functional_children(prepped: DataFrame, amap: DataFrame | None, px: str) ->
     )
 
 
+def _stream_hashes(words: DataFrame) -> DataFrame:
+    """md5 of the per-url chars-without-spaces token stream."""
+    return (
+        with_char_spans(words)
+        .groupBy("url", "sent_id", "mwt_id", "start")
+        .agg(F.first(F.regexp_replace("tok_form", " ", "")).alias("_t"))
+        .groupBy("url")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.expr("transform(array_sort(collect_list(struct(start, _t))), x -> x._t)"),
+                )
+            ).alias("_h")
+        )
+    )
+
+
+def check_same_characters(system: DataFrame, gold: DataFrame) -> None:
+    """Reference guard (conll18_ud_eval.py:449-460): the two sides must
+    tokenize the SAME underlying character stream; raise otherwise."""
+    s = _stream_hashes(system).select("url", F.col("_h").alias("_hs"))
+    g = _stream_hashes(gold).select("url", F.col("_h").alias("_hg"))
+    bad = (
+        s.join(g, "url", "full")
+        .where(
+            F.col("_hs").isNull() | F.col("_hg").isNull() | (F.col("_hs") != F.col("_hg"))
+        )
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            f"The concatenation of tokens in gold and system differ (url={bad[0]['url']})"
+        )
+
+
 def evaluate(system: DataFrame, gold: DataFrame) -> dict:
     """All 13 conll18 metrics (incl. CLAS/MLAS/BLEX), one aggregate pass
     over the aligned-pairs table + one over each side's words."""
     system = system.localCheckpoint()
     gold = gold.localCheckpoint()
+    check_same_characters(system, gold)
     s_prep = _prep(system).localCheckpoint()
     g_prep = _prep(gold).localCheckpoint()
 
@@ -388,7 +426,8 @@ def evaluate(system: DataFrame, gold: DataFrame) -> dict:
     gc = F.col("g_is_content")
 
     def s(cond, name):
-        return F.sum(cond.cast("long")).alias(name)
+        # sum over an EMPTY aligned table is NULL, not 0 (zero-overlap case)
+        return F.coalesce(F.sum(cond.cast("long")), F.lit(0)).alias(name)
 
     counts = al.agg(
         F.count(F.lit(1)).alias("aligned"),
