@@ -130,14 +130,40 @@ class Cube:
         self._lang = lang
         return self
 
-    def __call__(self, text: str, flavour: str | None = None) -> Document:
+    def __call__(self, text, flavour: str | None = None) -> Document:
         lang = (flavour or self._lang).split("_")[0]
+        if isinstance(text, Document):
+            # entry point B (reference api.py cube(document)): keep the
+            # provided tokenization, redo tagging/parsing/lemmas
+            return self._reannotate_document(text, lang)
         sents = []
         for owords in annotate_document(text, lang):
             words = [
                 Word(w.word_id, w.form, w.lemma, w.upos, w.xpos, w.feats,
                      w.head, w.deprel, w.space_after, w.mwt_id)
                 for w in owords
+            ]
+            sents.append(Sentence(words, lang))
+        return Document(sents)
+
+    def _reannotate_document(self, doc: Document, lang: str) -> Document:
+        from .kernels import arc_scores, lemma_rules, mst, tagger_rules
+
+        sents = []
+        for sent in doc.sentences:
+            forms = [w.word for w in sent.words]
+            tags = tagger_rules.tag_sentence(forms, lang)
+            upos = [t[0] for t in tags]
+            heads = mst.decode_tree(arc_scores.score_matrix(forms, upos)).tolist()
+            labels = arc_scores.label_arcs(forms, upos, heads)
+            words = [
+                Word(
+                    w.index, w.word,
+                    lemma_rules.lemmatize(w.word, upos[i], lang),
+                    upos[i], tags[i][1], tags[i][2], int(heads[i]), labels[i],
+                    w.space_after, w.mwt_id,
+                )
+                for i, w in enumerate(sent.words)
             ]
             sents.append(Sentence(words, lang))
         return Document(sents)

@@ -312,6 +312,49 @@ def annotate_modular(pages: DataFrame, text_col: str = "text") -> DataFrame:
     return lemmatize(tag_parse(segment(pages, text_col=text_col)))
 
 
+def words_to_sentences(words: DataFrame) -> DataFrame:
+    """Pre-tokenized words DF (WORDS_SCHEMA shape) -> SENTENCES_SCHEMA.
+
+    Entry point B (reference cube(document), SURVEY §3): the caller brings
+    tokenization (e.g. a CoNLL-U file via io/conllu.read_conllu) and only
+    tagging/parsing/lemmatization run. MWT groups collapse back to their
+    surface token (tok_form, is_mwt=True) so tag_parse re-expands them."""
+    # token key: the MWT group id, or the word itself (mwt_id=0 words are
+    # one token each — grouping those by tok_form would merge repeats)
+    tok_key = F.when(F.col("mwt_id") > 0, F.concat(F.lit("m"), F.col("mwt_id"))).otherwise(
+        F.concat(F.lit("w"), F.col("word_id"))
+    )
+    toks = (
+        words.groupBy("url", "lang", "sent_id", tok_key.alias("_tk"))
+        .agg(
+            F.min("word_id").alias("_w"),
+            F.first("tok_form").alias("tok_form"),
+            F.max_by("space_after", F.col("word_id")).alias("space_after"),
+            (F.max("mwt_id") > 0).alias("is_mwt"),
+        )
+    )
+    return (
+        toks.groupBy("url", "lang", "sent_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_w", "tok_form", "space_after", "is_mwt"))),
+                lambda x: F.struct(
+                    x["tok_form"].alias("form"),
+                    x["space_after"].alias("space_after"),
+                    x["is_mwt"].alias("is_mwt"),
+                ),
+            ).alias("tokens")
+        )
+        .select("url", "lang", "sent_id", "tokens")
+    )
+
+
+def reannotate(words: DataFrame, scorer: str = "rules", tagger: str = "rules") -> DataFrame:
+    """Entry point B end-to-end: keep the caller's tokenization, redo
+    tagging + parsing + lemmas. Output = flat annotated words DF."""
+    return lemmatize(tag_parse(words_to_sentences(words), scorer=scorer, tagger=tagger))
+
+
 # ---------------------------------------------------------------- fusion
 
 def _annotate_doc(

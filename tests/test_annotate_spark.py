@@ -138,3 +138,38 @@ def test_deterministic_across_parallelism(spark, pages):
     t1 = TR.extract_triples_nested(A.tag_parse(A.segment(pages.repartition(2))))
     t2 = TR.extract_triples_nested(A.tag_parse(A.segment(pages.repartition(8))))
     assert {tuple(r) for r in t1.collect()} == {tuple(r) for r in t2.collect()}
+
+
+def test_reannotate_pretokenized_roundtrip(spark):
+    """Entry point B: strip annotations from the engine's own words table,
+    reannotate keeping the tokenization — output equals the original
+    (tokenization is the only thing the caller brought)."""
+    from nlp_cube_spark.datagen import pages_df
+    from nlp_cube_spark.operators import annotate as A
+
+    words = A.annotate(pages_df(spark, 20, seed=4242)).localCheckpoint()
+    stripped = words.select(
+        "url", "lang", "sent_id", "word_id", "mwt_id", "tok_form",
+        F.lit("_").alias("form"), F.lit("_").alias("lemma"),
+        F.lit("_").alias("upos"), F.lit("_").alias("xpos"),
+        F.lit("_").alias("feats"), F.lit(0).alias("head"),
+        F.lit("_").alias("deprel"), "space_after",
+    )
+    redone = A.reannotate(stripped)
+    key = ["url", "sent_id", "word_id", "form", "lemma", "upos", "xpos",
+           "feats", "head", "deprel", "mwt_id", "tok_form", "space_after"]
+    a = {tuple(r) for r in words.select(*key).collect()}
+    b = {tuple(r) for r in redone.select(*key).collect()}
+    assert a == b
+
+
+def test_cube_document_entrypoint(spark):
+    """cube(document) — reference entry point B on the eager path."""
+    from nlp_cube_spark.api import Cube
+
+    cube = Cube()
+    cube.load("en")
+    d1 = cube("Alice joins Bob. Bob is a scientist.")
+    d2 = cube(d1)  # re-annotate the Document, tokenization preserved
+    assert repr(d1) == repr(d2)
+    assert d2.sentences[0][1].upos == "VERB"
