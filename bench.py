@@ -75,11 +75,13 @@ def main() -> None:
 
     pages = E._docs_as_pages(spark, sf_dir)
     n_docs = pages.count()
-    out = tempfile.mkdtemp(prefix="bench_kg_")
-    t0 = time.time()
-    m = P.build_graph(spark, pages, aliases_df(spark), out, n_buckets=int(cpus), resume=False)
-    pipeline_sec = round(time.time() - t0, 3)
-    shutil.rmtree(out, ignore_errors=True)
+    pipeline_sec = float("inf")
+    for _ in range(2):  # min-of-2, same rationale as the queries
+        out = tempfile.mkdtemp(prefix="bench_kg_")
+        t0 = time.time()
+        m = P.build_graph(spark, pages, aliases_df(spark), out, n_buckets=int(cpus), resume=False)
+        pipeline_sec = min(pipeline_sec, round(time.time() - t0, 3))
+        shutil.rmtree(out, ignore_errors=True)
     timings["kg_build_graph"] = pipeline_sec
 
     # reference-style single-process baseline: the oracle runs the same
