@@ -425,6 +425,24 @@ def q_kg_upos_distribution(spark, sf_dir):
     return words.groupBy("upos").agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_kg_tag_distribution(spark, sf_dir):
+    """Joint-tag coverage (op #13 xpos/feats columns, not just upos):
+    distribution over the full (upos, xpos, feats) triple."""
+    from nlp_cube_spark.operators import annotate as A
+
+    words = A.annotate(_docs_as_pages(spark, sf_dir))
+    return words.groupBy("upos", "xpos", "feats").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_kg_deprel_distribution(spark, sf_dir):
+    """Dependency-label coverage beyond triple patterns (det/case/dep and
+    the nsubj/appos/obj/obl attachment order rules, ops #14/#16)."""
+    from nlp_cube_spark.operators import annotate as A
+
+    words = A.annotate(_docs_as_pages(spark, sf_dir))
+    return words.groupBy("deprel").agg(F.count(F.lit(1)).alias("n"))
+
+
 def q_kg_triples(spark, sf_dir):
     from nlp_cube_spark.operators import annotate as A, triples as TR
 
@@ -556,6 +574,8 @@ _QUERIES = {
         "embedding_near_dups": q_embedding_near_dups,
         "ann_ivf_topk": q_ann_ivf_topk,
         "kg_upos_distribution": q_kg_upos_distribution,
+        "kg_tag_distribution": q_kg_tag_distribution,
+        "kg_deprel_distribution": q_kg_deprel_distribution,
         "kg_triples": q_kg_triples,
         "kg_predicate_counts": q_kg_predicate_counts,
         "kg_linked_canonical": q_kg_linked_canonical,
@@ -982,6 +1002,98 @@ def oracle_sql() -> dict[str, str]:
                     END) AS tok
                   FROM documents)
           ) GROUP BY upos
+        """,
+        "kg_tag_distribution": """
+          SELECT upos, xpos, feats, count(*) AS n FROM (
+            SELECT CASE WHEN tok IN ('join','merge','sort','filter') THEN 'VERB'
+                        WHEN tok = 'a' AND lang = 'en' THEN 'DET'
+                        WHEN tok = 'a' THEN 'ADP'
+                        WHEN tok = 'the' AND lang = 'en' THEN 'DET'
+                        WHEN tok = 'o' AND lang <> 'en' THEN 'DET'
+                        ELSE 'NOUN' END AS upos,
+                   CASE WHEN tok IN ('join','merge','sort','filter') THEN 'VB'
+                        WHEN tok = 'a' AND lang = 'en' THEN 'DT'
+                        WHEN tok = 'a' THEN 'IN'
+                        WHEN tok = 'the' AND lang = 'en' THEN 'DT'
+                        WHEN tok = 'o' AND lang <> 'en' THEN 'DT'
+                        ELSE 'NN' END AS xpos,
+                   CASE WHEN tok IN ('join','merge','sort','filter') THEN 'VerbForm=Inf'
+                        WHEN tok = 'a' AND lang = 'en' THEN 'Definite=Ind|PronType=Art'
+                        WHEN tok = 'a' THEN '_'
+                        WHEN tok = 'the' AND lang = 'en' THEN 'Definite=Def|PronType=Art'
+                        WHEN tok = 'o' AND lang <> 'en' THEN 'Definite=Def|PronType=Art'
+                        ELSE 'Number=Sing' END AS feats
+            FROM (SELECT lang, unnest(
+                    CASE WHEN lang = 'zh'
+                         THEN [substr(replace(text, ' ', ''), i, 1)
+                               FOR i IN range(1, length(replace(text, ' ', '')) + 1)]
+                         ELSE list_filter(string_split(text, ' '), t -> t <> '')
+                    END) AS tok
+                  FROM documents)
+          ) GROUP BY upos, xpos, feats
+        """,
+        "kg_deprel_distribution": """
+          WITH tk AS (
+            SELECT doc_id, lang,
+                   unnest([{'pos': i, 'tok': t[i]} FOR i IN range(1, len(t)+1)], recursive := true)
+            FROM (SELECT doc_id, lang,
+                    CASE WHEN lang = 'zh'
+                         THEN [substr(replace(text, ' ', ''), i, 1)
+                               FOR i IN range(1, length(replace(text, ' ', '')) + 1)]
+                         ELSE list_filter(string_split(text, ' '), x -> x <> '')
+                    END AS t
+                  FROM documents)
+          ), tagged AS (
+            SELECT doc_id, lang, pos, tok,
+                   CASE WHEN tok IN ('join','merge','sort','filter') THEN 'VERB'
+                        WHEN tok = 'a' AND lang = 'en' THEN 'DET'
+                        WHEN tok = 'a' THEN 'ADP'
+                        WHEN tok = 'the' AND lang = 'en' THEN 'DET'
+                        WHEN tok = 'o' AND lang <> 'en' THEN 'DET'
+                        ELSE 'NOUN' END AS upos
+            FROM tk
+          ), roots AS (
+            SELECT doc_id,
+                   coalesce(min(pos) FILTER (upos = 'VERB'),
+                            min(pos) FILTER (upos = 'NOUN')) AS root_pos,
+                   min(pos) FILTER (upos = 'VERB') IS NOT NULL AS root_is_verb,
+                   min(pos) FILTER (upos = 'NOUN') AS first_nom
+            FROM tagged GROUP BY doc_id
+          ), nom_next AS (  -- nearest nominal strictly after each position
+            SELECT t.doc_id, t.pos,
+                   (SELECT min(n.pos) FROM tagged n
+                    WHERE n.doc_id = t.doc_id AND n.upos = 'NOUN' AND n.pos > t.pos) AS next_nom
+            FROM tagged t
+          ), obl AS (  -- nominals that are the next nominal after some ADP
+            SELECT DISTINCT a.doc_id, nn.next_nom AS pos
+            FROM tagged a JOIN nom_next nn ON a.doc_id = nn.doc_id AND a.pos = nn.pos
+            WHERE a.upos = 'ADP' AND nn.next_nom IS NOT NULL
+          ), nominal_seq AS (  -- prev nominal-or-root position per nominal
+            SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_nom
+            FROM (SELECT t.doc_id, t.pos FROM tagged t JOIN roots r USING (doc_id)
+                  WHERE t.upos = 'NOUN' OR t.pos = r.root_pos)
+          ), labeled AS (
+            SELECT t.doc_id, t.pos,
+              CASE
+                WHEN t.pos = r.root_pos THEN 'root'
+                WHEN t.upos = 'DET' THEN CASE WHEN nn.next_nom IS NOT NULL THEN 'det' ELSE 'dep' END
+                WHEN t.upos = 'ADP' THEN CASE WHEN nn.next_nom IS NOT NULL THEN 'case' ELSE 'dep' END
+                WHEN t.upos = 'VERB' THEN 'dep'
+                WHEN t.pos < r.root_pos THEN
+                  CASE WHEN t.pos = r.first_nom THEN 'nsubj' ELSE 'appos' END
+                WHEN b.pos IS NOT NULL THEN 'obl'
+                WHEN r.root_is_verb THEN 'obj'
+                WHEN ns.prev_nom > r.root_pos THEN 'appos'
+                ELSE 'obj'
+              END AS deprel
+            FROM tagged t
+            JOIN roots r USING (doc_id)
+            LEFT JOIN nom_next nn ON nn.doc_id = t.doc_id AND nn.pos = t.pos
+            LEFT JOIN obl b ON b.doc_id = t.doc_id AND b.pos = t.pos
+            LEFT JOIN nominal_seq ns ON ns.doc_id = t.doc_id AND ns.pos = t.pos
+          )
+          SELECT deprel, count(*) AS n FROM labeled GROUP BY deprel
         """,
         "kg_triples": _KG_TRIPLES_DUCK,
         "kg_linked_canonical": f"""
