@@ -443,6 +443,17 @@ def q_kg_deprel_distribution(spark, sf_dir):
     return words.groupBy("deprel").agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_kg_head_distribution(spark, sf_dir):
+    """MST-decoded head verification beyond triple patterns: distribution
+    of (deprel, signed head distance); det/case attachment targets are
+    pinned here and nowhere else."""
+    from nlp_cube_spark.operators import annotate as A
+
+    words = A.annotate(_docs_as_pages(spark, sf_dir))
+    dist = F.when(F.col("head") == 0, F.lit(0)).otherwise(F.col("head") - F.col("word_id"))
+    return words.groupBy("deprel", dist.alias("dist")).agg(F.count(F.lit(1)).alias("n"))
+
+
 def q_kg_triples(spark, sf_dir):
     from nlp_cube_spark.operators import annotate as A, triples as TR
 
@@ -576,6 +587,7 @@ _QUERIES = {
         "kg_upos_distribution": q_kg_upos_distribution,
         "kg_tag_distribution": q_kg_tag_distribution,
         "kg_deprel_distribution": q_kg_deprel_distribution,
+        "kg_head_distribution": q_kg_head_distribution,
         "kg_triples": q_kg_triples,
         "kg_predicate_counts": q_kg_predicate_counts,
         "kg_linked_canonical": q_kg_linked_canonical,
@@ -744,6 +756,81 @@ def _sw_hits(lst: str) -> str:
         f" t -> list_contains({lst}, t)))"
     )
 
+
+_KG_LABELED_DUCK = """
+          WITH tk AS (
+            SELECT doc_id, lang,
+                   unnest([{'pos': i, 'tok': t[i]} FOR i IN range(1, len(t)+1)], recursive := true)
+            FROM (SELECT doc_id, lang,
+                    CASE WHEN lang = 'zh'
+                         THEN [substr(replace(text, ' ', ''), i, 1)
+                               FOR i IN range(1, length(replace(text, ' ', '')) + 1)]
+                         ELSE list_filter(string_split(text, ' '), x -> x <> '')
+                    END AS t
+                  FROM documents)
+          ), tagged AS (
+            SELECT doc_id, lang, pos, tok,
+                   CASE WHEN tok IN ('join','merge','sort','filter') THEN 'VERB'
+                        WHEN tok = 'a' AND lang = 'en' THEN 'DET'
+                        WHEN tok = 'a' THEN 'ADP'
+                        WHEN tok = 'the' AND lang = 'en' THEN 'DET'
+                        WHEN tok = 'o' AND lang <> 'en' THEN 'DET'
+                        ELSE 'NOUN' END AS upos
+            FROM tk
+          ), roots AS (
+            SELECT doc_id,
+                   coalesce(min(pos) FILTER (upos = 'VERB'),
+                            min(pos) FILTER (upos = 'NOUN')) AS root_pos,
+                   min(pos) FILTER (upos = 'VERB') IS NOT NULL AS root_is_verb,
+                   min(pos) FILTER (upos = 'NOUN') AS first_nom
+            FROM tagged GROUP BY doc_id
+          ), nom_next AS (  -- nearest nominal strictly after each position
+            SELECT t.doc_id, t.pos,
+                   (SELECT min(n.pos) FROM tagged n
+                    WHERE n.doc_id = t.doc_id AND n.upos = 'NOUN' AND n.pos > t.pos) AS next_nom
+            FROM tagged t
+          ), obl AS (  -- nominals that are the next nominal after some ADP
+            SELECT DISTINCT a.doc_id, nn.next_nom AS pos
+            FROM tagged a JOIN nom_next nn ON a.doc_id = nn.doc_id AND a.pos = nn.pos
+            WHERE a.upos = 'ADP' AND nn.next_nom IS NOT NULL
+          ), nominal_seq AS (  -- prev nominal-or-root position per nominal
+            SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_nom
+            FROM (SELECT t.doc_id, t.pos FROM tagged t JOIN roots r USING (doc_id)
+                  WHERE t.upos = 'NOUN' OR t.pos = r.root_pos)
+          ), labeled AS (
+            SELECT t.doc_id, t.pos,
+              CASE
+                WHEN t.pos = r.root_pos THEN 0
+                WHEN t.upos = 'DET' THEN coalesce(nn.next_nom, r.root_pos)
+                WHEN t.upos = 'ADP' THEN coalesce(nn.next_nom, r.root_pos)
+                WHEN t.upos = 'VERB' THEN r.root_pos
+                WHEN t.pos < r.root_pos THEN
+                  CASE WHEN t.pos = r.first_nom THEN r.root_pos ELSE ns.prev_nom END
+                WHEN b.pos IS NOT NULL THEN r.root_pos
+                WHEN r.root_is_verb THEN r.root_pos
+                WHEN ns.prev_nom > r.root_pos THEN ns.prev_nom
+                ELSE r.root_pos
+              END AS head_pos,
+              CASE
+                WHEN t.pos = r.root_pos THEN 'root'
+                WHEN t.upos = 'DET' THEN CASE WHEN nn.next_nom IS NOT NULL THEN 'det' ELSE 'dep' END
+                WHEN t.upos = 'ADP' THEN CASE WHEN nn.next_nom IS NOT NULL THEN 'case' ELSE 'dep' END
+                WHEN t.upos = 'VERB' THEN 'dep'
+                WHEN t.pos < r.root_pos THEN
+                  CASE WHEN t.pos = r.first_nom THEN 'nsubj' ELSE 'appos' END
+                WHEN b.pos IS NOT NULL THEN 'obl'
+                WHEN r.root_is_verb THEN 'obj'
+                WHEN ns.prev_nom > r.root_pos THEN 'appos'
+                ELSE 'obj'
+              END AS deprel
+            FROM tagged t
+            JOIN roots r USING (doc_id)
+            LEFT JOIN nom_next nn ON nn.doc_id = t.doc_id AND nn.pos = t.pos
+            LEFT JOIN obl b ON b.doc_id = t.doc_id AND b.pos = t.pos
+            LEFT JOIN nominal_seq ns ON ns.doc_id = t.doc_id AND ns.pos = t.pos
+          )
+"""
 
 def oracle_sql() -> dict[str, str]:
     sw_en, sw_es, sw_fr = _sw_hits(_SW_EN), _sw_hits(_SW_ES), _sw_hits(_SW_FR)
@@ -1032,68 +1119,15 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
           ) GROUP BY upos, xpos, feats
         """,
-        "kg_deprel_distribution": """
-          WITH tk AS (
-            SELECT doc_id, lang,
-                   unnest([{'pos': i, 'tok': t[i]} FOR i IN range(1, len(t)+1)], recursive := true)
-            FROM (SELECT doc_id, lang,
-                    CASE WHEN lang = 'zh'
-                         THEN [substr(replace(text, ' ', ''), i, 1)
-                               FOR i IN range(1, length(replace(text, ' ', '')) + 1)]
-                         ELSE list_filter(string_split(text, ' '), x -> x <> '')
-                    END AS t
-                  FROM documents)
-          ), tagged AS (
-            SELECT doc_id, lang, pos, tok,
-                   CASE WHEN tok IN ('join','merge','sort','filter') THEN 'VERB'
-                        WHEN tok = 'a' AND lang = 'en' THEN 'DET'
-                        WHEN tok = 'a' THEN 'ADP'
-                        WHEN tok = 'the' AND lang = 'en' THEN 'DET'
-                        WHEN tok = 'o' AND lang <> 'en' THEN 'DET'
-                        ELSE 'NOUN' END AS upos
-            FROM tk
-          ), roots AS (
-            SELECT doc_id,
-                   coalesce(min(pos) FILTER (upos = 'VERB'),
-                            min(pos) FILTER (upos = 'NOUN')) AS root_pos,
-                   min(pos) FILTER (upos = 'VERB') IS NOT NULL AS root_is_verb,
-                   min(pos) FILTER (upos = 'NOUN') AS first_nom
-            FROM tagged GROUP BY doc_id
-          ), nom_next AS (  -- nearest nominal strictly after each position
-            SELECT t.doc_id, t.pos,
-                   (SELECT min(n.pos) FROM tagged n
-                    WHERE n.doc_id = t.doc_id AND n.upos = 'NOUN' AND n.pos > t.pos) AS next_nom
-            FROM tagged t
-          ), obl AS (  -- nominals that are the next nominal after some ADP
-            SELECT DISTINCT a.doc_id, nn.next_nom AS pos
-            FROM tagged a JOIN nom_next nn ON a.doc_id = nn.doc_id AND a.pos = nn.pos
-            WHERE a.upos = 'ADP' AND nn.next_nom IS NOT NULL
-          ), nominal_seq AS (  -- prev nominal-or-root position per nominal
-            SELECT doc_id, pos,
-                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_nom
-            FROM (SELECT t.doc_id, t.pos FROM tagged t JOIN roots r USING (doc_id)
-                  WHERE t.upos = 'NOUN' OR t.pos = r.root_pos)
-          ), labeled AS (
-            SELECT t.doc_id, t.pos,
-              CASE
-                WHEN t.pos = r.root_pos THEN 'root'
-                WHEN t.upos = 'DET' THEN CASE WHEN nn.next_nom IS NOT NULL THEN 'det' ELSE 'dep' END
-                WHEN t.upos = 'ADP' THEN CASE WHEN nn.next_nom IS NOT NULL THEN 'case' ELSE 'dep' END
-                WHEN t.upos = 'VERB' THEN 'dep'
-                WHEN t.pos < r.root_pos THEN
-                  CASE WHEN t.pos = r.first_nom THEN 'nsubj' ELSE 'appos' END
-                WHEN b.pos IS NOT NULL THEN 'obl'
-                WHEN r.root_is_verb THEN 'obj'
-                WHEN ns.prev_nom > r.root_pos THEN 'appos'
-                ELSE 'obj'
-              END AS deprel
-            FROM tagged t
-            JOIN roots r USING (doc_id)
-            LEFT JOIN nom_next nn ON nn.doc_id = t.doc_id AND nn.pos = t.pos
-            LEFT JOIN obl b ON b.doc_id = t.doc_id AND b.pos = t.pos
-            LEFT JOIN nominal_seq ns ON ns.doc_id = t.doc_id AND ns.pos = t.pos
-          )
+        "kg_deprel_distribution": f"""
+          {_KG_LABELED_DUCK}
           SELECT deprel, count(*) AS n FROM labeled GROUP BY deprel
+        """,
+        "kg_head_distribution": f"""
+          {_KG_LABELED_DUCK}
+          SELECT deprel, CASE WHEN head_pos = 0 THEN 0 ELSE head_pos - pos END AS dist,
+                 count(*) AS n
+          FROM labeled GROUP BY 1, 2
         """,
         "kg_triples": _KG_TRIPLES_DUCK,
         "kg_linked_canonical": f"""
