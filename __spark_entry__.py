@@ -356,6 +356,39 @@ def _docs_with_dups(spark, sf_dir):
     return docs.unionByName(clones)
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language training-mix sampling (hash-based, never
+    RNG: stable under any partitioning and replayable by the oracle)."""
+    from nlp_cube_spark.operators.sampling import stratified_hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_hash_sample(
+        docs, "lang", {"en": 0.5, "es": 0.25, "zh": 0.1}, key="doc_id", default=0.05
+    )
+    return out.select("doc_id", "lang")
+
+
+def q_train_val_test_split(spark, sf_dir):
+    from nlp_cube_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}).groupBy(
+        "split"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_pack_shards(spark, sf_dir):
+    """Token-budget shard packing: deterministic doc order, ~2000 chars per
+    shard; per-shard totals verify both the prefix sum and the boundaries."""
+    from nlp_cube_spark.operators.sampling import pack_by_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = pack_by_budget(docs, "n_chars", budget=2000, order_col="doc_id")
+    return packed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("chars")
+    )
+
+
 def q_exact_dups(spark, sf_dir):
     from nlp_cube_spark.operators.dedup import exact_duplicates
 
@@ -578,6 +611,9 @@ _QUERIES = {
         "doc_lang_id": q_doc_lang_id,
         "doc_quality": q_doc_quality,
         "exact_dups": q_exact_dups,
+        "stratified_sample": q_stratified_sample,
+        "train_val_test_split": q_train_val_test_split,
+        "pack_shards": q_pack_shards,
         "minhash_band_pairs": q_minhash_band_pairs,
         "simhash_signatures": q_simhash_signatures,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1015,6 +1051,29 @@ def oracle_sql() -> dict[str, str]:
                  round(alpha_ratio * 0.5 + stopword_ratio * 0.3
                        + (CASE WHEN mean_token_len BETWEEN 3 AND 10 THEN 0.2 ELSE 0.0 END), 6) AS quality
           FROM base
+        """,
+        "stratified_sample": f"""
+          SELECT doc_id, lang FROM documents
+          WHERE ({_H60_DUCK.format(x="CAST(doc_id AS VARCHAR) || ''")}) % 1000000
+                < CASE lang WHEN 'en' THEN 500000 WHEN 'es' THEN 250000
+                            WHEN 'zh' THEN 100000 ELSE 50000 END
+        """,
+        "train_val_test_split": f"""
+          SELECT split, count(*) AS n FROM (
+            SELECT CASE
+              WHEN ({_H60_DUCK.format(x="CAST(doc_id AS VARCHAR) || ''")}) % 1000000 < 50000 THEN 'test'
+              WHEN ({_H60_DUCK.format(x="CAST(doc_id AS VARCHAR) || ''")}) % 1000000 < 950000 THEN 'train'
+              ELSE 'val' END AS split
+            FROM documents
+          ) GROUP BY split
+        """,
+        "pack_shards": """
+          SELECT shard, count(*) AS n_docs, sum(n_chars) AS chars FROM (
+            SELECT CAST(floor(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000) AS INT) AS shard,
+                   n_chars
+            FROM documents
+          ) GROUP BY shard
         """,
         "exact_dups": f"""
           WITH docs AS ({_DOCS_DUPS_DUCK})

@@ -1,0 +1,56 @@
+"""Deterministic sampling/split/packing operators."""
+
+from pyspark.sql import functions as F
+
+from nlp_cube_spark.operators import sampling as SP
+
+
+def _docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet").localCheckpoint()
+
+
+def test_hash_sample_stable_under_repartition(spark):
+    docs = _docs(spark)
+    a = {r.doc_id for r in SP.hash_sample(docs, "doc_id", 0.3).select("doc_id").collect()}
+    b = {r.doc_id for r in SP.hash_sample(docs.repartition(13), "doc_id", 0.3).select("doc_id").collect()}
+    assert a == b and 0.15 < len(a) / docs.count() < 0.45
+
+
+def test_hash_split_disjoint_exhaustive_and_stable_under_growth(spark):
+    docs = _docs(spark)
+    full = {r.doc_id: r.split for r in SP.hash_split(docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}).collect()}
+    assert set(full.values()) == {"train", "val", "test"}
+    assert len(full) == docs.count()
+    # growth stability: the split of an existing doc never changes when the
+    # corpus shrinks/grows (assignment is a pure function of the key)
+    half = docs.where("doc_id % 2 = 0")
+    part = {r.doc_id: r.split for r in SP.hash_split(half, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}).collect()}
+    assert all(full[k] == v for k, v in part.items())
+
+
+def test_stratified_fractions_differ_by_stratum(spark):
+    docs = _docs(spark)
+    out = SP.stratified_hash_sample(docs, "lang", {"en": 0.8, "zh": 0.1}, key="doc_id", default=0.0)
+    got = {r.lang: r.n for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    tot = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got.get("en", 0) / tot["en"] > 0.6
+    assert got.get("zh", 0) <= tot["zh"] * 0.3
+    assert set(got) <= {"en", "zh"}  # default 0.0 drops other strata
+
+
+def test_pack_by_budget_invariants_and_no_global_sort(spark):
+    docs = _docs(spark)
+    packed = SP.pack_by_budget(docs, "n_chars", budget=1500, order_col="doc_id")
+    rows = sorted((r.doc_id, r.shard, r.n_chars) for r in packed.collect())
+    # shards are contiguous in doc order and monotone
+    shards = [s for _, s, _ in rows]
+    assert shards == sorted(shards)
+    # every shard's EXCLUSIVE prefix start lies in [shard*budget, (shard+1)*budget)
+    pre = 0
+    for _, s, n in rows:
+        assert s == pre // 1500
+        pre += n
+    # plan: the data-sized window is partitioned (only the #partitions-row
+    # offsets dimension may pass through a SinglePartition exchange)
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan
