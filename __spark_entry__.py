@@ -476,6 +476,18 @@ def q_kg_deprel_distribution(spark, sf_dir):
     return words.groupBy("deprel").agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_kg_words(spark, sf_dir):
+    """The capstone annotate check: the FULL per-word table (form, lemma,
+    upos, xpos, feats, head, deprel per (url, sent_id, word_id)) hash-
+    verified row-by-row against the SQL replay of the whole pipeline."""
+    from nlp_cube_spark.operators import annotate as A
+
+    words = A.annotate(_docs_as_pages(spark, sf_dir))
+    return words.select(
+        "url", "sent_id", "word_id", "form", "lemma", "upos", "xpos", "feats", "head", "deprel"
+    )
+
+
 def q_kg_head_distribution(spark, sf_dir):
     """MST-decoded head verification beyond triple patterns: distribution
     of (deprel, signed head distance); det/case attachment targets are
@@ -624,6 +636,7 @@ _QUERIES = {
         "kg_tag_distribution": q_kg_tag_distribution,
         "kg_deprel_distribution": q_kg_deprel_distribution,
         "kg_head_distribution": q_kg_head_distribution,
+        "kg_words": q_kg_words,
         "kg_triples": q_kg_triples,
         "kg_predicate_counts": q_kg_predicate_counts,
         "kg_linked_canonical": q_kg_linked_canonical,
@@ -835,7 +848,7 @@ _KG_LABELED_DUCK = """
             FROM (SELECT t.doc_id, t.pos FROM tagged t JOIN roots r USING (doc_id)
                   WHERE t.upos = 'NOUN' OR t.pos = r.root_pos)
           ), labeled AS (
-            SELECT t.doc_id, t.pos,
+            SELECT t.doc_id, t.pos, t.tok, t.lang, t.upos,
               CASE
                 WHEN t.pos = r.root_pos THEN 0
                 WHEN t.upos = 'DET' THEN coalesce(nn.next_nom, r.root_pos)
@@ -1187,6 +1200,25 @@ def oracle_sql() -> dict[str, str]:
           SELECT deprel, CASE WHEN head_pos = 0 THEN 0 ELSE head_pos - pos END AS dist,
                  count(*) AS n
           FROM labeled GROUP BY 1, 2
+        """,
+        "kg_words": f"""
+          {_KG_LABELED_DUCK}
+          SELECT 'https://ex.org/doc/' || doc_id AS url, CAST(0 AS INT) AS sent_id,
+                 pos AS word_id, tok AS form, tok AS lemma, upos,
+                 CASE WHEN tok IN ('join','merge','sort','filter') THEN 'VB'
+                      WHEN tok = 'a' AND lang = 'en' THEN 'DT'
+                      WHEN tok = 'a' THEN 'IN'
+                      WHEN tok = 'the' AND lang = 'en' THEN 'DT'
+                      WHEN tok = 'o' AND lang <> 'en' THEN 'DT'
+                      ELSE 'NN' END AS xpos,
+                 CASE WHEN tok IN ('join','merge','sort','filter') THEN 'VerbForm=Inf'
+                      WHEN tok = 'a' AND lang = 'en' THEN 'Definite=Ind|PronType=Art'
+                      WHEN tok = 'a' THEN '_'
+                      WHEN tok = 'the' AND lang = 'en' THEN 'Definite=Def|PronType=Art'
+                      WHEN tok = 'o' AND lang <> 'en' THEN 'Definite=Def|PronType=Art'
+                      ELSE 'Number=Sing' END AS feats,
+                 head_pos AS head, deprel
+          FROM labeled
         """,
         "kg_triples": _KG_TRIPLES_DUCK,
         "kg_linked_canonical": f"""
