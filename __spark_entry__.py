@@ -500,13 +500,13 @@ def q_kg_head_distribution(spark, sf_dir):
 
 
 def q_kg_triples(spark, sf_dir):
-    from nlp_cube_spark.operators import annotate as A, triples as TR
+    from nlp_cube_spark.operators import annotate as A
 
     return A.fused_triples(_docs_as_pages(spark, sf_dir)).select("url", "sent_id", "subj", "pred", "obj", "pattern")
 
 
 def q_kg_predicate_counts(spark, sf_dir):
-    from nlp_cube_spark.operators import annotate as A, triples as TR
+    from nlp_cube_spark.operators import annotate as A
 
     return A.fused_triples(_docs_as_pages(spark, sf_dir)).groupBy("pred").agg(F.count(F.lit(1)).alias("n"))
 
