@@ -34,30 +34,33 @@ _PKG_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # name -> version -> {"path": local-or-remote, "sha256": hex}
 # Local catalog (packaged artifacts). A deployment overrides/extends via
 # register() or a catalog.json next to the cache dir.
+# Digests are COMMITTED (scripts/train_micro_* regenerate them and print the
+# new digest) so packaged artifacts are verified from the very first
+# resolve — no trust-on-first-use window. register() entries may still pass
+# sha256=None to pin lazily (e.g. a user's own local artifact).
 _CATALOG: dict[str, dict[str, dict]] = {
-    # sha256 None = pinned lazily on first resolve for packaged files
     "micro_parser": {
         "1.0": {
             "path": os.path.join(_PKG_DIR, "kernels", "micro_parser_weights.json"),
-            "sha256": None,
+            "sha256": "1bf060f1ae857228546624c6ae376d8d7f12b0c9a58f6d4f1797d3ea22f68b98",
         }
     },
     "micro_tagger": {
         "1.0": {
             "path": os.path.join(_PKG_DIR, "kernels", "micro_tagger_weights.json"),
-            "sha256": None,
+            "sha256": "aafbadefa9c532ecccec62c1eec79898313a4bdd6cd47a0c7d1dc34a69f494f9",
         }
     },
     "micro_boundary": {
         "1.0": {
             "path": os.path.join(_PKG_DIR, "kernels", "micro_boundary_weights.json"),
-            "sha256": None,
+            "sha256": "a2f52000cff7b917eb39d3d4260ff407d106159f903109a93bdfc620221360bf",
         }
     },
     "micro_embeddings": {
         "1.0": {
             "path": os.path.join(_PKG_DIR, "kernels", "micro_embeddings.json"),
-            "sha256": None,
+            "sha256": "7d4023e7cdc26e6fb7016db4c1b53852b37c73eeb1214e91ec53be7c23eefa01",
         }
     },
 }

@@ -35,7 +35,7 @@ def join_is_shuffle_free(spark: SparkSession, df: DataFrame) -> bool:
 
 
 def compact_partitions(
-    spark: SparkSession, path: str, partition_col: str = "bucket",
+    spark: SparkSession, path: str, partition_col: str | list[str] = "bucket",
     target_mb: int = 128, sort_col: str | None = None,
 ) -> dict:
     """Small-file compaction for a partitioned parquet directory.
@@ -43,12 +43,21 @@ def compact_partitions(
     The streaming sink appends a file per (micro-batch x bucket); on object
     storage at 100 TB the resulting file census dominates scan planning
     time. This rewrites each partition into ceil(bytes/target_mb) files
-    via repartition on the partition column (one task per output partition
-    group), preserving the partition layout with dynamic overwrite —
-    rerunnable, and readers see either the old or the new complete
-    partition. `sort_col` additionally sorts rows within files so parquet
-    min/max page stats become selective (data-skipping, the non-catalog
-    half of what a Z-order/table-format OPTIMIZE buys).
+    via repartition on the partition column(s) (one task per output
+    partition group), preserving the partition layout with dynamic
+    overwrite — rerunnable, and readers see either the old or the new
+    complete partition. `sort_col` additionally sorts rows within files so
+    parquet min/max page stats become selective (data-skipping, the
+    non-catalog half of what a Z-order/table-format OPTIMIZE buys).
+
+    `partition_col` must list ALL the directory's partition columns IN
+    LAYOUT ORDER — the streaming sink (streaming/ingest.py) writes
+    partitionBy('batch_id', 'bucket'), so compact it with
+    partition_col=['batch_id', 'bucket']; compacting a subset would write a
+    new shallower layout next to the old dirs (duplicated rows on read).
+    The source stream MUST be stopped first: files appended between this
+    function's file listing and the overwrite commit would be silently
+    dropped from the compacted layout.
 
     Returns {'files_before': n, 'files_after': m}."""
     import math
@@ -69,13 +78,20 @@ def compact_partitions(
                 total += f.getLen()
         return n, total
 
+    part_cols = [partition_col] if isinstance(partition_col, str) else list(partition_col)
     files_before, total_bytes = census()
     df = spark.read.parquet(path)
+    missing = [c for c in part_cols if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"partition column(s) {missing} not in {path} — pass ALL the "
+            f"layout's partition columns (found: {df.columns})"
+        )
     n_out = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    out = df.repartition(n_out, partition_col)
+    out = df.repartition(n_out, *part_cols)
     if sort_col:
-        out = out.sortWithinPartitions(partition_col, sort_col)
-    out.write.partitionBy(partition_col).mode("overwrite").parquet(path)
+        out = out.sortWithinPartitions(*part_cols, sort_col)
+    out.write.partitionBy(*part_cols).mode("overwrite").parquet(path)
     files_after, _ = census()
     return {"files_before": files_before, "files_after": files_after}

@@ -265,16 +265,26 @@ def get_boundary(name: str):
 # ---------------------------------------------------------------- loading
 
 def _load_artifact(store_name: str, basename: str) -> dict:
-    """Same zip-safe loading ladder as load_weights."""
+    """Same zip-safe loading ladder as load_weights.
+
+    The modelstore path VERIFIES integrity: a sha256 mismatch (ValueError)
+    must propagate — falling back to the raw file would load the tampered
+    artifact anyway and make the check decorative. Only a missing/partial
+    modelstore (ImportError from a trimmed deploy, FileNotFoundError /
+    KeyError from a catalog that doesn't know this artifact) falls back."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), basename)
     if os.path.isfile(path):
         try:
             from ..io.modelstore import load_json
-
-            return load_json(store_name)
-        except Exception:
-            with open(path) as f:
-                return json.load(f)
+        except ImportError:
+            load_json = None
+        if load_json is not None:
+            try:
+                return load_json(store_name)
+            except (FileNotFoundError, KeyError):
+                pass  # not catalogued here — the packaged file is the source
+        with open(path) as f:
+            return json.load(f)
     from importlib import resources
 
     return json.loads(resources.files("nlp_cube_spark.kernels").joinpath(basename).read_text())

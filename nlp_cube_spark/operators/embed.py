@@ -24,6 +24,7 @@ slices, cf. the 512-wordpiece slicing at lm.py:172-181).
 from __future__ import annotations
 
 from collections.abc import Iterator
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
@@ -45,13 +46,21 @@ def hash_embed_np(forms: list[str], dim: int) -> np.ndarray:
     return out
 
 
+@lru_cache(maxsize=1)
+def _pinned_vectors() -> dict:
+    """Parsed-once-per-python-worker artifact cache: pinned_embed_np runs
+    once per 512-word CHUNK inside the hot fused stage, and re-reading +
+    re-hashing + re-parsing the ~2k-line JSON per chunk dominated the
+    kernel (ADVICE r2). Same pattern as kernels.learned._tagger_weights."""
+    from ..kernels.learned import _load_artifact
+
+    return _load_artifact("micro_embeddings", "micro_embeddings.json")["vectors"]
+
+
 def pinned_embed_np(forms: list[str], dim: int) -> np.ndarray:
     """Learned static vectors (modelstore artifact) with hash-embed OOV
     fallback; vectors are truncated/zero-padded to `dim`."""
-    from ..kernels.learned import _load_artifact
-
-    art = _load_artifact("micro_embeddings", "micro_embeddings.json")
-    vecs = art["vectors"]
+    vecs = _pinned_vectors()
     out = np.zeros((len(forms), dim), dtype=np.float64)
     oov: list[int] = []
     for i, f in enumerate(forms):

@@ -21,14 +21,23 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def with_salt(df: DataFrame, key: str, n_salt: int = 16, col: str = "salt") -> DataFrame:
-    """Deterministic, rerun-stable salt: xxhash64 over ALL row columns.
+    """Deterministic, rerun-stable salt: xxhash64 over every column EXCEPT
+    `key` (the payload). Content-derived, so it is stable under
+    repartitioning and task retry (monotonically_increasing_id /
+    spark_partition_id are not), and excluding the key makes the intent
+    honest: within one hot key the spread comes entirely from payload
+    variety.
 
-    Content-derived, so it is stable under repartitioning and task retry
-    (monotonically_increasing_id / spark_partition_id are not). Rows that
-    are bitwise-identical in every column land in the same salt bucket —
-    fine for skew (they are one logical value), and the degenerate
-    all-rows-identical case is exact-dedup territory, not salting."""
-    return df.withColumn(col, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salt)))
+    LIMITATION (by construction of any content-derived salt): rows whose
+    payload columns are bitwise-identical land in the same salt bucket, so
+    a hot key consisting of verbatim-duplicated rows does NOT spread. Such
+    duplicates are exact-dedup territory (operators/dedup.exact_duplicates)
+    — dedup or pre-aggregate before salting; a row_number-style
+    disambiguator would reintroduce the partition-identity nondeterminism
+    this module exists to avoid. Degenerate single-column frames (payload
+    empty) fall back to hashing the key, i.e. no spread."""
+    payload = [c for c in df.columns if c != key] or [key]
+    return df.withColumn(col, F.pmod(F.xxhash64(*[F.col(c) for c in payload]), F.lit(n_salt)))
 
 
 def hot_keys(df: DataFrame, key: str, min_count: int) -> DataFrame:

@@ -19,7 +19,7 @@ on any cluster layout AND lets DuckDB replay it bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 H60 = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
 _BUCKETS = 1_000_000
@@ -72,19 +72,12 @@ def pack_by_budget(
 
     shard = floor(exclusive-prefix-sum(size) / budget) — a document spans
     the boundary into the shard its prefix starts in (simple, stable, and
-    replayable as one SQL window). The prefix sum is computed WITHOUT a
-    global single-task sort: range-partition on order_col, per-partition
-    cumsum, then add broadcast per-partition offsets (#partitions rows)."""
-    parts = df.repartitionByRange(F.asc(order_col)).withColumn("_pid", F.spark_partition_id())
-    w_local = Window.partitionBy("_pid").orderBy(order_col).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    local = parts.withColumn("_pre", F.coalesce(F.sum(size_col).over(w_local), F.lit(0)))
-    sizes = local.groupBy("_pid").agg(F.sum(size_col).alias("_n"))
-    w_cum = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = sizes.withColumn("_off", F.coalesce(F.sum("_n").over(w_cum), F.lit(0))).select("_pid", "_off")
-    return (
-        local.join(F.broadcast(offsets), "_pid")
-        .withColumn(out_col, F.floor((F.col("_pre") + F.col("_off")) / budget).cast("int"))
-        .drop("_pid", "_pre", "_off")
-    )
+    replayable as one SQL window). The prefix sum is the shared
+    content-derived two-phase form (operators/ranges.py): no single-task
+    global sort, and — unlike the r2 repartitionByRange form — the bucket
+    assignment is a pure function of row content, so it cannot drift
+    between plan branches under AQE replans or retries."""
+    from .ranges import exclusive_prefix_sum
+
+    pre = exclusive_prefix_sum(df, [F.col(order_col)], size_col, out_col="_pre")
+    return pre.withColumn(out_col, F.floor(F.col("_pre") / budget).cast("int")).drop("_pre")

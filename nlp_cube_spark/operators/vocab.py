@@ -16,7 +16,7 @@ dimension-sized and meant to be broadcast to kernels.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 WORD_CUTOFF = 7  # reference encodings.py:26
 CHAR_CUTOFF = 5
@@ -26,24 +26,18 @@ def _rank_ids(df: DataFrame, key: str) -> DataFrame:
     """Global dense ids by (count desc, key asc) WITHOUT a single-task sort.
 
     A bare Window.orderBy funnels the whole vocab through one partition —
-    fine at sf0.01, a straggler at a 100M-row vocab. Two-phase instead:
-    range-partition on the sort key, rank within each partition (parallel),
-    then add per-partition offsets computed from the partition-size dim
-    (#partitions rows — broadcast join). Ids are identical to the global
-    window's because (count, key) is a total order (key is unique)."""
-    parts = df.repartitionByRange(F.desc("count"), F.asc(key)).withColumn(
-        "_pid", F.spark_partition_id()
+    fine at sf0.01, a straggler at a 100M-row vocab. The 0-based rank is
+    the exclusive prefix COUNT in (-count, key) order, computed with the
+    shared content-derived two-phase helper (operators/ranges.py) — ids are
+    identical to the global window's because (count, key) is a total order
+    (key is unique), and the bucket assignment is a pure function of row
+    content (no repartitionByRange/spark_partition_id drift hazard)."""
+    from .ranges import exclusive_prefix_sum
+
+    ranked = exclusive_prefix_sum(
+        df, [(-F.col("count")), F.col(key)], F.lit(1), out_col="_rk"
     )
-    w_local = Window.partitionBy("_pid").orderBy(F.desc("count"), F.asc(key))
-    local = parts.withColumn("_rk", F.row_number().over(w_local))
-    sizes = local.groupBy("_pid").agg(F.max("_rk").alias("_n"))
-    w_cum = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = sizes.withColumn("_off", F.coalesce(F.sum("_n").over(w_cum), F.lit(0))).select("_pid", "_off")
-    return (
-        local.join(F.broadcast(offsets), "_pid")
-        .withColumn("id", (F.col("_off") + F.col("_rk") - 1).cast("int"))
-        .drop("_pid", "_rk", "_off")
-    )
+    return ranked.withColumn("id", F.col("_rk").cast("int")).drop("_rk")
 
 
 def word_vocab(words: DataFrame, form_col: str = "form", cutoff: int = WORD_CUTOFF) -> DataFrame:

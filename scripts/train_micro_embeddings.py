@@ -83,6 +83,10 @@ def main():
     with open(path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     print(f"wrote {path}: {len(vocab)} words, dim {k}")
+    import hashlib
+
+    digest = hashlib.sha256(open(path, "rb").read()).hexdigest()
+    print(f"sha256 {digest}  <- update io/modelstore._CATALOG")
 
     # sanity: distributional structure exists (verbs nearer verbs than '.')
     from nlp_cube_spark.kernels import lexicon as L

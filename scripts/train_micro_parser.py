@@ -102,7 +102,11 @@ def main():
     )
     with open(out, "w") as f:
         json.dump(weights, f, indent=1, sort_keys=True)
+    import hashlib
+
+    digest = hashlib.sha256(open(out, "rb").read()).hexdigest()
     print(f"wrote {out} ({len(weights)} features)")
+    print(f"sha256 {digest}  <- update io/modelstore._CATALOG")
     if wrong or hw:
         print("WARNING: imperfect parity — do not ship these weights")
         sys.exit(1)

@@ -99,8 +99,13 @@ def main():
         held = fn(120, args.holdout_seed)
         hw, ht = accuracy(weights, held)
         print(f"  train {tt - tw}/{tt}  holdout {ht - hw}/{ht}  classes={len(weights['classes'])}")
-        with open(os.path.join(KERNELS_DIR, out_name), "w") as f:
+        out_path = os.path.join(KERNELS_DIR, out_name)
+        with open(out_path, "w") as f:
             json.dump(weights, f, indent=1, sort_keys=True)
+        import hashlib
+
+        digest = hashlib.sha256(open(out_path, "rb").read()).hexdigest()
+        print(f"  sha256 {digest}  <- update io/modelstore._CATALOG")
         if tw or hw:
             print(f"  WARNING: imperfect parity for {name}")
             failed = True

@@ -24,6 +24,40 @@ def test_sha_mismatch_raises(tmp_path):
         MS.resolve("tampered", "1.0")
 
 
+def test_catalog_ships_committed_digests():
+    """Packaged artifacts are verified from the FIRST resolve (no
+    trust-on-first-use window): every catalog entry carries a committed
+    sha256 that matches the packaged file (ADVICE r2)."""
+    for name in ("micro_parser", "micro_tagger", "micro_boundary", "micro_embeddings"):
+        entry = MS._CATALOG[name][MS.latest_version(name)]
+        assert entry["sha256"] is not None, f"{name} has no committed digest"
+        assert entry["sha256"] == MS._sha256(entry["path"])
+
+
+def test_tampered_artifact_blocks_kernel_load(tmp_path):
+    """A sha256 mismatch must PROPAGATE through the kernel loading ladder —
+    the r2 blanket-except silently fell back to the raw file, making the
+    integrity check decorative (ADVICE r2)."""
+    import shutil
+
+    from nlp_cube_spark.kernels import learned
+
+    src = MS._CATALOG["micro_parser"]["1.0"]["path"]
+    bad = tmp_path / os.path.basename(src)
+    shutil.copy(src, bad)
+    with open(bad, "a") as f:
+        f.write("\n")
+    old = MS._CATALOG["micro_parser"]["1.0"]["path"]
+    MS._CATALOG["micro_parser"]["1.0"]["path"] = str(bad)
+    try:
+        with pytest.raises(ValueError, match="sha256 mismatch"):
+            # _load_artifact only consults the store when the packaged file
+            # exists next to the kernels — it does; the store must veto.
+            learned._load_artifact("micro_parser", os.path.basename(src))
+    finally:
+        MS._CATALOG["micro_parser"]["1.0"]["path"] = old
+
+
 def test_version_resolution(tmp_path):
     for v in ("1.0", "2.5", "2.0"):
         f = tmp_path / f"m{v}.json"

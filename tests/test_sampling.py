@@ -50,7 +50,9 @@ def test_pack_by_budget_invariants_and_no_global_sort(spark):
     for _, s, n in rows:
         assert s == pre // 1500
         pre += n
-    # plan: the data-sized window is partitioned (only the #partitions-row
-    # offsets dimension may pass through a SinglePartition exchange)
+    # plan: the data-sized window is hash-partitioned on the content-derived
+    # bucket id (only the #buckets-row offsets dimension may pass through a
+    # SinglePartition exchange); no range exchange, no spark_partition_id
     plan = packed._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning" in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert "SPARK_PARTITION_ID" not in plan.upper()
