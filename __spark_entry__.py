@@ -488,6 +488,19 @@ def q_kg_words(spark, sf_dir):
     )
 
 
+def q_kg_words_learned(spark, sf_dir):
+    """Driver-visible LEARNED path (the pinned-weight joint tagger runs
+    inside the fused Arrow stage); the oracle replays the linear model
+    RELATIONALLY — committed weights inlined as a table, score =
+    feature-join + sum, argmax via ordered row_number with the committed
+    class-order tie-break — so the driver's hard hash signal covers the
+    learned kernel, not just parity tests."""
+    from nlp_cube_spark.operators import annotate as A
+
+    words = A.fused_words(_docs_as_pages(spark, sf_dir), tagger="learned")
+    return words.select("url", "word_id", "form", "upos", "xpos", "feats")
+
+
 def q_kg_head_distribution(spark, sf_dir):
     """MST-decoded head verification beyond triple patterns: distribution
     of (deprel, signed head distance); det/case attachment targets are
@@ -637,6 +650,7 @@ _QUERIES = {
         "kg_deprel_distribution": q_kg_deprel_distribution,
         "kg_head_distribution": q_kg_head_distribution,
         "kg_words": q_kg_words,
+        "kg_words_learned": q_kg_words_learned,
         "kg_triples": q_kg_triples,
         "kg_predicate_counts": q_kg_predicate_counts,
         "kg_linked_canonical": q_kg_linked_canonical,
@@ -880,6 +894,88 @@ _KG_LABELED_DUCK = """
             LEFT JOIN nominal_seq ns ON ns.doc_id = t.doc_id AND ns.pos = t.pos
           )
 """
+
+def _learned_tagger_duck() -> str:
+    """SQL replay of the pinned-weight joint tagger (kernels/learned.py
+    tag_features + perceptron_predict): the committed weights inlined as a
+    relation, the per-token feature list built with window functions,
+    score = feature-join + SUM, argmax = row_number ordered by
+    (score DESC, committed class order) — tie-break identical to
+    perceptron_predict. Weights are integers (vanilla-perceptron ±1
+    updates), so the sum is order-independent across engines."""
+    import json as _json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "nlp_cube_spark", "kernels", "micro_tagger_weights.json",
+    )
+    with open(path) as f:
+        art = _json.load(f)
+    classes = art["classes"]
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    wt_rows = ", ".join(
+        f"({q(feat)}, {classes.index(cls)}, {float(w)!r})"
+        for feat, cw in art["w"].items()
+        for cls, w in cw.items()
+    )
+    cls_rows = ", ".join(
+        "({}, {}, {}, {})".format(i, *(q(p) for p in cls.split("\t")))
+        for i, cls in enumerate(classes)
+    )
+    return f"""
+          WITH wt(feat, cls_idx, w) AS (VALUES {wt_rows}),
+          cls(cls_idx, upos, xpos, feats) AS (VALUES {cls_rows}),
+          tk AS (
+            SELECT doc_id, lang,
+                   unnest([{{'pos': i, 'tok': t[i]}} FOR i IN range(1, len(t)+1)], recursive := true)
+            FROM (SELECT doc_id, lang,
+                    CASE WHEN lang = 'zh'
+                         THEN [substr(replace(text, ' ', ''), i, 1)
+                               FOR i IN range(1, length(replace(text, ' ', '')) + 1)]
+                         ELSE list_filter(string_split(text, ' '), x -> x <> '')
+                    END AS t
+                  FROM documents)
+          ), ctx AS (
+            SELECT doc_id, lang, pos, tok, lower(tok) AS low,
+                   coalesce(lag(lower(tok)) OVER (PARTITION BY doc_id ORDER BY pos), '<s>') AS prev,
+                   coalesce(lead(lower(tok)) OVER (PARTITION BY doc_id ORDER BY pos), '</s>') AS nxt
+            FROM tk
+          ), feat AS (
+            SELECT doc_id, pos, unnest([
+              'w:' || low,
+              'wl:' || low || ':' || lang,
+              'suf1:' || right(low, 1),
+              'suf2:' || right(low, 2),
+              'suf3:' || right(low, 3),
+              'shape:U' || (CASE WHEN substr(tok, 1, 1) BETWEEN 'A' AND 'Z' THEN 'True' ELSE 'False' END)
+                 || ':F' || (CASE WHEN pos = 1 THEN 'True' ELSE 'False' END),
+              'num:' || (CASE WHEN regexp_matches(tok, '^[0-9][0-9.,]*$') THEN 'True' ELSE 'False' END),
+              'prev:' || prev,
+              'next:' || nxt,
+              'lang:' || lang,
+              'bias'
+            ]) AS feat
+            FROM ctx
+          ), sc AS (
+            SELECT f.doc_id, f.pos, w.cls_idx, sum(w.w) AS s
+            FROM feat f JOIN wt w USING (feat)
+            GROUP BY f.doc_id, f.pos, w.cls_idx
+          ), best AS (
+            SELECT t.doc_id, t.pos, t.tok, c.upos, c.xpos, c.feats,
+                   row_number() OVER (PARTITION BY t.doc_id, t.pos
+                                      ORDER BY coalesce(sc.s, 0) DESC, c.cls_idx ASC) AS rk
+            FROM tk t CROSS JOIN cls c
+            LEFT JOIN sc ON sc.doc_id = t.doc_id AND sc.pos = t.pos AND sc.cls_idx = c.cls_idx
+          )
+          SELECT 'https://ex.org/doc/' || doc_id AS url, pos AS word_id,
+                 tok AS form, upos, xpos, feats
+          FROM best WHERE rk = 1
+    """
+
 
 def oracle_sql() -> dict[str, str]:
     sw_en, sw_es, sw_fr = _sw_hits(_SW_EN), _sw_hits(_SW_ES), _sw_hits(_SW_FR)
@@ -1220,6 +1316,7 @@ def oracle_sql() -> dict[str, str]:
                  head_pos AS head, deprel
           FROM labeled
         """,
+        "kg_words_learned": _learned_tagger_duck(),
         "kg_triples": _KG_TRIPLES_DUCK,
         "kg_linked_canonical": f"""
           WITH RECURSIVE trip AS ({_KG_TRIPLES_DUCK}),

@@ -63,6 +63,18 @@ _CATALOG: dict[str, dict[str, dict]] = {
             "sha256": "7d4023e7cdc26e6fb7016db4c1b53852b37c73eeb1214e91ec53be7c23eefa01",
         }
     },
+    "micro_lemmatizer": {
+        "1.0": {
+            "path": os.path.join(_PKG_DIR, "kernels", "micro_lemmatizer_weights.json"),
+            "sha256": "a760698f8c83144ca0c196edc91fe96e032d2b660958187492c181e834879232",
+        }
+    },
+    "micro_mwt": {
+        "1.0": {
+            "path": os.path.join(_PKG_DIR, "kernels", "micro_mwt_weights.json"),
+            "sha256": "d8ad230f0b048a053d039cf22bad25157cb7459c6e6018a1c345fcc1d2e63e9e",
+        }
+    },
 }
 
 

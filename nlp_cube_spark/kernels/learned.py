@@ -262,6 +262,192 @@ def get_boundary(name: str):
     raise ValueError(f"unknown boundary classifier: {name!r}")
 
 
+# ------------------------------------------------------------- lemmatizer
+
+def edit_script(form: str, lemma: str) -> str:
+    """Derive the char-transduction class mapping form -> lemma:
+    'n_strip|append|case' over the lowercased form (strip n chars from the
+    end, append a string, then apply the case class). This is the standard
+    lemmatization-as-edit-script-classification reduction of the
+    reference's char seq2seq (lemmatizer.py:78-171): a finite class set
+    replaces the decoder, and the per-character case classes
+    (lemmatizer.py:210-224) collapse to {orig, low, cap} because the
+    recasing rule is positional (initial upper for PROPN)."""
+    low = form.lower()
+    if lemma == form and lemma != low:
+        return "0||orig"  # identity incl. original casing (PUNCT/SYM/NUM)
+    lem_low = lemma.lower()
+    p = 0
+    while p < len(low) and p < len(lem_low) and low[p] == lem_low[p]:
+        p += 1
+    n_strip = len(low) - p
+    append = lem_low[p:]
+    if lemma == lem_low:
+        case = "low"
+    elif lemma and lemma == lem_low[:1].upper() + lem_low[1:]:
+        case = "cap"
+    else:
+        case = "orig"  # lemma == form with mixed casing
+    return f"{n_strip}|{append}|{case}"
+
+
+def apply_edit(form: str, cls: str) -> str:
+    n_s, append, case = cls.split("|", 2)
+    if case == "orig":
+        return form
+    low = form.lower()
+    n = int(n_s)
+    base = (low[: len(low) - n] if n else low) + append
+    if case == "cap":
+        return base[:1].upper() + base[1:] if base else base
+    return base
+
+
+def lemma_features(form: str, upos: str, lang: str) -> list[str]:
+    """Suffix/shape features conditioned on UPOS + language — the signals
+    the reference's seq2seq conditions on (encoder reads chars + upos/lang
+    embeddings, lemmatizer.py:84-101)."""
+    low = form.lower()
+    n = len(low)
+    fs = [
+        f"u:{upos}",
+        f"ul:{upos}:{lang}",
+        f"w:{low}",
+        f"wu:{low}:{upos}",
+        f"wul:{low}:{upos}:{lang}",
+        f"len:{min(n, 8)}:{upos}",
+        "bias",
+    ]
+    for k in (1, 2, 3, 4):
+        fs.append(f"suf{k}:{low[-k:]}:{upos}")
+        fs.append(f"sufl{k}:{low[-k:]}:{upos}:{lang}")
+        fs.append(f"sufn{k}:{low[-k:]}:{min(n, 8)}:{upos}")
+    return fs
+
+
+@lru_cache(maxsize=1)
+def _lemma_weights() -> dict:
+    return _load_artifact("micro_lemmatizer", "micro_lemmatizer_weights.json")
+
+
+def lemmatize(form: str, upos: str, lang: str) -> str:
+    """Learned drop-in for lemma_rules.lemmatize: same pure
+    (form, upos, lang) -> lemma contract, so it slots behind the SAME
+    dedup-then-broadcast-join stage (operators/annotate.attach_lemmas)
+    with zero plan change."""
+    cls = perceptron_predict(_lemma_weights(), lemma_features(form, upos, lang))
+    return apply_edit(form, cls)
+
+
+def get_lemmatizer(name: str):
+    if name == "rules":
+        from . import lemma_rules
+
+        return lemma_rules.lemmatize
+    if name == "learned":
+        return lemmatize
+    raise ValueError(f"unknown lemmatizer: {name!r}")
+
+
+# ------------------------------------------------------------ MWT expander
+
+def mwt_program(form: str, words: list[str]) -> str:
+    """Derive the char-transduction program mapping a surface MWT form to
+    its word sequence — the classification reduction of the reference's
+    compound-word-expander seq2seq (compound.py:183-245). Program grammar
+    (one spec per output word, '|'-joined):
+      word 1: 's{n}+{app}'  strip n chars from the end of lower(form), append
+      word k: 'l{k}+{pre}'  the form's last k chars, prefixed with pre
+              'a+{lit}'     a literal word (no char overlap with the form)
+    The program depends only on SHAPE, so distinct surface forms with the
+    same contraction pattern share a class (es 'del'/'al' -> one class;
+    pt 'dos' generalizes from 'do'+plural shapes) — that sharing is what
+    lets the expander produce NON-dictionary expansions."""
+    low = form.lower()
+    specs = []
+    w1 = words[0].lower() if words else ""
+    p = 0
+    while p < len(low) and p < len(w1) and low[p] == w1[p]:
+        p += 1
+    specs.append(f"s{len(low) - p}+{w1[p:]}")
+    for w in words[1:]:
+        wl = w.lower()
+        k = 0
+        for kk in range(min(len(wl), len(low)), 0, -1):
+            if wl[-kk:] == low[-kk:]:
+                k = kk
+                break
+        specs.append(f"l{k}+{wl[:-k]}" if k else f"a+{wl}")
+    return "|".join(specs)
+
+
+def apply_mwt_program(form: str, program: str) -> list[str]:
+    low = form.lower()
+    out = []
+    for spec in program.split("|"):
+        op, arg = spec.split("+", 1)
+        if op.startswith("s"):
+            n = int(op[1:])
+            out.append((low[: len(low) - n] if n else low) + arg)
+        elif op.startswith("l"):
+            k = int(op[1:])
+            out.append(arg + (low[-k:] if k else ""))
+        else:
+            out.append(arg)
+    return out
+
+
+def mwt_features(form: str, lang: str) -> list[str]:
+    """Shape features: contraction programs are determined by the
+    (first char, final chars, length, language) shape — 'das' shares
+    shape:d:s:3:pt with 'dos', not with 'da' (length) or 'mas' (initial) —
+    so program classes transfer to unseen surface forms.
+
+    Deliberately NO bias/bare-lang/bare-length features: those only encode
+    class priors, which would drown the shape evidence transfer depends on.
+    A form with NO seen shape features scores 0 for every class and the
+    committed tie-break (perceptron_predict: earliest class in sorted
+    order) lands on the identity program 's0+' — first because every
+    program starts with an 's{n}' spec and n=0 sorts lowest — so unknown
+    surface forms pass through unchanged."""
+    low = form.lower()
+    n = min(len(low), 6)
+    return [
+        f"w:{low}",
+        f"wl:{low}:{lang}",
+        f"pre1:{low[:1]}:{lang}",
+        f"suf1:{low[-1:]}:{lang}",
+        f"suf2:{low[-2:]}:{lang}",
+        f"prelen:{low[:1]}:{n}:{lang}",
+        f"shape:{low[:1]}:{low[-1:]}:{n}:{lang}",
+        f"shape2:{low[:1]}:{low[-2:]}:{n}:{lang}",
+    ]
+
+
+@lru_cache(maxsize=1)
+def _mwt_weights() -> dict:
+    return _load_artifact("micro_mwt", "micro_mwt_weights.json")
+
+
+def expand_mwt(form: str, lang: str) -> list[str]:
+    """Learned drop-in for segment_rules.expand_mwt: same pure
+    (form, lang) -> words contract behind the same distinct-forms +
+    broadcast-join shape. Unlike the dictionary it can expand surface
+    forms it never saw, via program-class sharing."""
+    cls = perceptron_predict(_mwt_weights(), mwt_features(form, lang))
+    return apply_mwt_program(form, cls)
+
+
+def get_mwt_expander(name: str):
+    if name == "dict":
+        from . import segment_rules
+
+        return segment_rules.expand_mwt
+    if name == "learned":
+        return expand_mwt
+    raise ValueError(f"unknown MWT expander: {name!r}")
+
+
 # ---------------------------------------------------------------- loading
 
 def _load_artifact(store_name: str, basename: str) -> dict:

@@ -120,21 +120,27 @@ def segment(pages: DataFrame, text_col: str = "text") -> DataFrame:
 
 # ---------------------------------------------------------------- tag+parse
 
-def tag_parse(sentences: DataFrame, scorer: str = "rules", tagger: str = "rules") -> DataFrame:
+def tag_parse(
+    sentences: DataFrame, scorer: str = "rules", tagger: str = "rules",
+    mwt: str = "dict",
+) -> DataFrame:
     """sentences -> parsed words (MWT expansion + tagging + biaffine-style
     scoring + Chu-Liu/Edmonds + label assignment).
 
     Fuses reference ops #10-#16 (compound.py:183-245, parser.py:404-448,
     utils.py:400-577) into one Arrow stage; the score matrix lives only
     inside the kernel. `scorer` picks the arc-score kernel behind the seam
-    ('rules' default, 'learned' = pinned-weight micro-parser) — only the
-    name string crosses the closure; the plan is identical either way."""
+    ('rules' default, 'learned' = pinned-weight micro-parser); `mwt` picks
+    the compound expander ('dict' lexicon, 'learned' = edit-program
+    classifier able to expand unseen surface forms) — only name strings
+    cross the closure; the plan is identical either way."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..kernels.learned import get_scorer, get_tagger
+        from ..kernels.learned import get_mwt_expander, get_scorer, get_tagger
 
         score_fn = get_scorer(scorer)
         tag_fn = get_tagger(tagger)
+        mwt_fn = get_mwt_expander(mwt)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -143,7 +149,7 @@ def tag_parse(sentences: DataFrame, scorer: str = "rules", tagger: str = "rules"
                 forms, space, mwt_ids, tok_forms = [], [], [], []
                 for tok_idx, tok in enumerate(tokens, start=1):
                     words = (
-                        segment_rules.expand_mwt(tok["form"], lang) if tok["is_mwt"] else [tok["form"]]
+                        mwt_fn(tok["form"], lang) if tok["is_mwt"] else [tok["form"]]
                     )
                     for w in words:
                         forms.append(w)
@@ -196,21 +202,28 @@ LEMMA_SCHEMA = T.StructType(
 )
 
 
-def attach_lemmas(words: DataFrame) -> DataFrame:
+def attach_lemmas(words: DataFrame, lemmatizer: str = "rules") -> DataFrame:
     """flat words (no lemma) -> flat words with lemma column.
 
     Dedup-then-join (SURVEY.md §2a #17): lemma is a pure function of
     (form, upos, lang) — reference dedups training data on exactly this key
     (utils.py:109-115) but recomputes per-occurrence at inference; we compute
     per DISTINCT key and broadcast-join back. At web scale distinct forms
-    ≪ tokens (Zipf), so the kernel runs ~1000x fewer times."""
+    ≪ tokens (Zipf), so the kernel runs ~1000x fewer times.
+
+    `lemmatizer` picks the kernel behind the seam ('rules' default,
+    'learned' = pinned-weight edit-script classifier in kernels/learned.py);
+    only the name crosses the closure — the plan is identical either way."""
     keys = words.select("form", "upos", "lang").dropDuplicates()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.learned import get_lemmatizer
+
+        lem_fn = get_lemmatizer(lemmatizer)
         for pdf in batches:
             pdf = pdf.copy()
             pdf["lemma"] = [
-                lemma_rules.lemmatize(f, u, lg)
+                lem_fn(f, u, lg)
                 for f, u, lg in zip(pdf["form"], pdf["upos"], pdf["lang"])
             ]
             yield pdf
@@ -234,12 +247,12 @@ def attach_lemmas(words: DataFrame) -> DataFrame:
     )
 
 
-def lemmatize(parsed: DataFrame) -> DataFrame:
+def lemmatize(parsed: DataFrame, lemmatizer: str = "rules") -> DataFrame:
     """parsed (nested) -> flat words DF with lemma column."""
     words = parsed.select(
         "url", "lang", "sent_id", F.posexplode("words").alias("pos", "w")
     ).select("url", "lang", "sent_id", "w.*").drop("pos")
-    return attach_lemmas(words)
+    return attach_lemmas(words, lemmatizer=lemmatizer)
 
 
 FLAT_WORDS_SCHEMA = T.StructType(
@@ -263,7 +276,7 @@ FLAT_WORDS_SCHEMA = T.StructType(
 
 def fused_words(
     pages: DataFrame, text_col: str = "text", scorer: str = "rules",
-    tagger: str = "rules", boundary: str = "rules",
+    tagger: str = "rules", boundary: str = "rules", mwt: str = "dict",
 ) -> DataFrame:
     """pages -> flat words (no lemma) in ONE Arrow stage (cf. fused_triples)."""
 
@@ -274,7 +287,7 @@ def fused_words(
             rows = {f.name: [] for f in FLAT_WORDS_SCHEMA.fields}
             for url, lang, text in zip(pdf["url"], pdf["lang"], pdf[text_col]):
                 for sid, (forms, space, mwt_ids, tok_forms, tags, heads, labels) in enumerate(
-                    _annotate_doc(text, lang, scorer, tagger, boundary)
+                    _annotate_doc(text, lang, scorer, tagger, boundary, mwt)
                 ):
                     for i in range(len(forms)):
                         rows["url"].append(url)
@@ -299,12 +312,19 @@ def fused_words(
 
 def annotate(
     pages: DataFrame, text_col: str = "text", scorer: str = "rules",
-    tagger: str = "rules", boundary: str = "rules",
+    tagger: str = "rules", boundary: str = "rules", lemmatizer: str = "rules",
+    mwt: str = "dict",
 ) -> DataFrame:
     """pages -> flat annotated words DF (the engine's `words` table).
 
-    One fused Arrow stage + the lemma dedup-broadcast-join."""
-    return attach_lemmas(fused_words(pages, text_col=text_col, scorer=scorer, tagger=tagger, boundary=boundary))
+    One fused Arrow stage + the lemma dedup-broadcast-join. Each kernel
+    seam (scorer/tagger/boundary/lemmatizer) independently selects
+    'rules' or 'learned' (pinned-weight micro-models)."""
+    return attach_lemmas(
+        fused_words(pages, text_col=text_col, scorer=scorer, tagger=tagger,
+                    boundary=boundary, mwt=mwt),
+        lemmatizer=lemmatizer,
+    )
 
 
 def annotate_modular(pages: DataFrame, text_col: str = "text") -> DataFrame:
@@ -349,31 +369,38 @@ def words_to_sentences(words: DataFrame) -> DataFrame:
     )
 
 
-def reannotate(words: DataFrame, scorer: str = "rules", tagger: str = "rules") -> DataFrame:
+def reannotate(
+    words: DataFrame, scorer: str = "rules", tagger: str = "rules",
+    lemmatizer: str = "rules", mwt: str = "dict",
+) -> DataFrame:
     """Entry point B end-to-end: keep the caller's tokenization, redo
     tagging + parsing + lemmas. Output = flat annotated words DF."""
-    return lemmatize(tag_parse(words_to_sentences(words), scorer=scorer, tagger=tagger))
+    return lemmatize(
+        tag_parse(words_to_sentences(words), scorer=scorer, tagger=tagger, mwt=mwt),
+        lemmatizer=lemmatizer,
+    )
 
 
 # ---------------------------------------------------------------- fusion
 
 def _annotate_doc(
     text: str, lang: str, scorer: str = "rules",
-    tagger: str = "rules", boundary: str = "rules",
+    tagger: str = "rules", boundary: str = "rules", mwt: str = "dict",
 ):
     """One document through segment -> mwt -> tag -> parse. Returns
     (forms, space, mwt_ids, tok_forms, tags, heads, labels) per sentence.
-    scorer/tagger/boundary pick the kernel behind each model seam."""
-    from ..kernels.learned import get_scorer, get_tagger
+    scorer/tagger/boundary/mwt pick the kernel behind each model seam."""
+    from ..kernels.learned import get_mwt_expander, get_scorer, get_tagger
 
     score_fn = get_scorer(scorer)
     tag_fn = get_tagger(tagger)
+    mwt_fn = get_mwt_expander(mwt)
     _, sents = segment_rules.segment(text or "", lang, boundary=boundary)
     out = []
     for sent in sents:
         forms, space, mwt_ids, tok_forms = [], [], [], []
         for tok_idx, (form, spa, is_mwt) in enumerate(sent, start=1):
-            words = segment_rules.expand_mwt(form, lang) if is_mwt else [form]
+            words = mwt_fn(form, lang) if is_mwt else [form]
             for w in words:
                 forms.append(w)
                 space.append(spa)
@@ -402,7 +429,7 @@ TRIPLES_FUSED_SCHEMA = T.StructType(
 
 def fused_triples(
     pages: DataFrame, text_col: str = "text", scorer: str = "rules",
-    tagger: str = "rules", boundary: str = "rules",
+    tagger: str = "rules", boundary: str = "rules", mwt: str = "dict",
 ) -> DataFrame:
     """pages -> triples in ONE Arrow stage (the production scale path).
 
@@ -430,7 +457,7 @@ def fused_triples(
 
             for url, lang, text in zip(pdf["url"], pdf["lang"], pdf[text_col]):
                 for sid, (forms, _sp, _mw, _tf, tags, heads, labels) in enumerate(
-                    _annotate_doc(text, lang, scorer, tagger, boundary)
+                    _annotate_doc(text, lang, scorer, tagger, boundary, mwt)
                 ):
                     kids: dict[int, list[int]] = {}
                     for i, h in enumerate(heads):

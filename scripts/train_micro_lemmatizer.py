@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Train the pinned-weight micro-lemmatizer (kernels/learned.py).
+
+Same regime as train_micro_taggers.py: deterministic multiclass perceptron
+on rule-kernel gold, exact-parity gate on a held-out seed. The training
+table is the DISTINCT (form, upos, lang) keys of the annotated fixture
+corpus — exactly the dedup key of the Spark lemma stage
+(operators/annotate.attach_lemmas) and of the reference's training dedup
+(cube/networks/utils.py:109-115) — with the class being the form->lemma
+edit script (strip|append|case), the classification reduction of the
+reference's char seq2seq (lemmatizer.py:78-171).
+
+    python scripts/train_micro_lemmatizer.py [--docs 400] [--seed 7]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nlp_cube_spark.datagen import gen_pages
+from nlp_cube_spark.kernels import learned, lemma_rules
+from nlp_cube_spark.operators.annotate import _annotate_doc
+
+KERNELS_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "nlp_cube_spark", "kernels"
+)
+
+
+def lemma_keys(n_docs: int, seed: int) -> list[tuple[str, str, str]]:
+    """Distinct (form, upos, lang) over annotated fixture pages, in first-
+    sight corpus order (deterministic)."""
+    seen: dict[tuple[str, str, str], None] = {}
+    for page in gen_pages(n_docs, seed=seed):
+        for forms, _sp, _mw, _tf, tags, _hd, _lb in _annotate_doc(page["text"], page["lang"]):
+            for form, (u, _x, _f) in zip(forms, tags):
+                seen.setdefault((form, u, page["lang"]))
+    return list(seen)
+
+
+def examples(keys):
+    out = []
+    for form, upos, lang in keys:
+        gold_lemma = lemma_rules.lemmatize(form, upos, lang)
+        cls = learned.edit_script(form, gold_lemma)
+        assert learned.apply_edit(form, cls) == gold_lemma, (form, upos, lang, cls, gold_lemma)
+        out.append((learned.lemma_features(form, upos, lang), cls))
+    return out
+
+
+def train(exs, epochs: int = 30) -> dict:
+    classes = sorted({c for _, c in exs})
+    w: dict[str, dict[str, float]] = defaultdict(lambda: defaultdict(float))
+    weights = {"classes": classes, "w": w}
+    for ep in range(epochs):
+        errors = 0
+        for feats, gold in exs:
+            pred = learned.perceptron_predict(weights, feats)
+            if pred != gold:
+                errors += 1
+                for f in feats:
+                    w[f][gold] = w[f].get(gold, 0.0) + 1.0
+                    w[f][pred] = w[f].get(pred, 0.0) - 1.0
+        print(f"  epoch {ep}: {errors} errors / {len(exs)}")
+        if errors == 0:
+            break
+    return {
+        "classes": classes,
+        "w": {
+            f: {c: round(v, 6) for c, v in sorted(cw.items()) if v != 0.0}
+            for f, cw in sorted(w.items())
+            if any(v != 0.0 for v in cw.values())
+        },
+    }
+
+
+def lemma_accuracy(weights, keys) -> tuple[int, int]:
+    """End-to-end parity: predicted edit script APPLIED must equal the gold
+    lemma (a different script producing the same string still counts)."""
+    wrong = 0
+    for form, upos, lang in keys:
+        gold = lemma_rules.lemmatize(form, upos, lang)
+        cls = learned.perceptron_predict(weights, learned.lemma_features(form, upos, lang))
+        if learned.apply_edit(form, cls) != gold:
+            wrong += 1
+    return wrong, len(keys)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=400)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--holdout-seed", type=int, default=909)
+    args = ap.parse_args()
+
+    print("training micro_lemmatizer")
+    train_keys = lemma_keys(args.docs, args.seed)
+    weights = train(examples(train_keys))
+    tw, tt = lemma_accuracy(weights, train_keys)
+    held_keys = lemma_keys(120, args.holdout_seed)
+    hw, ht = lemma_accuracy(weights, held_keys)
+    print(f"  train {tt - tw}/{tt}  holdout {ht - hw}/{ht}  classes={len(weights['classes'])}")
+
+    out_path = os.path.join(KERNELS_DIR, "micro_lemmatizer_weights.json")
+    with open(out_path, "w") as f:
+        json.dump(weights, f, indent=1, sort_keys=True)
+    digest = hashlib.sha256(open(out_path, "rb").read()).hexdigest()
+    print(f"  wrote {out_path}")
+    print(f"  sha256 {digest}  <- update io/modelstore._CATALOG")
+    if tw or hw:
+        print("  WARNING: imperfect parity — do not ship these weights")
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""Train the pinned-weight micro-MWT-expander (kernels/learned.py).
+
+The reference's compound-word expander is a per-language char seq2seq
+(compound.py:183-245); the pinned counterpart classifies an edit PROGRAM
+(per-word char transduction specs, kernels/learned.mwt_program) from
+surface-form shape features. Training pairs are public-knowledge Romance/
+Germanic contractions (committed below — linguistic facts, not reference
+artifacts) plus identity examples; the gate requires exact parity on
+training AND on a held-out set of forms whose programs are only reachable
+via class sharing — i.e. the expander must produce expansions NO
+dictionary lookup could.
+
+    python scripts/train_micro_mwt.py
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nlp_cube_spark.kernels import learned
+
+KERNELS_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "nlp_cube_spark", "kernels"
+)
+
+# (lang, surface, expansion) — standard contractions (public knowledge).
+TRAIN_PAIRS: list[tuple[str, str, list[str]]] = [
+    ("es", "del", ["de", "el"]),
+    ("es", "al", ["a", "el"]),
+    ("fr", "du", ["de", "le"]),
+    ("fr", "des", ["de", "les"]),
+    ("fr", "au", ["à", "le"]),
+    ("fr", "aux", ["à", "les"]),
+    ("pt", "do", ["de", "o"]),
+    ("pt", "da", ["de", "a"]),
+    ("pt", "dos", ["de", "os"]),
+    ("pt", "no", ["em", "o"]),
+    ("pt", "na", ["em", "a"]),
+    ("pt", "nos", ["em", "os"]),
+    ("pt", "ao", ["a", "o"]),
+    ("pt", "aos", ["a", "os"]),
+    ("de", "zum", ["zu", "dem"]),
+    ("de", "zur", ["zu", "der"]),
+    ("de", "im", ["in", "dem"]),
+    ("de", "am", ["an", "dem"]),
+    # identity: tokens wrongly flagged MWT must pass through unchanged —
+    # cover many shapes/lengths so 'expand' needs specific shape evidence
+    ("es", "casa", ["casa"]),
+    ("es", "sol", ["sol"]),
+    ("es", "luz", ["luz"]),
+    ("es", "tres", ["tres"]),
+    ("es", "agua", ["agua"]),
+    ("fr", "ville", ["ville"]),
+    ("fr", "eau", ["eau"]),
+    ("fr", "roi", ["roi"]),
+    ("fr", "pain", ["pain"]),
+    ("pt", "rio", ["rio"]),
+    ("pt", "rua", ["rua"]),
+    ("pt", "mas", ["mas"]),
+    ("pt", "mesa", ["mesa"]),
+    ("pt", "casa", ["casa"]),
+    ("en", "the", ["the"]),
+    ("en", "of", ["of"]),
+    ("en", "was", ["was"]),
+    ("en", "has", ["has"]),
+    ("de", "und", ["und"]),
+    ("de", "haus", ["haus"]),
+    ("de", "berg", ["berg"]),
+]
+
+# Held out from training entirely: solvable ONLY by program-class sharing
+# (das/nas share 's2+e|l2+' / 's2+em|l2+' with dos/nos via the plural-s
+# shape; vila/mar are identity generalization).
+HELDOUT_PAIRS: list[tuple[str, str, list[str]]] = [
+    ("pt", "das", ["de", "as"]),
+    ("pt", "nas", ["em", "as"]),
+    ("pt", "vila", ["vila"]),
+    ("es", "mar", ["mar"]),
+]
+
+
+def examples(pairs):
+    out = []
+    for lang, form, words in pairs:
+        cls = learned.mwt_program(form, words)
+        assert learned.apply_mwt_program(form, cls) == words, (form, words, cls)
+        out.append((learned.mwt_features(form, lang), cls, form, words))
+    return out
+
+
+def _scores(w, feats):
+    s: dict[str, float] = {}
+    for f in feats:
+        for cls, v in w.get(f, {}).items():
+            s[cls] = s.get(cls, 0.0) + v
+    return s
+
+
+def train(exs, epochs: int = 30, margin: float = 1.0) -> dict:
+    """AVERAGED perceptron with a margin: unlike the tagger/boundary
+    trainers (vanilla, which stop updating at 0 train errors), the MWT
+    expander is graded on held-out forms reachable only through SHARED
+    shape features — averaging + margin keep spreading weight onto those
+    shared features after the training set is separable, which is what
+    makes the program classes transfer."""
+    classes = sorted({c for _, c, _, _ in exs})
+    w: dict[str, dict[str, float]] = defaultdict(lambda: defaultdict(float))
+    acc: dict[str, dict[str, float]] = defaultdict(lambda: defaultdict(float))
+    t = 1
+    for ep in range(epochs):
+        errors = 0
+        for feats, gold, _, _ in exs:
+            s = _scores(w, feats)
+            rival, rival_s = None, None
+            for cls in classes:
+                if cls == gold:
+                    continue
+                sc = s.get(cls, 0.0)
+                if rival_s is None or sc > rival_s:
+                    rival, rival_s = cls, sc
+            if rival is not None and s.get(gold, 0.0) - rival_s < margin:
+                errors += 1
+                for f in feats:
+                    w[f][gold] += 1.0
+                    w[f][rival] -= 1.0
+                    acc[f][gold] += t
+                    acc[f][rival] -= t
+            t += 1
+        print(f"  epoch {ep}: {errors} margin violations / {len(exs)}")
+        if errors == 0:
+            break
+    # averaged weights: w_avg = w - acc/t
+    return {
+        "classes": classes,
+        "w": {
+            f: {
+                c: round(v - acc[f][c] / t, 6)
+                for c, v in sorted(cw.items())
+                if round(v - acc[f][c] / t, 6) != 0.0
+            }
+            for f, cw in sorted(w.items())
+            if any(round(v - acc[f][c] / t, 6) != 0.0 for c, v in cw.items())
+        },
+    }
+
+
+def expansion_accuracy(weights, pairs) -> tuple[int, int]:
+    wrong = 0
+    for lang, form, words in pairs:
+        cls = learned.perceptron_predict(weights, learned.mwt_features(form, lang))
+        if learned.apply_mwt_program(form, cls) != words:
+            print(f"    MISS {lang} {form}: got {learned.apply_mwt_program(form, cls)}, want {words}")
+            wrong += 1
+    return wrong, len(pairs)
+
+
+def main():
+    print("training micro_mwt")
+    exs = examples(TRAIN_PAIRS)
+    weights = train(exs)
+    tw, tt = expansion_accuracy(weights, TRAIN_PAIRS)
+    hw, ht = expansion_accuracy(weights, HELDOUT_PAIRS)
+    print(f"  train {tt - tw}/{tt}  heldout {ht - hw}/{ht}  classes={len(weights['classes'])}")
+
+    out_path = os.path.join(KERNELS_DIR, "micro_mwt_weights.json")
+    with open(out_path, "w") as f:
+        json.dump(weights, f, indent=1, sort_keys=True)
+    digest = hashlib.sha256(open(out_path, "rb").read()).hexdigest()
+    print(f"  wrote {out_path}")
+    print(f"  sha256 {digest}  <- update io/modelstore._CATALOG")
+    if tw or hw:
+        print("  WARNING: imperfect parity — do not ship these weights")
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -91,3 +91,134 @@ def test_all_three_learned_kernels_same_engine_output(spark):
     p_l = learned_df._jdf.queryExecution().executedPlan().toString()
     assert p_r.count("MapInPandas") == p_l.count("MapInPandas") == 1
     assert p_r.count("Exchange") == p_l.count("Exchange")
+
+
+def test_learned_mwt_matches_dictionary_on_fixture_langs():
+    """Every dictionary entry the fixtures can produce must expand
+    identically through the learned edit-program classifier."""
+    from nlp_cube_spark.kernels import segment_rules
+
+    for lang, table in segment_rules.MWT_LEXICON.items():
+        for form, words in table.items():
+            assert learned.expand_mwt(form, lang) == words, (lang, form)
+
+
+def test_learned_mwt_expands_non_dictionary_forms():
+    """The seq2seq-shaped capability the dictionary cannot have: surface
+    forms ABSENT from MWT_LEXICON (and from the trainer's pair list) expand
+    via shared edit-program classes; unknown shapes pass through."""
+    from nlp_cube_spark.kernels import segment_rules
+
+    assert "das" not in segment_rules.MWT_LEXICON.get("pt", {})
+    assert learned.expand_mwt("das", "pt") == ["de", "as"]
+    assert learned.expand_mwt("nas", "pt") == ["em", "as"]
+    # identity fallback for unseen non-contraction shapes
+    assert learned.expand_mwt("zzzqx", "pt") == ["zzzqx"]
+    assert learned.expand_mwt("table", "en") == ["table"]
+
+
+def test_learned_mwt_same_engine_output_and_plan(spark):
+    pages = pages_df(spark, 30, seed=HELDOUT_SEED).localCheckpoint()
+    d = A.fused_triples(pages)
+    l = A.fused_triples(pages, mwt="learned")
+    assert d.exceptAll(l).count() == 0 and l.exceptAll(d).count() == 0
+    p_d = d._jdf.queryExecution().executedPlan().toString()
+    p_l = l._jdf.queryExecution().executedPlan().toString()
+    assert p_d.count("MapInPandas") == p_l.count("MapInPandas") == 1
+    assert p_d.count("Exchange") == p_l.count("Exchange")
+
+
+def _mwt_gold(spark):
+    """One pt sentence whose tokenization contains the NON-dictionary MWT
+    'das' expanded to (de, as) — entry-point-B gold."""
+    from nlp_cube_spark.io.conllu import WORDS_SCHEMA
+
+    rows = [
+        ("u1", "pt", 0, 1, 0, "Ana", "Ana", "ana", "PROPN", "NNP", "_", 4, "nsubj", True),
+        ("u1", "pt", 0, 2, 2, "das", "de", "de", "ADP", "IN", "_", 4, "case", True),
+        ("u1", "pt", 0, 3, 2, "das", "as", "a", "DET", "DT", "_", 4, "det", True),
+        ("u1", "pt", 0, 4, 0, "casas", "casas", "casa", "NOUN", "NN", "_", 0, "root", False),
+        ("u1", "pt", 0, 5, 0, ".", ".", ".", "PUNCT", ".", "_", 4, "punct", False),
+    ]
+    data = [
+        dict(zip(
+            ("url", "lang", "sent_id", "word_id", "mwt_id", "tok_form", "form",
+             "lemma", "upos", "xpos", "feats", "head", "deprel", "space_after"),
+            r,
+        ))
+        for r in rows
+    ]
+    return spark.createDataFrame(data, WORDS_SCHEMA).localCheckpoint()
+
+
+def test_non_dictionary_mwt_flows_through_engine_and_lcs(spark):
+    """VERDICT r3 item 5 'done' condition: a non-dictionary expansion flows
+    through the engine (entry point B, mwt='learned') AND the dictionary
+    path forces the evaluator's LCS alignment inside the MWT region."""
+    from nlp_cube_spark.operators import evaluate as EV
+
+    gold = _mwt_gold(spark)
+    sys_learned = A.reannotate(gold, mwt="learned").localCheckpoint()
+    got = {(r.word_id, r.form, r.mwt_id) for r in sys_learned.collect()}
+    assert (2, "de", 2) in got and (3, "as", 2) in got, got  # the expansion itself
+    m = EV.evaluate(sys_learned, gold)
+    assert m["Tokens"]["f1"] == 1.0 and m["Words"]["f1"] == 1.0
+
+    # dictionary expander cannot expand 'das': word counts differ in the MWT
+    # region, so scoring REQUIRES the LCS alignment path (a crash or 0 score
+    # here would mean the region was never aligned)
+    sys_dict = A.reannotate(gold, mwt="dict").localCheckpoint()
+    assert sys_dict.count() == 4  # das stayed one word
+    m2 = EV.evaluate(sys_dict, gold)
+    assert m2["Tokens"]["f1"] == 1.0  # surface tokenization still matches
+    assert m2["Words"]["f1"] < 1.0  # 4 system words vs 5 gold words
+
+
+def test_learned_lemmatizer_matches_rules_on_heldout():
+    """The last neural stage gets its pinned-weight counterpart (reference
+    lemmatizer.py:78-171 incl. recasing :216-222): edit-script
+    classification must reproduce the rule lemmatizer on every distinct
+    (form, upos, lang) key of held-out pages."""
+    from nlp_cube_spark.kernels import lemma_rules
+
+    keys = set()
+    for page in gen_pages(80, seed=HELDOUT_SEED):
+        for forms, _sp, _mw, _tf, tags, _hd, _lb in _annotate_doc(page["text"], page["lang"]):
+            for form, (u, _x, _f) in zip(forms, tags):
+                keys.add((form, u, page["lang"]))
+    assert len(keys) > 50
+    for form, upos, lang in sorted(keys):
+        assert learned.lemmatize(form, upos, lang) == lemma_rules.lemmatize(form, upos, lang), (
+            form, upos, lang,
+        )
+
+
+def test_edit_script_roundtrip_properties():
+    """edit_script/apply_edit invert each other on representative shapes:
+    suffix strips, irregulars (full rewrite), recasing classes, identity."""
+    cases = [
+        ("walks", "walk"), ("cities", "city"), ("is", "be"), ("Alice", "Alice"),
+        ("RUNNING", "run"), ("3.5", "3.5"), (".", "."), ("está", "estar"),
+        ("McDonald", "Mcdonald"), ("", ""),
+    ]
+    for form, lemma in cases:
+        cls = learned.edit_script(form, lemma)
+        assert learned.apply_edit(form, cls) == lemma, (form, lemma, cls)
+
+
+def test_all_four_learned_kernels_same_words_table(spark):
+    """annotate() with every seam on 'learned' (boundary+tagger+parser+
+    lemmatizer) — bit-identical words table and identical plan (the lemma
+    stage stays one dedup + broadcast join either way)."""
+    pages = pages_df(spark, 30, seed=HELDOUT_SEED).localCheckpoint()
+    w_rules = A.annotate(pages)
+    w_learned = A.annotate(
+        pages, scorer="learned", tagger="learned", boundary="learned", lemmatizer="learned"
+    )
+    assert w_rules.exceptAll(w_learned).count() == 0
+    assert w_learned.exceptAll(w_rules).count() == 0
+    p_r = w_rules._jdf.queryExecution().executedPlan().toString()
+    p_l = w_learned._jdf.queryExecution().executedPlan().toString()
+    assert p_r.count("MapInPandas") == p_l.count("MapInPandas")
+    assert p_r.count("BroadcastHashJoin") == p_l.count("BroadcastHashJoin")
+    assert p_r.count("Exchange") == p_l.count("Exchange")
