@@ -594,6 +594,18 @@ def q_multimodal_features(spark, sf_dir):
     return MM.extract_features(assets, dim=8).select("asset_id", "kind", "n_bytes", "content_hash")
 
 
+def q_multimodal_decoded(spark, sf_dir):
+    """Real media decode: synthesize valid PNG/JPEG/WAV/MP4 payloads from
+    doc_id, then strictly parse the container headers back (PNG IHDR+CRC,
+    JPEG SOF, RIFF fmt/data, ISO-BMFF mvhd). The oracle replays the
+    generators' closed-form parameter arithmetic in SQL, so a hash match
+    proves the parser extracted exactly the fields embedded in the bytes."""
+    from nlp_cube_spark.operators import multimodal as MM
+
+    assets = MM.synth_media_assets(spark, _t(spark, sf_dir, "documents"))
+    return MM.decode_assets(assets)
+
+
 def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_shipped(spark)
@@ -658,6 +670,7 @@ _QUERIES = {
         "vocab_words": q_vocab_words,
         "vocab_chars": q_vocab_chars,
         "multimodal_features": q_multimodal_features,
+        "multimodal_decoded": q_multimodal_decoded,
     }
 
 
@@ -1457,6 +1470,29 @@ def oracle_sql() -> dict[str, str]:
                  ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
                  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
                  md5(text) AS content_hash
+          FROM documents
+        """,
+        "multimodal_decoded": """
+          SELECT doc_id AS asset_id,
+                 ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+                 CASE WHEN doc_id % 3 = 0 THEN (CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END)
+                      WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'mp4' END AS format,
+                 CAST(CASE
+                      WHEN doc_id % 3 = 0 AND doc_id % 2 = 0
+                           THEN 68 + (16 + (doc_id * 7) % 49) * (1 + 3 * (16 + doc_id % 49))
+                      WHEN doc_id % 3 = 0 THEN 55 + 64 + doc_id % 937
+                      WHEN doc_id % 3 = 1 THEN 44 + (100 + doc_id % 900) * (1 + doc_id % 2) * 2
+                      ELSE 144 + 32 + doc_id % 701 END AS INT) AS n_bytes,
+                 CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 49 END AS INT) AS width,
+                 CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id * 7) % 49 END AS INT) AS height,
+                 CAST(CASE WHEN doc_id % 3 = 0 THEN 8 WHEN doc_id % 3 = 1 THEN 16 END AS INT) AS bit_depth,
+                 CAST(CASE WHEN doc_id % 3 = 0 THEN 3
+                           WHEN doc_id % 3 = 1 THEN 1 + doc_id % 2 END AS INT) AS channels,
+                 CAST(CASE WHEN doc_id % 3 = 1
+                           THEN [8000,16000,22050,44100][CAST(doc_id % 4 AS INT) + 1] END AS INT) AS sample_rate,
+                 CAST(CASE WHEN doc_id % 3 = 1 THEN 100 + doc_id % 900 END AS BIGINT) AS n_samples,
+                 CAST(CASE WHEN doc_id % 3 = 2 THEN 600 + (doc_id % 5) * 600 END AS BIGINT) AS timescale,
+                 CAST(CASE WHEN doc_id % 3 = 2 THEN 500 * (1 + doc_id % 20) + doc_id % 7 END AS BIGINT) AS duration
           FROM documents
         """,
         "vocab_chars": """

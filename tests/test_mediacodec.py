@@ -1,0 +1,135 @@
+"""Media codec: header parsers vs golden bytes, malformed-input errors,
+and the strict Spark-side decode stage."""
+
+import struct
+import zlib
+
+import pytest
+
+from nlp_cube_spark.kernels import mediacodec as mc
+from nlp_cube_spark.operators import multimodal as MM
+
+# Golden byte literals, written out by hand from the specs (NOT produced by
+# the encoders) so the parsers are tested independently of make_*().
+# 3x2 8-bit grayscale PNG, IHDR only up to what the parser needs.
+_IHDR = struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0)
+GOLDEN_PNG = (
+    b"\x89PNG\r\n\x1a\n"
+    + struct.pack(">I", 13)
+    + b"IHDR"
+    + _IHDR
+    + struct.pack(">I", zlib.crc32(b"IHDR" + _IHDR) & 0xFFFFFFFF)
+    + struct.pack(">I", 0)
+    + b"IEND"
+    + struct.pack(">I", zlib.crc32(b"IEND") & 0xFFFFFFFF)
+)
+# SOI + SOF2 (progressive, 1 component, 100x50) + EOI
+GOLDEN_JPEG = (
+    b"\xff\xd8"
+    + b"\xff\xc2"
+    + struct.pack(">HBHHB", 11, 12, 50, 100, 1)
+    + bytes([1, 0x11, 0])
+    + b"\xff\xd9"
+)
+# 8kHz mono PCM16, 4 samples of silence
+GOLDEN_WAV = (
+    b"RIFF" + struct.pack("<I", 44) + b"WAVE"
+    + b"fmt " + struct.pack("<I", 16) + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    + b"data" + struct.pack("<I", 8) + b"\x00" * 8
+)
+# ftyp + moov(mvhd v1: 64-bit duration)
+_MVHD_V1 = (
+    struct.pack(">B3x", 1) + struct.pack(">QQ", 0, 0) + struct.pack(">IQ", 90000, 123456789)
+)
+GOLDEN_MP4 = (
+    struct.pack(">I", 16) + b"ftyp" + b"isom" + struct.pack(">I", 0)
+    + struct.pack(">I", 8 + 8 + len(_MVHD_V1)) + b"moov"
+    + struct.pack(">I", 8 + len(_MVHD_V1)) + b"mvhd" + _MVHD_V1
+)
+
+
+def test_golden_png():
+    d = mc.decode_header(GOLDEN_PNG)
+    assert d == {"format": "png", "width": 3, "height": 2, "bit_depth": 8, "channels": 1}
+
+
+def test_golden_jpeg_progressive():
+    d = mc.decode_header(GOLDEN_JPEG)
+    assert d == {"format": "jpeg", "width": 100, "height": 50, "bit_depth": 12, "channels": 1}
+
+
+def test_golden_wav():
+    d = mc.decode_header(GOLDEN_WAV)
+    assert d == {"format": "wav", "channels": 1, "sample_rate": 8000, "bit_depth": 16, "n_samples": 4}
+
+
+def test_golden_mp4_v1_mvhd():
+    d = mc.decode_header(GOLDEN_MP4)
+    assert d == {"format": "mp4", "timescale": 90000, "duration": 123456789}
+
+
+@pytest.mark.parametrize(
+    "make,args,want",
+    [
+        (mc.make_png, (33, 41), {"format": "png", "width": 33, "height": 41, "channels": 3}),
+        (mc.make_jpeg, (640, 480, 99), {"format": "jpeg", "width": 640, "height": 480}),
+        (mc.make_wav, (44100, 2, 555), {"format": "wav", "sample_rate": 44100, "channels": 2, "n_samples": 555}),
+        (mc.make_mp4, (1000, 4321, 10), {"format": "mp4", "timescale": 1000, "duration": 4321}),
+    ],
+)
+def test_encoder_roundtrip(make, args, want):
+    d = mc.decode_header(make(*args))
+    assert {k: d[k] for k in want} == want
+
+
+def test_encoder_sizes_closed_form():
+    assert len(mc.make_png(20, 30)) == 68 + 30 * (1 + 3 * 20)
+    assert len(mc.make_jpeg(20, 30, 77)) == 55 + 77
+    assert len(mc.make_wav(8000, 1, 200)) == 44 + 200 * 2
+    assert len(mc.make_mp4(600, 1, 50)) == 144 + 50
+
+
+def test_png_crc_tamper_detected():
+    bad = bytearray(mc.make_png(8, 8))
+    bad[20] ^= 1  # flip a bit inside IHDR width
+    with pytest.raises(mc.MediaDecodeError, match="CRC"):
+        mc.decode_header(bytes(bad))
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [
+        b"",
+        b"plain text payload",
+        GOLDEN_PNG[:20],  # truncated mid-IHDR
+        b"\xff\xd8\xff\xda" + struct.pack(">H", 4) + b"\x00\x00",  # SOS before SOF
+        b"RIFF\x00\x00\x00\x00WAVEdata\x04\x00\x00\x00\x00\x00\x00\x00",  # no fmt
+    ],
+)
+def test_malformed_raises(payload):
+    with pytest.raises(mc.MediaDecodeError):
+        mc.decode_header(payload)
+
+
+def test_decode_media_strict_and_lenient():
+    with pytest.raises(mc.MediaDecodeError):
+        MM.decode_media(b"not a container", "image", strict=True)
+    obj = MM.decode_media(b"not a container", "image", strict=False)
+    assert obj["n_bytes"] == 15 and "format" not in obj
+    obj = MM.decode_media(GOLDEN_WAV, "audio", strict=True)
+    assert obj["format"] == "wav" and obj["n_bytes"] == len(GOLDEN_WAV)
+
+
+def test_decode_assets_spark(spark):
+    docs = spark.createDataFrame(
+        [(i, "websrc", "en") for i in range(12)], "doc_id long, source string, lang string"
+    )
+    rows = {r["asset_id"]: r for r in MM.decode_assets(MM.synth_media_assets(spark, docs)).collect()}
+    assert len(rows) == 12
+    assert rows[0]["format"] == "png" and rows[0]["width"] == 16 and rows[0]["height"] == 16
+    assert rows[3]["format"] == "jpeg" and rows[3]["width"] == 19 and rows[3]["height"] == 16 + 21
+    assert rows[1]["format"] == "wav" and rows[1]["sample_rate"] == 16000 and rows[1]["channels"] == 2
+    assert rows[2]["format"] == "mp4" and rows[2]["timescale"] == 600 + 2 * 600
+    # images carry no audio fields and vice versa
+    assert rows[0]["sample_rate"] is None and rows[1]["width"] is None
+    assert rows[2]["duration"] == 500 * (1 + 2) + 2

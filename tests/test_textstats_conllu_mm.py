@@ -86,7 +86,9 @@ def test_multimodal_features(spark):
     # deterministic across runs
     feats2 = MM.extract_features(MM.synth_assets(spark, docs), dim=8).collect()
     assert {(f.asset_id, f.content_hash) for f in feats} == {(f.asset_id, f.content_hash) for f in feats2}
-    with pytest.raises(NotImplementedError):
+    from nlp_cube_spark.kernels.mediacodec import MediaDecodeError
+
+    with pytest.raises(MediaDecodeError):
         MM.decode_media(b"abc", "image", strict=True)
 
 
