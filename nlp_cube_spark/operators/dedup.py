@@ -195,13 +195,15 @@ def simhash64(docs: DataFrame, text_col: str = "text", out_col: str = "simhash")
 def simhash64_arrow(docs: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
     """Arrow-kernel variant of `simhash64` — bit-identical output.
 
-    Measured (sf0.1, 5k docs, ~35 tokens/doc, warm workers, local[32]):
-    the interpreted-HOF Catalyst form wins at this shape — 0.36s vs 0.57s
-    here — because Arrow transfer + python dispatch outweigh the ~60
-    interpreted bit-terms at small token counts. This kernel exists for
-    the LONG-document regime (token count per doc ≫ 100), where per-token
-    HOF cost grows linearly but the numpy bit-majority pass stays ~flat
-    per batch. Default stays `simhash64` (also the DuckDB-oracle form)."""
+    Measured across doc lengths (scripts/bench_simhash_lengths.py, 500
+    docs, warm workers, local[32], min-of-3): interpreted-HOF wins at the
+    fixture shape (~54 tok/doc: 0.39s vs 0.43s), the two tie around ~550
+    tok/doc, and Arrow wins in the web-document regime (~1,630 tok/doc:
+    0.52s vs 0.63s; ~5,430 tok/doc: 0.79s vs 1.05s) because Arrow
+    transfer + python dispatch are per-doc/flat while the ~60 interpreted
+    bit-terms cost scales with token count. `simhash64_auto` dispatches on
+    a sampled mean token count with the crossover at 550; `simhash64`
+    stays the DuckDB-oracle form."""
     import hashlib
 
     import numpy as np
@@ -234,11 +236,41 @@ def simhash64_arrow(docs: DataFrame, text_col: str = "text", out_col: str = "sim
     return docs.mapInPandas(run, schema=schema)
 
 
+SIMHASH_CROSSOVER_TOKENS = 550  # measured: scripts/bench_simhash_lengths.py
+
+
+def _pick_simhash_impl(docs: DataFrame, text_col: str, sample_docs: int = 2048) -> str:
+    """Sample mean whitespace-token count and pick the faster signature
+    kernel ('hof' below the measured ~550-token crossover, 'arrow' above).
+    Costs one small eager job over `sample_docs` rows — negligible next to
+    the signature pass itself at any scale."""
+    row = (
+        docs.select(F.size(F.split(F.col(text_col), " ")).alias("n"))
+        .limit(sample_docs)
+        .agg(F.avg("n").alias("avg"))
+        .collect()[0]
+    )
+    avg = row["avg"] or 0.0
+    return "arrow" if avg > SIMHASH_CROSSOVER_TOKENS else "hof"
+
+
+def simhash64_auto(docs: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
+    """Length-adaptive SimHash: dispatches to the interpreted-HOF or the
+    Arrow kernel on a sampled mean token count (both are bit-identical, so
+    the choice is purely physical). This is the scale-safe default for
+    inputs of unknown length distribution — web documents sit well above
+    the crossover, fixture-sized rows below it."""
+    impl = _pick_simhash_impl(docs, text_col)
+    fn = simhash64_arrow if impl == "arrow" else simhash64
+    return fn(docs, text_col, out_col)
+
+
 def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash: block on 15-bit chunks (pigeonhole: any
     pair with Hamming<=3 over 60 bits shares at least one of 4 chunks),
-    verify Hamming exactly with bit_count(xor)."""
-    sig = simhash64(docs, text_col).select(id_col, "simhash")
+    verify Hamming exactly with bit_count(xor). Signatures come from the
+    length-adaptive kernel (simhash64_auto)."""
+    sig = simhash64_auto(docs, text_col).select(id_col, "simhash")
     chunks = sig.select(
         id_col,
         "simhash",

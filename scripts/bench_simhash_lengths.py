@@ -39,7 +39,7 @@ def main():
     )
     base.count()
     # warm python workers on every task slot before timing anything
-    simhash64_arrow(base, "text").agg(F.sum("simhash")).collect()
+    simhash64_arrow(base, "text").agg(F.max("simhash")).collect()
 
     results = []
     for rep in REPEATS:
@@ -51,7 +51,7 @@ def main():
             times = []
             for _ in range(3):
                 t0 = time.monotonic()
-                out = fn(docs, "text").agg(F.sum("simhash").alias("s")).collect()[0]["s"]
+                out = fn(docs, "text").agg(F.max("simhash").alias("s")).collect()[0]["s"]
                 times.append(time.monotonic() - t0)
             rec = {
                 "repeat": rep,

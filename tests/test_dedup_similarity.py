@@ -177,3 +177,19 @@ def test_simhash_arrow_bit_identical(spark, docs):
     a = {(r.doc_id, r.simhash) for r in D.simhash64(docs).select("doc_id", "simhash").collect()}
     b = {(r.doc_id, r.simhash) for r in D.simhash64_arrow(docs).select("doc_id", "simhash").collect()}
     assert a == b
+
+
+def test_simhash_auto_dispatch(spark, docs):
+    """The length-adaptive kernel picks HOF below the measured ~550-token
+    crossover and Arrow above it, and its output equals simhash64 either way."""
+    from pyspark.sql import functions as F
+
+    assert D._pick_simhash_impl(docs, "text") == "hof"  # fixture docs ~35 tokens
+    long_docs = docs.withColumn("text", F.array_join(F.array_repeat(F.col("text"), 100), " "))
+    assert D._pick_simhash_impl(long_docs, "text") == "arrow"
+    a = {(r.doc_id, r.simhash) for r in D.simhash64_auto(long_docs).select("doc_id", "simhash").collect()}
+    b = {(r.doc_id, r.simhash) for r in D.simhash64(long_docs).select("doc_id", "simhash").collect()}
+    assert a == b
+    # empty/degenerate input must not fail the sampler
+    empty = docs.where(F.lit(False))
+    assert D._pick_simhash_impl(empty, "text") == "hof"
