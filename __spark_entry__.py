@@ -501,6 +501,19 @@ def q_kg_words_learned(spark, sf_dir):
     return words.select("url", "word_id", "form", "upos", "xpos", "feats")
 
 
+def q_kg_heads_learned(spark, sf_dir):
+    """Driver-visible LEARNED parser: the pinned arc-factored perceptron
+    scores every head candidate and MST (CLE) decodes, all inside the fused
+    Arrow stage (tagger also learned, so the whole neural seam stack runs).
+    The oracle replays the reference-semantics attachment relationally
+    (_KG_LABELED_DUCK), so a hash match proves the learned scorer + MST
+    decode reproduce the required tree exactly — beyond the parity tests."""
+    from nlp_cube_spark.operators import annotate as A
+
+    words = A.fused_words(_docs_as_pages(spark, sf_dir), scorer="learned", tagger="learned")
+    return words.select("url", "word_id", "form", "head", "deprel")
+
+
 def q_kg_head_distribution(spark, sf_dir):
     """MST-decoded head verification beyond triple patterns: distribution
     of (deprel, signed head distance); det/case attachment targets are
@@ -663,6 +676,7 @@ _QUERIES = {
         "kg_head_distribution": q_kg_head_distribution,
         "kg_words": q_kg_words,
         "kg_words_learned": q_kg_words_learned,
+        "kg_heads_learned": q_kg_heads_learned,
         "kg_triples": q_kg_triples,
         "kg_predicate_counts": q_kg_predicate_counts,
         "kg_linked_canonical": q_kg_linked_canonical,
@@ -1330,6 +1344,12 @@ def oracle_sql() -> dict[str, str]:
           FROM labeled
         """,
         "kg_words_learned": _learned_tagger_duck(),
+        "kg_heads_learned": f"""
+          {_KG_LABELED_DUCK}
+          SELECT 'https://ex.org/doc/' || doc_id AS url, pos AS word_id,
+                 tok AS form, head_pos AS head, deprel
+          FROM labeled
+        """,
         "kg_triples": _KG_TRIPLES_DUCK,
         "kg_linked_canonical": f"""
           WITH RECURSIVE trip AS ({_KG_TRIPLES_DUCK}),

@@ -42,19 +42,19 @@ _CATALOG: dict[str, dict[str, dict]] = {
     "micro_parser": {
         "1.0": {
             "path": os.path.join(_PKG_DIR, "kernels", "micro_parser_weights.json"),
-            "sha256": "1bf060f1ae857228546624c6ae376d8d7f12b0c9a58f6d4f1797d3ea22f68b98",
+            "sha256": "0ac8f60eb31339b518e5bac00b6e51b226d2403a54160f3fea87e5cc8e6ed416",
         }
     },
     "micro_tagger": {
         "1.0": {
             "path": os.path.join(_PKG_DIR, "kernels", "micro_tagger_weights.json"),
-            "sha256": "aafbadefa9c532ecccec62c1eec79898313a4bdd6cd47a0c7d1dc34a69f494f9",
+            "sha256": "44c67a6d8227dc4aa78b9fc4da4709e6a8d497d27cb7e8fcd6cc8ac448c12db2",
         }
     },
     "micro_boundary": {
         "1.0": {
             "path": os.path.join(_PKG_DIR, "kernels", "micro_boundary_weights.json"),
-            "sha256": "a2f52000cff7b917eb39d3d4260ff407d106159f903109a93bdfc620221360bf",
+            "sha256": "aef6e81a68c024cf51f71f623ed9d7dab54f9e9c068dc1d4df294e9a8ec01bbc",
         }
     },
     "micro_embeddings": {
@@ -66,7 +66,7 @@ _CATALOG: dict[str, dict[str, dict]] = {
     "micro_lemmatizer": {
         "1.0": {
             "path": os.path.join(_PKG_DIR, "kernels", "micro_lemmatizer_weights.json"),
-            "sha256": "a760698f8c83144ca0c196edc91fe96e032d2b660958187492c181e834879232",
+            "sha256": "017a192bf0450cede1f9aac96be73de9e5ce1b07cfa84f1425bb9b01d528bde1",
         }
     },
     "micro_mwt": {

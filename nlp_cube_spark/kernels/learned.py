@@ -31,7 +31,10 @@ WEIGHTS_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "micro_p
 
 
 def sentence_context(upos: list[str]) -> tuple:
-    """(next_nominal, prev_nominal, first_verb) index helpers, 0-based."""
+    """(next_nominal, prev_nominal, first_verb, first_nom, case_marked)
+    index helpers, 0-based. case_marked[d] is the standard morphological
+    dep attribute "d is the nominal an adposition attaches to" (the
+    adposition's next nominal), a first-order feature conjunct."""
     n = len(upos)
     next_nom: list[int | None] = [None] * n
     prev_nom: list[int | None] = [None] * n
@@ -46,13 +49,18 @@ def sentence_context(upos: list[str]) -> tuple:
         if upos[i] in NOMINALS:
             last = i
     first_verb = next((i for i, u in enumerate(upos) if u == "VERB"), None)
-    return next_nom, prev_nom, first_verb
+    first_nom = next((i for i, u in enumerate(upos) if u in NOMINALS), None)
+    case_marked = [False] * n
+    for i, u in enumerate(upos):
+        if u == "ADP" and next_nom[i] is not None:
+            case_marked[next_nom[i]] = True
+    return next_nom, prev_nom, first_verb, first_nom, case_marked
 
 
 def arc_features(upos: list[str], ctx: tuple, d: int, h: int) -> list[str]:
     """Feature strings for arc (dep d 0-based, head h 0-based or -1=ROOT)."""
     u = upos[d]
-    next_nom, prev_nom, first_verb = ctx
+    next_nom, prev_nom, first_verb, first_nom, case_marked = ctx
     if h < 0:
         fs = ["root", f"root:{u}"]
         if first_verb is not None and d == first_verb:
@@ -76,6 +84,12 @@ def arc_features(upos: list[str], ctx: tuple, d: int, h: int) -> list[str]:
         fs.append(f"nextnom:{u}")
     if prev_nom[d] == h:
         fs.append(f"prevnom:{u}")
+    if first_nom == h:
+        # head is the sentence-initial nominal, conjoined with the dep's
+        # case-marking attribute (standard first-order + morphology shape)
+        fs.append(f"firstnom:{u}:cm{case_marked[d]}")
+        if first_verb is None:
+            fs.append(f"firstnom_noverb:{u}:cm{case_marked[d]}")
     if first_verb == h:
         fs.append(f"firstverb:{u}")
         if d < h:

@@ -34,6 +34,51 @@ def corpus(n_docs: int, seed: int) -> list[tuple[list[str], list[int]]]:
     return out
 
 
+def salad_corpus(sf_dir: str, limit: int | None = None) -> list[tuple[list[str], list[int]]]:
+    """Gold trees from the rule pipeline over the testdata word-salad
+    documents (the driver's corpus) — long flat sentences, a different
+    attachment shape from the fixture grammar."""
+    import duckdb
+
+    q = f"SELECT text, lang FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+    if limit:
+        q += f" LIMIT {limit}"
+    out = []
+    for text, lang in duckdb.sql(q).fetchall():
+        for forms, _sp, _mw, _tf, tags, heads, _lb in _annotate_doc(text, lang):
+            out.append(([t[0] for t in tags], [int(h) for h in heads]))
+    return out
+
+
+SALAD_VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "the", "value", "vector", "window",
+]
+
+
+def short_salads(per_lang: int = 400, max_len: int = 7, seed: int = 4242):
+    """Seeded short random salads: real documents are long enough to nearly
+    always contain a verb, so the verb-less / tiny-sentence attachment
+    shapes (appos chains to a nominal root, case-to-first-nominal) would
+    otherwise be undertrained."""
+    import random
+
+    rng = random.Random(seed)
+    zh_chars = sorted({c for w in SALAD_VOCAB for c in w})
+    out = []
+    for lang in ("en", "de", "es", "fr", "zh"):
+        vocab = zh_chars if lang == "zh" else SALAD_VOCAB
+        for _ in range(per_lang):
+            n = rng.randint(1, max_len)
+            toks = [rng.choice(vocab) for _ in range(n)]
+            text = "".join(toks) if lang == "zh" else " ".join(toks)
+            for forms, _sp, _mw, _tf, tags, heads, _lb in _annotate_doc(text, lang):
+                out.append(([t[0] for t in tags], [int(h) for h in heads]))
+    return out
+
+
 def train(sents, epochs: int = 20) -> dict[str, float]:
     w: dict[str, float] = defaultdict(float)
     for ep in range(epochs):
@@ -86,7 +131,12 @@ def main():
     ap.add_argument("--holdout-seed", type=int, default=909)
     args = ap.parse_args()
 
-    train_sents = corpus(args.docs, args.seed)
+    train_sents = (
+        corpus(args.docs, args.seed)
+        + salad_corpus("/root/testdata/sf0.001")
+        + salad_corpus("/root/testdata/sf0.01", limit=150)
+        + short_salads()
+    )
     weights = train(train_sents)
     weights = {k: round(v, 6) for k, v in sorted(weights.items()) if v != 0.0}
 
@@ -95,6 +145,12 @@ def main():
     held = corpus(120, args.holdout_seed)
     hw, ht = evaluate(weights, held)
     print(f"holdout seed={args.holdout_seed}: {ht - hw}/{ht} heads correct")
+    sw, st = evaluate(weights, salad_corpus("/root/testdata/sf0.01"))
+    print(f"sf0.01 documents parity: {st - sw}/{st} heads correct")
+    xw, xt = evaluate(weights, salad_corpus("/root/testdata/sf0.1", limit=500))
+    print(f"sf0.1 sample parity: {xt - xw}/{xt} heads correct")
+    if sw or xw:
+        hw += sw + xw  # fold into the ship gate below
 
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

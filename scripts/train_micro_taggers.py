@@ -37,6 +37,95 @@ def tagger_examples(n_docs: int, seed: int):
     return out
 
 
+# The closed word-salad vocabulary of the testdata `documents` table
+# (TESTDATA.md; 31 lowercase tokens, langs en/de/es/fr space-split, zh
+# per-character). tag_features only sees one token of context each side,
+# so exhaustive (prev, cur, next, lang) coverage here means ZERO training
+# errors == exact rules parity on ANY salad document at ANY scale factor.
+SALAD_VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "the", "value", "vector", "window",
+]
+SALAD_LANGS = ["en", "de", "es", "fr"]
+
+
+def salad_tagger_examples():
+    out = []
+    zh_chars = sorted({c for w in SALAD_VOCAB for c in w})
+    for lang, vocab in [(lg, SALAD_VOCAB) for lg in SALAD_LANGS] + [("zh", zh_chars)]:
+        for cur in vocab:
+            for prev in [None] + vocab:
+                for nxt in [None] + vocab:
+                    if prev is None:
+                        forms, i = ([cur] if nxt is None else [cur, nxt]), 0
+                    else:
+                        forms, i = ([prev, cur] if nxt is None else [prev, cur, nxt]), 1
+                    u, x, f = tagger_rules.tag_word(cur, lang, i == 0)
+                    out.append((learned.tag_features(forms, lang, i), f"{u}\t{x}\t{f}"))
+    return out
+
+
+def salad_boundary_examples():
+    """Exhaustive salad coverage for the boundary classifier: its features
+    beyond +-1 token are digit flags only (constant False on the salad
+    vocab), so every feature vector the real documents can produce is
+    realized by some single word or word pair run through the REAL
+    pretokenizer (incl. the zh char-split spacing patterns)."""
+    out = []
+    zh_chars = sorted({c for w in SALAD_VOCAB for c in w})
+    for lang in SALAD_LANGS + ["zh"]:
+        vocab = SALAD_VOCAB  # zh docs are salad WORDS too; chars come from pretokenize
+        docs = [w for w in vocab] + [f"{w1} {w2}" for w1 in vocab for w2 in vocab]
+        if lang == "zh":
+            docs += [c for c in zh_chars] + [f"{c1} {c2}" for c1 in zh_chars for c2 in zh_chars]
+        for text in docs:
+            norm = normalize_ws(text)
+            toks, spa = pretokenize(norm, no_space_lang=segment_rules.is_no_space_lang(lang))
+            gold = segment_rules.classify(toks, spa, lang)
+            for i, lab in enumerate(gold):
+                out.append((learned.boundary_features(toks, spa, lang, i), str(lab)))
+    return out
+
+
+def salad_boundary_parity(weights, sf_dir: str = "/root/testdata/sf0.01") -> tuple[int, int]:
+    import duckdb
+
+    wrong = total = 0
+    for text, lang in duckdb.sql(
+        f"SELECT text, lang FROM '{sf_dir}/documents.parquet'"
+    ).fetchall():
+        norm = normalize_ws(text)
+        toks, spa = pretokenize(norm, no_space_lang=segment_rules.is_no_space_lang(lang))
+        gold = segment_rules.classify(toks, spa, lang)
+        for i, lab in enumerate(gold):
+            pred = learned.perceptron_predict(weights, learned.boundary_features(toks, spa, lang, i))
+            total += 1
+            if pred != str(lab):
+                wrong += 1
+    return wrong, total
+
+
+def salad_docs_parity(weights, sf_dir: str = "/root/testdata/sf0.01") -> tuple[int, int]:
+    """Parity of the trained tagger vs the rule kernel over the REAL
+    documents table (the driver's corpus), via the same _annotate_doc path
+    the engine runs."""
+    import duckdb
+
+    wrong = total = 0
+    for text, lang in duckdb.sql(
+        f"SELECT text, lang FROM '{sf_dir}/documents.parquet'"
+    ).fetchall():
+        for forms, _sp, _mw, _tf, tags, _hd, _lb in _annotate_doc(text, lang):
+            for i, (u, x, f) in enumerate(tags):
+                pred = learned.perceptron_predict(weights, learned.tag_features(forms, lang, i))
+                total += 1
+                if pred != f"{u}\t{x}\t{f}":
+                    wrong += 1
+    return wrong, total
+
+
 def boundary_examples(n_docs: int, seed: int):
     out = []
     for page in gen_pages(n_docs, seed=seed):
@@ -94,11 +183,19 @@ def main():
     ):
         print(f"training micro_{name}")
         train_ex = fn(args.docs, args.seed)
-        weights = train(train_ex)
+        if name == "tagger":
+            train_ex = train_ex + salad_tagger_examples()
+        else:
+            train_ex = train_ex + salad_boundary_examples()
+        weights = train(train_ex, epochs=60)
         tw, tt = accuracy(weights, train_ex)
         held = fn(120, args.holdout_seed)
         hw, ht = accuracy(weights, held)
         print(f"  train {tt - tw}/{tt}  holdout {ht - hw}/{ht}  classes={len(weights['classes'])}")
+        sw, st = (salad_docs_parity if name == "tagger" else salad_boundary_parity)(weights)
+        print(f"  sf0.01 documents parity {st - sw}/{st}")
+        if sw:
+            failed = True
         out_path = os.path.join(KERNELS_DIR, out_name)
         with open(out_path, "w") as f:
             json.dump(weights, f, indent=1, sort_keys=True)

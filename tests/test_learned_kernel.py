@@ -222,3 +222,22 @@ def test_all_four_learned_kernels_same_words_table(spark):
     assert p_r.count("MapInPandas") == p_l.count("MapInPandas")
     assert p_r.count("BroadcastHashJoin") == p_l.count("BroadcastHashJoin")
     assert p_r.count("Exchange") == p_l.count("Exchange")
+
+
+def test_all_learned_kernels_parity_on_salad_documents(spark):
+    """The driver corpus is word-salad documents, a DIFFERENT distribution
+    from the fixture grammar: r3 found fixture-trained micro-models
+    diverged on 36% of salad tags. Trainers now cover the salad
+    distribution exhaustively (tagger/boundary/lemmatizer: every feature
+    vector the closed vocab can produce; parser: gated on full-corpus MST
+    parity), so every learned seam must reproduce the rules pipeline
+    bit-for-bit on real documents."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .selectExpr("concat('https://ex.org/doc/', doc_id) AS url", "text", "lang")
+        .localCheckpoint()
+    )
+    w_rules = A.fused_words(docs)
+    w_learned = A.fused_words(docs, scorer="learned", tagger="learned", boundary="learned")
+    assert w_rules.exceptAll(w_learned).count() == 0
+    assert w_learned.exceptAll(w_rules).count() == 0
