@@ -607,6 +607,31 @@ def q_multimodal_features(spark, sf_dir):
     return MM.extract_features(assets, dim=8).select("asset_id", "kind", "n_bytes", "content_hash")
 
 
+def q_doc_wordgram_embeddings(spark, sf_dir):
+    """WordGram char-ngram encoder (#12) driver-visible: word vector = mean
+    of trained char 3-5 gram vectors (fastText-style subword composition fit
+    to the pinned PPMI-SVD targets), hash fallback for tokens sharing no
+    gram with the training vocabulary; mean-pooled per document. The oracle
+    inlines the committed gram table and replays composition relationally."""
+    from nlp_cube_spark.operators.embed import attach_embeddings
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("form"))
+        .where(F.col("form") != "")
+    )
+    emb = attach_embeddings(toks, dim=4, source="wordgram")
+    slots = emb.select("doc_id", F.posexplode("emb").alias("slot", "v"))
+    pooled = slots.groupBy("doc_id", "slot").agg(F.round(F.avg("v"), 6).alias("v"))
+    return (
+        pooled.groupBy("doc_id")
+        .pivot("slot", [0, 1, 2, 3])
+        .agg(F.first("v"))
+        .select("doc_id", F.col("0").alias("e0"), F.col("1").alias("e1"),
+                F.col("2").alias("e2"), F.col("3").alias("e3"))
+    )
+
+
 def q_multimodal_decoded(spark, sf_dir):
     """Real media decode: synthesize valid PNG/JPEG/WAV/MP4 payloads from
     doc_id, then strictly parse the container headers back (PNG IHDR+CRC,
@@ -681,6 +706,7 @@ _QUERIES = {
         "kg_predicate_counts": q_kg_predicate_counts,
         "kg_linked_canonical": q_kg_linked_canonical,
         "doc_hash_embeddings": q_doc_hash_embeddings,
+        "doc_wordgram_embeddings": q_doc_wordgram_embeddings,
         "vocab_words": q_vocab_words,
         "vocab_chars": q_vocab_chars,
         "multimodal_features": q_multimodal_features,
@@ -921,6 +947,65 @@ _KG_LABELED_DUCK = """
             LEFT JOIN nominal_seq ns ON ns.doc_id = t.doc_id AND ns.pos = t.pos
           )
 """
+
+def _wordgram_duck() -> str:
+    """SQL replay of the WordGram char-ngram encoder: the committed gram
+    vectors (first 4 dims) inlined as a relation, char 3-5 grams of
+    '<'||word||'>' unnested per token instance, word vector = AVG over
+    matched gram rows (duplicate grams count per occurrence, same as the
+    kernel's mean), hash-encoder fallback for tokens matching no gram,
+    then the doc-level mean-pool of doc_hash_embeddings."""
+    import json as _json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "nlp_cube_spark", "kernels", "micro_wordgram_vectors.json",
+    )
+    with open(path) as f:
+        art = _json.load(f)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    gv_rows = ", ".join(
+        f"({q(g)}, {v[0]!r}, {v[1]!r}, {v[2]!r}, {v[3]!r})"
+        for g, v in sorted(art["ngrams"].items())
+    )
+    hashf = "('0x' || substr(md5(lower(tok) || ':{j}'), 1, 15))::BIGINT / 1152921504606846976.0"
+    return f"""
+          WITH toks AS (
+            SELECT doc_id, row_number() OVER () AS tid, tok,
+                   '<' || lower(tok) || '>' AS s
+            FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+                  FROM documents)
+          ),
+          gv(g, e0, e1, e2, e3) AS (VALUES {gv_rows}),
+          grams AS (
+            SELECT t.tid, t.doc_id, substr(t.s, i.i::INT, n.n::INT) AS g
+            FROM toks t
+            CROSS JOIN (SELECT unnest([3, 4, 5]) AS n) n
+            CROSS JOIN LATERAL (SELECT unnest(range(1, length(t.s) - n.n + 2)) AS i) i
+          ),
+          wordvec AS (
+            SELECT g.tid, g.doc_id,
+                   avg(gv.e0) AS e0, avg(gv.e1) AS e1, avg(gv.e2) AS e2, avg(gv.e3) AS e3
+            FROM grams g JOIN gv ON gv.g = g.g
+            GROUP BY g.tid, g.doc_id
+          ),
+          fallback AS (
+            SELECT t.tid, t.doc_id,
+                   {hashf.format(j=0)} AS e0, {hashf.format(j=1)} AS e1,
+                   {hashf.format(j=2)} AS e2, {hashf.format(j=3)} AS e3
+            FROM toks t LEFT JOIN wordvec w ON w.tid = t.tid
+            WHERE w.tid IS NULL
+          ),
+          allvec AS (SELECT * FROM wordvec UNION ALL SELECT * FROM fallback)
+          SELECT doc_id, round(avg(e0), 6) AS e0, round(avg(e1), 6) AS e1,
+                 round(avg(e2), 6) AS e2, round(avg(e3), 6) AS e3
+          FROM allvec GROUP BY doc_id
+    """
+
 
 def _learned_tagger_duck() -> str:
     """SQL replay of the pinned-weight joint tagger (kernels/learned.py
@@ -1344,6 +1429,7 @@ def oracle_sql() -> dict[str, str]:
           FROM labeled
         """,
         "kg_words_learned": _learned_tagger_duck(),
+        "doc_wordgram_embeddings": _wordgram_duck(),
         "kg_heads_learned": f"""
           {_KG_LABELED_DUCK}
           SELECT 'https://ex.org/doc/' || doc_id AS url, pos AS word_id,

@@ -75,6 +75,12 @@ _CATALOG: dict[str, dict[str, dict]] = {
             "sha256": "d8ad230f0b048a053d039cf22bad25157cb7459c6e6018a1c345fcc1d2e63e9e",
         }
     },
+    "micro_wordgram": {
+        "1.0": {
+            "path": os.path.join(_PKG_DIR, "kernels", "micro_wordgram_vectors.json"),
+            "sha256": "7e24dd6a3108d3991f76515d7a73c55ae5fa8d1ddcb7aae9eff4469af8db453c",
+        }
+    },
 }
 
 

@@ -75,7 +75,46 @@ def pinned_embed_np(forms: list[str], dim: int) -> np.ndarray:
     return out
 
 
-_ENCODERS = {"hash": hash_embed_np, "pinned": pinned_embed_np}
+NGRAM_MIN, NGRAM_MAX = 3, 5
+
+
+def _char_ngrams(low: str) -> list[str]:
+    s = f"<{low}>"
+    return [s[i : i + n] for n in range(NGRAM_MIN, NGRAM_MAX + 1) for i in range(len(s) - n + 1)]
+
+
+@lru_cache(maxsize=1)
+def _wordgram_vectors() -> dict:
+    from ..kernels.learned import _load_artifact
+
+    return _load_artifact("micro_wordgram", "micro_wordgram_vectors.json")["ngrams"]
+
+
+def wordgram_embed_np(forms: list[str], dim: int) -> np.ndarray:
+    """WordGram role (reference op #12): char 3-5 gram composition — the
+    word vector is the MEAN of its trained gram vectors
+    (scripts/train_micro_wordgram.py, fastText-style subword model fit to
+    the pinned PPMI-SVD targets). In-vocabulary words reconstruct the
+    pinned vectors to ~1e-6; OOV words compose from shared grams
+    (morphological generalization); words sharing no gram with the
+    training vocabulary fall back to the hash encoder."""
+    grams = _wordgram_vectors()
+    out = np.zeros((len(forms), dim), dtype=np.float64)
+    oov: list[int] = []
+    for i, f in enumerate(forms):
+        vs = [grams[g] for g in _char_ngrams((f or "").lower()) if g in grams]
+        if vs:
+            m = np.asarray(vs, dtype=np.float64).mean(axis=0)
+            k = min(dim, m.shape[0])
+            out[i, :k] = m[:k]
+        else:
+            oov.append(i)
+    if oov:
+        out[oov] = hash_embed_np([forms[i] for i in oov], dim)
+    return out
+
+
+_ENCODERS = {"hash": hash_embed_np, "pinned": pinned_embed_np, "wordgram": wordgram_embed_np}
 
 
 def attach_embeddings(

@@ -74,3 +74,55 @@ def test_pinned_embeddings_have_distributional_structure():
     intra = np.mean([vecs[a] @ vecs[b] for a in verbs for b in verbs if a != b])
     to_punct = np.mean([vecs[a] @ vecs["."] for a in verbs])
     assert intra > to_punct
+
+
+def test_wordgram_reconstructs_pinned_vectors():
+    """Char-ngram composition reproduces the PPMI-SVD targets on the
+    training vocabulary to the committed rounding precision (fastText-style
+    subword fit, scripts/train_micro_wordgram.py)."""
+    import numpy as np
+
+    from nlp_cube_spark.kernels.learned import _load_artifact
+    from nlp_cube_spark.operators import embed as E
+
+    art = _load_artifact("micro_embeddings", "micro_embeddings.json")
+    vocab = sorted(art["vectors"])
+    got = E.wordgram_embed_np(vocab, 16)
+    want = np.array([art["vectors"][w][:16] for w in vocab])
+    assert np.abs(got - want).max() < 1e-4
+
+
+def test_wordgram_oov_composition_and_fallback():
+    import numpy as np
+
+    from nlp_cube_spark.operators import embed as E
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    # morphological OOV: shares most grams with an in-vocab word
+    base, oov, unrelated = E.wordgram_embed_np(["admires", "admiring", "window"], 16)
+    assert cos(base, oov) > cos(base, unrelated)
+    # no shared gram at all -> deterministic hash fallback
+    w = E.wordgram_embed_np(["qqqq"], 8)
+    assert np.allclose(w, E.hash_embed_np(["qqqq"], 8))
+    # deterministic across calls and chunk boundaries
+    a = E.wordgram_embed_np(["admires", "qqqq", "window"], 8)
+    b = np.concatenate([E.wordgram_embed_np(["admires"], 8),
+                        E.wordgram_embed_np(["qqqq", "window"], 8)])
+    assert np.array_equal(a, b)
+
+
+def test_wordgram_seam_spark(spark):
+    from pyspark.sql import functions as F
+
+    from nlp_cube_spark.operators import embed as E
+
+    toks = spark.createDataFrame(
+        [(1, "admires"), (1, "banana"), (2, "qqqq")], "doc_id long, form string"
+    )
+    out = E.attach_embeddings(toks, dim=8, source="wordgram")
+    rows = out.collect()
+    assert len(rows) == 3 and all(len(r.emb) == 8 for r in rows)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert p.count("MapInPandas") == 1 and p.count("Exchange") == 0
