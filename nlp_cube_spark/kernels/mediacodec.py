@@ -140,7 +140,7 @@ def decode_png(payload: bytes) -> dict:
     """Walk PNG chunks; return IHDR fields. Verifies signature and IHDR CRC."""
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise MediaDecodeError("bad PNG signature")
-    pos, ihdr = 8, None
+    pos, ihdr, saw_iend = 8, None, False
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         tag = payload[pos + 4 : pos + 8]
@@ -160,10 +160,13 @@ def decode_png(payload: bytes) -> dict:
                 "channels": {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color],
             }
         if tag == b"IEND":
+            saw_iend = True
             break
         pos += 12 + length
     if ihdr is None:
         raise MediaDecodeError("no IHDR chunk")
+    if not saw_iend:
+        raise MediaDecodeError("truncated PNG: no IEND chunk")
     return ihdr
 
 
@@ -197,6 +200,8 @@ def decode_wav(payload: bytes) -> dict:
     while pos + 8 <= len(payload):
         tag = payload[pos : pos + 4]
         (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if pos + 8 + length > len(payload):
+            raise MediaDecodeError("truncated RIFF chunk")
         if tag == b"fmt ":
             codec, channels, rate, _, block, bits = struct.unpack(
                 "<HHIIHH", payload[pos + 8 : pos + 24]

@@ -133,3 +133,54 @@ def test_decode_assets_spark(spark):
     # images carry no audio fields and vice versa
     assert rows[0]["sample_rate"] is None and rows[1]["width"] is None
     assert rows[2]["duration"] == 500 * (1 + 2) + 2
+
+
+# ---------------------------------------------------------- property tests
+try:
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=64),
+        h=st.integers(min_value=1, max_value=64),
+    )
+    def test_png_roundtrip_property(w, h):
+        d = mc.decode_header(mc.make_png(w, h))
+        assert (d["width"], d["height"]) == (w, h)
+        assert len(mc.make_png(w, h)) == 68 + h * (1 + 3 * w)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        rate=st.sampled_from([8000, 16000, 22050, 44100, 48000]),
+        ch=st.integers(min_value=1, max_value=8),
+        n=st.integers(min_value=0, max_value=500),
+    )
+    def test_wav_roundtrip_property(rate, ch, n):
+        d = mc.decode_header(mc.make_wav(rate, ch, n))
+        assert (d["sample_rate"], d["channels"], d["n_samples"]) == (rate, ch, n)
+
+    @settings(max_examples=60, deadline=None)
+    @given(data=st.binary(max_size=64))
+    def test_sniff_never_crashes_and_strict_never_lies(data):
+        """decode_header either raises MediaDecodeError or returns a dict
+        with a format the sniffer agrees on — arbitrary bytes never produce
+        a silent wrong answer or a non-MediaDecodeError exception."""
+        try:
+            d = mc.decode_header(data)
+        except mc.MediaDecodeError:
+            return
+        assert d["format"] == mc.sniff_format(data)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=64),
+        h=st.integers(min_value=1, max_value=64),
+        cut=st.integers(min_value=1, max_value=67),
+    )
+    def test_truncated_png_raises(w, h, cut):
+        payload = mc.make_png(w, h)
+        with pytest.raises(mc.MediaDecodeError):
+            mc.decode_header(payload[: len(payload) - cut])
+
+except ImportError:  # pragma: no cover - hypothesis is in the container
+    pass
