@@ -452,9 +452,12 @@ def q_ann_ivf_topk(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def q_kg_upos_distribution(spark, sf_dir):
+    """Tag-only consumer: fused_tags is the parse-free projection (no MST,
+    no lemma join) — the pushdown Catalyst can't do through a python
+    kernel, done by hand (annotate._annotate_doc parse=False)."""
     from nlp_cube_spark.operators import annotate as A
 
-    words = A.annotate(_docs_as_pages(spark, sf_dir))
+    words = A.fused_tags(_docs_as_pages(spark, sf_dir))
     return words.groupBy("upos").agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -463,7 +466,7 @@ def q_kg_tag_distribution(spark, sf_dir):
     distribution over the full (upos, xpos, feats) triple."""
     from nlp_cube_spark.operators import annotate as A
 
-    words = A.annotate(_docs_as_pages(spark, sf_dir))
+    words = A.fused_tags(_docs_as_pages(spark, sf_dir))
     return words.groupBy("upos", "xpos", "feats").agg(F.count(F.lit(1)).alias("n"))
 
 

@@ -310,6 +310,57 @@ def fused_words(
     return pages.select(*cols).mapInPandas(run, schema=FLAT_WORDS_SCHEMA)
 
 
+TAGS_FUSED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("sent_id", T.IntegerType()),
+        T.StructField("word_id", T.IntegerType()),
+        T.StructField("form", T.StringType()),
+        T.StructField("upos", T.StringType()),
+        T.StructField("xpos", T.StringType()),
+        T.StructField("feats", T.StringType()),
+    ]
+)
+
+
+def fused_tags(
+    pages: DataFrame, text_col: str = "text",
+    tagger: str = "rules", boundary: str = "rules", mwt: str = "dict",
+) -> DataFrame:
+    """pages -> tagged words WITHOUT parsing, in ONE Arrow stage.
+
+    The pushed-down projection for tag-only consumers (tag/feats
+    distributions, tag-conditioned filters): skips the O(n^2) arc score
+    matrix + MST decode per sentence, which dominate per-document cost on
+    long documents. Same segment/mwt/tag kernels as fused_words — tag
+    columns are bit-identical (tested)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = {f.name: [] for f in TAGS_FUSED_SCHEMA.fields}
+            for url, lang, text in zip(pdf["url"], pdf["lang"], pdf[text_col]):
+                for sid, (forms, _sp, _mw, _tf, tags, _hd, _lb) in enumerate(
+                    _annotate_doc(text, lang, tagger=tagger, boundary=boundary, mwt=mwt, parse=False)
+                ):
+                    for i in range(len(forms)):
+                        rows["url"].append(url)
+                        rows["lang"].append(lang)
+                        rows["sent_id"].append(sid)
+                        rows["word_id"].append(i + 1)
+                        rows["form"].append(forms[i])
+                        rows["upos"].append(tags[i][0])
+                        rows["xpos"].append(tags[i][1])
+                        rows["feats"].append(tags[i][2])
+            if rows["url"]:
+                yield pd.DataFrame(rows)
+
+    cols = [c for c in ("url", "lang", text_col) if c in pages.columns]
+    return pages.select(*cols).mapInPandas(run, schema=TAGS_FUSED_SCHEMA)
+
+
 def annotate(
     pages: DataFrame, text_col: str = "text", scorer: str = "rules",
     tagger: str = "rules", boundary: str = "rules", lemmatizer: str = "rules",
@@ -386,10 +437,15 @@ def reannotate(
 def _annotate_doc(
     text: str, lang: str, scorer: str = "rules",
     tagger: str = "rules", boundary: str = "rules", mwt: str = "dict",
+    parse: bool = True,
 ):
-    """One document through segment -> mwt -> tag -> parse. Returns
+    """One document through segment -> mwt -> tag [-> parse]. Returns
     (forms, space, mwt_ids, tok_forms, tags, heads, labels) per sentence.
-    scorer/tagger/boundary/mwt pick the kernel behind each model seam."""
+    scorer/tagger/boundary/mwt pick the kernel behind each model seam.
+    parse=False skips arc scoring + MST + labels (heads/labels empty) —
+    the manual column-pruning knob for tag-only consumers: Catalyst cannot
+    prune through a python kernel, and the O(n^2) score matrix + CLE
+    decode dominate per-document cost on long documents."""
     from ..kernels.learned import get_mwt_expander, get_scorer, get_tagger
 
     score_fn = get_scorer(scorer)
@@ -407,9 +463,12 @@ def _annotate_doc(
                 mwt_ids.append(tok_idx if is_mwt and len(words) > 1 else 0)
                 tok_forms.append(form)
         tags = tag_fn(forms, lang)
-        upos = [t[0] for t in tags]
-        heads = mst.decode_tree(score_fn(forms, upos)).tolist()
-        labels = arc_scores.label_arcs(forms, upos, heads)
+        if parse:
+            upos = [t[0] for t in tags]
+            heads = mst.decode_tree(score_fn(forms, upos)).tolist()
+            labels = arc_scores.label_arcs(forms, upos, heads)
+        else:
+            heads, labels = [], []
         out.append((forms, space, mwt_ids, tok_forms, tags, heads, labels))
     return out
 

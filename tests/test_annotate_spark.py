@@ -173,3 +173,20 @@ def test_cube_document_entrypoint(spark):
     d2 = cube(d1)  # re-annotate the Document, tokenization preserved
     assert repr(d1) == repr(d2)
     assert d2.sentences[0][1].upos == "VERB"
+
+
+def test_fused_tags_matches_fused_words(spark):
+    """fused_tags (parse-free projection) must agree with fused_words on
+    every tag column — same segment/mwt/tag kernels, only the parse is
+    skipped."""
+    from nlp_cube_spark.datagen import pages_df
+    from nlp_cube_spark.operators import annotate as A
+
+    pages = pages_df(spark, 25, seed=31).localCheckpoint()
+    cols = ["url", "lang", "sent_id", "word_id", "form", "upos", "xpos", "feats"]
+    a = A.fused_tags(pages).select(*cols)
+    b = A.fused_words(pages).select(*cols)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    p = A.fused_tags(pages)._jdf.queryExecution().executedPlan().toString()
+    assert p.count("MapInPandas") == 1 and p.count("Exchange") == 0
