@@ -472,10 +472,11 @@ def q_kg_tag_distribution(spark, sf_dir):
 
 def q_kg_deprel_distribution(spark, sf_dir):
     """Dependency-label coverage beyond triple patterns (det/case/dep and
-    the nsubj/appos/obj/obl attachment order rules, ops #14/#16)."""
+    the nsubj/appos/obj/obl attachment order rules, ops #14/#16).
+    fused_words = the lemma-free projection (deprel never reads lemmas)."""
     from nlp_cube_spark.operators import annotate as A
 
-    words = A.annotate(_docs_as_pages(spark, sf_dir))
+    words = A.fused_words(_docs_as_pages(spark, sf_dir))
     return words.groupBy("deprel").agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -520,10 +521,10 @@ def q_kg_heads_learned(spark, sf_dir):
 def q_kg_head_distribution(spark, sf_dir):
     """MST-decoded head verification beyond triple patterns: distribution
     of (deprel, signed head distance); det/case attachment targets are
-    pinned here and nowhere else."""
+    pinned here and nowhere else. fused_words: no lemma join needed."""
     from nlp_cube_spark.operators import annotate as A
 
-    words = A.annotate(_docs_as_pages(spark, sf_dir))
+    words = A.fused_words(_docs_as_pages(spark, sf_dir))
     dist = F.when(F.col("head") == 0, F.lit(0)).otherwise(F.col("head") - F.col("word_id"))
     return words.groupBy("deprel", dist.alias("dist")).agg(F.count(F.lit(1)).alias("n"))
 
