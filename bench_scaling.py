@@ -82,6 +82,21 @@ def main() -> None:
                 prev["runs"] = prev["runs"] + r["runs"]
                 if r["sec"] < prev["sec"]:
                     prev["sec"] = r["sec"]
+    # bare-metal companion measurement: the host's OWN 8->32 ceiling in
+    # this same window (scripts/probe_cpu_scaling.py). A scaling number is
+    # only attributable to the engine when the bare probe is near its
+    # quiet ceiling (~0.88 on this VM) — otherwise it measures neighbors.
+    probe_eff = None
+    try:
+        probe_out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                          "scripts", "probe_cpu_scaling.py")],
+            capture_output=True, text=True, check=True, timeout=300,
+        )
+        probe_eff = json.loads(probe_out.stdout.strip().splitlines()[-1])["value"]
+    except Exception:
+        pass
+
     t_lo, t_hi = results[LEVELS[0]]["sec"], results[LEVELS[1]]["sec"]
     speedup = t_lo / t_hi
     eff = speedup / (LEVELS[1] / LEVELS[0])
@@ -89,6 +104,7 @@ def main() -> None:
     summary = {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
+        "bare_probe_efficiency": probe_eff,
         "unit": "ratio",
         "t_local8_sec": t_lo,
         "t_local32_sec": t_hi,
@@ -118,6 +134,10 @@ def main() -> None:
             f"**speedup** = {round(speedup, 2)}x, "
             f"**scaling efficiency** = (T_8/T_32)/4 = **{round(eff, 3)}** "
             f"(gate: >= 0.8)\n\n"
+            f"Bare-metal probe in the same window (scripts/probe_cpu_scaling.py):\n"
+            f"hardware 8->32 efficiency = **{probe_eff}** (quiet ceiling ~0.88 —\n"
+            f"a Spark number below gate with the probe also below ~0.85 measures\n"
+            f"host contention, not the engine).\n\n"
             "Scaling design notes:\n"
             "- the fused kernel is one Arrow stage -> exactly one python\n"
             "  worker per task (chaining 3 mapInPandas stages ran 3 workers\n"
