@@ -465,12 +465,47 @@ def _annotate_doc(
         tags = tag_fn(forms, lang)
         if parse:
             upos = [t[0] for t in tags]
-            heads = mst.decode_tree(score_fn(forms, upos)).tolist()
-            labels = arc_scores.label_arcs(forms, upos, heads)
+            heads, labels = _parse_capped(forms, upos, score_fn)
         else:
             heads, labels = [], []
         out.append((forms, space, mwt_ids, tok_forms, tags, heads, labels))
     return out
+
+
+# Single-sentence parse cap: the arc score matrix is O(n^2) memory and the
+# decode superlinear (measured: 2k tokens 0.9s/32MB, 8k tokens 11.3s/512MB
+# — one pathological web page would straggle or OOM an executor at 100 TB).
+# Sentences above the cap are parsed in independent chunks; each later
+# chunk's root attaches to the sentence root as 'parataxis' (the UD
+# run-on-sentence relation), so the result is still a single valid tree.
+MAX_PARSE_LEN = 1024
+
+
+def _parse_capped(forms: list[str], upos: list[str], score_fn) -> tuple[list[int], list[str]]:
+    n = len(forms)
+    if n <= MAX_PARSE_LEN:
+        heads = mst.decode_tree(score_fn(forms, upos)).tolist()
+        return heads, arc_scores.label_arcs(forms, upos, heads)
+    heads: list[int] = []
+    labels: list[str] = []
+    sent_root: int | None = None  # 1-based global index of the first chunk's root
+    for lo in range(0, n, MAX_PARSE_LEN):
+        cf, cu = forms[lo : lo + MAX_PARSE_LEN], upos[lo : lo + MAX_PARSE_LEN]
+        ch = mst.decode_tree(score_fn(cf, cu)).tolist()
+        cl = arc_scores.label_arcs(cf, cu, ch)
+        for i, (h, lab) in enumerate(zip(ch, cl)):
+            if h == 0:
+                if sent_root is None:
+                    sent_root = lo + i + 1
+                    heads.append(0)
+                    labels.append(lab)
+                else:
+                    heads.append(sent_root)
+                    labels.append("parataxis")
+            else:
+                heads.append(h + lo)
+                labels.append(lab)
+    return heads, labels
 
 
 TRIPLES_FUSED_SCHEMA = T.StructType(

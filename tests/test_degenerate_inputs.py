@@ -99,3 +99,36 @@ def test_jaccard_verify_empty_pairs(spark):
     docs = spark.createDataFrame([(1, "alpha beta", "en")], "doc_id long, text string, lang string")
     pairs = spark.createDataFrame([], "doc_a long, doc_b long")
     assert D.jaccard_verify_pairs(pairs, docs).count() == 0
+
+
+def test_pathological_long_sentence_parse_capped(spark):
+    """One bad web page must not straggle/OOM an executor: sentences above
+    MAX_PARSE_LEN parse in independent chunks stitched with 'parataxis' to
+    the sentence root — still exactly one root, all heads in range, and
+    time/memory linear in length (the uncapped O(n^2) matrix at 32k tokens
+    would be ~8 GB)."""
+    from nlp_cube_spark.operators import annotate as A
+
+    text = " ".join(["data join table"] * (32000 // 3))
+    pages = spark.createDataFrame([("u1", "en", text)], "url string, lang string, text string")
+    rows = A.fused_words(pages).select("word_id", "head", "deprel").collect()
+    n = len(rows)
+    assert n == 3 * (32000 // 3)  # one giant sentence, all words present
+    roots = [r for r in rows if r.head == 0]
+    assert len(roots) == 1
+    assert all(0 <= r.head <= n for r in rows)
+    assert sum(1 for r in rows if r.deprel == "parataxis") == (n - 1) // A.MAX_PARSE_LEN
+
+
+def test_parse_cap_boundary_parity():
+    """Sentences at or below the cap parse identically to the uncapped
+    path (the chunked branch only engages above MAX_PARSE_LEN)."""
+    from nlp_cube_spark.kernels import arc_scores, mst
+    from nlp_cube_spark.operators import annotate as A
+
+    forms = ["the", "fox", "admires", "a", "dog"] * 20  # 100 words, << cap
+    upos = [t[0] for t in __import__("nlp_cube_spark.kernels.tagger_rules", fromlist=["x"]).tag_sentence(forms, "en")]
+    capped_heads, capped_labels = A._parse_capped(forms, upos, arc_scores.score_matrix)
+    plain = mst.decode_tree(arc_scores.score_matrix(forms, upos)).tolist()
+    assert capped_heads == plain
+    assert capped_labels == arc_scores.label_arcs(forms, upos, plain)
