@@ -47,3 +47,32 @@ def test_compact_partitions(spark, tmp_path):
     assert after == before
     assert stats["files_before"] >= 20
     assert stats["files_after"] <= 4  # one group landed per partition
+
+
+def test_compact_partitions_multicol_streaming_layout(spark, tmp_path):
+    """The streaming sink writes partitionBy(batch_id, bucket); compaction
+    must take ALL layout columns (ADVICE r2: compacting a subset would
+    write a new shallower layout beside the old dirs -> duplicated rows)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from nlp_cube_spark.io.tables import compact_partitions
+
+    out = str(tmp_path / "s")
+    df = spark.range(1200).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("int").alias("batch_id"),
+        (F.col("id") % 2).cast("int").alias("bucket"),
+    )
+    for i in range(4):
+        df.where(F.col("id") % 4 == i).repartition(3).write.partitionBy(
+            "batch_id", "bucket"
+        ).mode("append").parquet(out)
+    before = {tuple(r) for r in spark.read.parquet(out).collect()}
+    stats = compact_partitions(spark, out, ["batch_id", "bucket"], target_mb=128)
+    after = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert after == before
+    assert stats["files_after"] < stats["files_before"]
+    # a subset of the layout columns is rejected, not silently duplicated
+    with _pytest.raises(ValueError, match="partition column"):
+        compact_partitions(spark, out, "nonexistent_col")
