@@ -131,29 +131,51 @@ def synth_media_assets(spark, docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "source", "lang").mapInPandas(run, schema=ASSET_SCHEMA)
 
 
-def decode_assets(assets: DataFrame) -> DataFrame:
+QUARANTINE_SCHEMA = T.StructType(DECODED_SCHEMA.fields + [T.StructField("error", T.StringType())])
+
+
+def decode_assets(assets: DataFrame, on_error: str = "fail") -> DataFrame:
     """Strict header decode over binary payloads -> one row of typed,
     format-appropriate metadata per asset (NULL for fields the container
     does not carry). One Arrow stage; the parser is O(header), not O(bytes),
     so the batch-size bound is the payload transfer, same as
-    extract_features."""
+    extract_features.
+
+    on_error='fail' (default) raises on the first malformed payload —
+    right for synthetic/trusted inputs. on_error='quarantine' is the
+    100 TB production mode: a corrupt asset must not kill a 10-hour job,
+    so malformed rows come back with format/fields NULL and the parse
+    error in an `error` column (filter `error IS NULL` for the clean
+    side, `IS NOT NULL` for the quarantine sink)."""
+    if on_error not in ("fail", "quarantine"):
+        raise ValueError(f"on_error must be 'fail' or 'quarantine', got {on_error!r}")
+    quarantine = on_error == "quarantine"
+    schema = QUARANTINE_SCHEMA if quarantine else DECODED_SCHEMA
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            out: dict[str, list] = {f.name: [] for f in DECODED_SCHEMA.fields}
+            out: dict[str, list] = {f.name: [] for f in schema.fields}
             for aid, kind, payload in zip(pdf["asset_id"], pdf["kind"], pdf["payload"]):
-                obj = decode_media(bytes(payload) if payload is not None else b"", kind, strict=True)
+                raw = bytes(payload) if payload is not None else b""
+                err = None
+                try:
+                    obj = decode_media(raw, kind, strict=True)
+                except mc.MediaDecodeError as e:
+                    if not quarantine:
+                        raise
+                    obj, err = {}, str(e)
                 out["asset_id"].append(int(aid))
                 out["kind"].append(kind)
-                out["format"].append(obj["format"])
+                out["format"].append(obj.get("format"))
                 for f in _INT_FIELDS:
                     out[f].append(obj.get(f))
-            pdf_out = pd.DataFrame({k: pd.Series(v, dtype=object) for k, v in out.items()})
-            yield pdf_out
+                if quarantine:
+                    out["error"].append(err)
+            yield pd.DataFrame({k: pd.Series(v, dtype=object) for k, v in out.items()})
 
-    return assets.select("asset_id", "kind", "payload").mapInPandas(run, schema=DECODED_SCHEMA)
+    return assets.select("asset_id", "kind", "payload").mapInPandas(run, schema=schema)
 
 
 def extract_features(assets: DataFrame, dim: int = 8) -> DataFrame:

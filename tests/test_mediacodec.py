@@ -184,3 +184,25 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is in the container
     pass
+
+
+def test_decode_assets_quarantine_mode(spark):
+    """Production mode: corrupt payloads land in the quarantine column
+    instead of failing the task; clean rows decode identically."""
+    from pyspark.sql import functions as F
+
+    good = mc.make_png(8, 8)
+    bad = good[:30]  # truncated
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(good)), (2, "image", bytearray(bad)), (3, "image", bytearray(b"junk"))],
+        "asset_id long, kind string, payload binary",
+    )
+    rows = {r.asset_id: r for r in MM.decode_assets(assets, on_error="quarantine").collect()}
+    assert rows[1].format == "png" and rows[1].error is None and rows[1].width == 8
+    assert rows[2].format is None and "PNG" in rows[2].error
+    assert rows[3].format is None and rows[3].error is not None
+    # fail mode still raises on the same input
+    with pytest.raises(Exception):
+        MM.decode_assets(assets, on_error="fail").collect()
+    with pytest.raises(ValueError, match="on_error"):
+        MM.decode_assets(assets, on_error="skip")
