@@ -407,6 +407,15 @@ def q_simhash_signatures(spark, sf_dir):
     return simhash64(_t(spark, sf_dir, "documents")).select("doc_id", "simhash")
 
 
+def q_simhash_near_dups(spark, sf_dir):
+    """SimHash blocking end-to-end: signatures (length-adaptive kernel) ->
+    15-bit pigeonhole chunk self-join -> exact Hamming verify. The oracle
+    replays signature, chunking, join, and bit_count(xor) in SQL."""
+    from nlp_cube_spark.operators.dedup import simhash_near_dups
+
+    return simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=8)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """The scale shape: LSH candidates (hot-bucket capped) -> exact Jaccard
     verify on the pair list. No block-cartesian join anywhere in the plan;
@@ -695,6 +704,7 @@ _QUERIES = {
         "pack_shards": q_pack_shards,
         "minhash_band_pairs": q_minhash_band_pairs,
         "simhash_signatures": q_simhash_signatures,
+        "simhash_near_dups": q_simhash_near_dups,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1317,6 +1327,19 @@ def oracle_sql() -> dict[str, str]:
           WHERE a.doc_id < b.doc_id
         """,
         "simhash_signatures": _simhash_duck(),
+        "simhash_near_dups": f"""
+          WITH sig AS ({_simhash_duck()}),
+          chunks AS (
+            SELECT doc_id, simhash, n.n AS chunk_id,
+                   (simhash >> (CAST(n.n AS INT) * 15)) & 32767 AS chunk
+            FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS n) n
+          )
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+          FROM chunks a JOIN chunks b ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk
+          WHERE a.doc_id < b.doc_id
+            AND bit_count(xor(a.simhash, b.simhash)) <= 8
+        """,
         "ngram_jaccard": f"""
           WITH docs AS ({_DOCS_DUPS_DUCK}),
           sig AS ({_minhash_duck(8, src="docs")}),
