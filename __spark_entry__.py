@@ -407,6 +407,18 @@ def q_simhash_signatures(spark, sf_dir):
     return simhash64(_t(spark, sf_dir, "documents")).select("doc_id", "simhash")
 
 
+def q_training_data_prep(spark, sf_dir):
+    """The composed corpus pipeline a training-data user actually runs:
+    quality filter -> exact dedup -> capped-LSH + Jaccard near-dup removal
+    -> deterministic split -> per-split shard packing, one declarative
+    plan (plans/dataprep.py). The oracle replays the entire chain as one
+    DuckDB CTE, so the hash match covers stage COMPOSITION, not just each
+    stage in isolation."""
+    from nlp_cube_spark.plans.dataprep import prep_training_data
+
+    return prep_training_data(_t(spark, sf_dir, "documents"))
+
+
 def q_simhash_near_dups(spark, sf_dir):
     """SimHash blocking end-to-end: signatures (length-adaptive kernel) ->
     15-bit pigeonhole chunk self-join -> exact Hamming verify. The oracle
@@ -705,6 +717,7 @@ _QUERIES = {
         "minhash_band_pairs": q_minhash_band_pairs,
         "simhash_signatures": q_simhash_signatures,
         "simhash_near_dups": q_simhash_near_dups,
+        "training_data_prep": q_training_data_prep,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1327,6 +1340,66 @@ def oracle_sql() -> dict[str, str]:
           WHERE a.doc_id < b.doc_id
         """,
         "simhash_signatures": _simhash_duck(),
+        "training_data_prep": f"""
+          WITH qbase AS (
+            SELECT doc_id, text, n_chars,
+                   round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                         / greatest(length(text), 1), 6) AS alpha_ratio,
+                   round(len(list_filter(list_filter(string_split(lower(text), ' '), t -> t <> ''),
+                             t -> list_contains(['the','a','an','is','of','and','to','in','that','it'], t)))
+                         / greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1), 6) AS stopword_ratio,
+                   round((length(text) - length(regexp_replace(text, '[^ ]', '', 'g')))
+                         / greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1), 6) AS mean_token_len
+            FROM documents
+          ),
+          keptq AS (
+            SELECT doc_id, text, n_chars FROM qbase
+            WHERE round(alpha_ratio * 0.5 + stopword_ratio * 0.3
+                        + (CASE WHEN mean_token_len BETWEEN 3 AND 10 THEN 0.2 ELSE 0.0 END), 6) >= 0.62
+          ),
+          keep_ids AS (SELECT min(doc_id) AS doc_id FROM keptq GROUP BY md5(text)),
+          kept AS (SELECT k.* FROM keptq k JOIN keep_ids USING (doc_id)),
+          sig AS ({_minhash_duck(8, src="kept")}),
+          banded AS (
+            SELECT doc_id, b AS band_id,
+                   md5(array_to_string(minhash[b * 4 + 1 : b * 4 + 4], '_')) AS band_sig
+            FROM sig, (SELECT unnest(range(0, 2)) AS b)
+          ),
+          capped AS (
+            SELECT doc_id, band_id, band_sig FROM (
+              SELECT *, count(*) OVER (PARTITION BY band_id, band_sig) AS _bn FROM banded
+            ) WHERE _bn <= 64
+          ),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM capped a JOIN capped b USING (band_id, band_sig)
+            WHERE a.doc_id < b.doc_id
+          ),
+          shg AS (
+            SELECT doc_id, list_distinct([substr(lower(text), i, 3)
+                   FOR i IN range(1, greatest(length(lower(text)) - 2, 1) + 1)]) AS s
+            FROM kept
+          ),
+          dropped AS (
+            SELECT DISTINCT doc_b AS doc_id
+            FROM cand JOIN shg a ON a.doc_id = doc_a JOIN shg b ON b.doc_id = doc_b
+            WHERE len(list_intersect(a.s, b.s))
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
+          ),
+          final AS (
+            SELECT doc_id, n_chars,
+                   CASE
+                     WHEN ({_H60_DUCK.format(x="CAST(doc_id AS VARCHAR) || ''")}) % 1000000 < 50000 THEN 'test'
+                     WHEN ({_H60_DUCK.format(x="CAST(doc_id AS VARCHAR) || ''")}) % 1000000 < 950000 THEN 'train'
+                     ELSE 'val' END AS split
+            FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+          )
+          SELECT doc_id, split,
+                 CAST(floor(coalesce(sum(n_chars) OVER (PARTITION BY split ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 20000) AS INT) AS shard,
+                 n_chars
+          FROM final
+        """,
         "simhash_near_dups": f"""
           WITH sig AS ({_simhash_duck()}),
           chunks AS (

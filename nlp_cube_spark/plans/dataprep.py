@@ -1,0 +1,85 @@
+"""LLM training-data prep: the end-to-end composition a corpus user runs.
+
+One declarative plan chaining the pipeline-extension operators (task
+brief: dedup / quality / splits / shard packing as first-class
+components):
+
+    documents
+      -> quality filter            (textstats.quality_score composite)
+      -> exact dedup               (keep the smallest doc_id per content md5)
+      -> near-dup removal          (MinHash LSH candidates, hot-bucket
+                                    capped -> exact n-gram Jaccard verify
+                                    -> greedy drop of the larger doc_id)
+      -> deterministic hash split  (train/val/test, content-derived, stable
+                                    under corpus growth)
+      -> per-split shard packing   (two-phase prefix sum, no global sort)
+
+Every stage is independently oracled by a driver query; the composed plan
+is oracled end-to-end by `__spark_entry__.training_data_prep` (the whole
+chain replayed as one DuckDB CTE).
+
+Scale notes: the only shuffles are the dedup hash-agg, the LSH band join
+(capped), the verify id-joins, and the per-split range bucketing — all on
+uniform or capped keys. The greedy near-dup rule ("drop any doc that is
+the larger side of a verified pair") keeps the smallest doc_id of each
+detected cluster without a connected-components pass; use
+canonicalize.connected_components when full cluster semantics matter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators.dedup import jaccard_verify_pairs, lsh_candidate_pairs
+from ..operators.sampling import hash_split, pack_by_budget
+from ..operators.textstats import quality_score
+
+DEFAULT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def prep_training_data(
+    docs: DataFrame,
+    min_quality: float = 0.62,
+    k: int = 8,
+    bands: int = 2,
+    max_bucket: int = 64,
+    jaccard_threshold: float = 0.9,
+    weights: dict[str, float] | None = None,
+    shard_budget: int = 20000,
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """documents(doc_id, text, n_chars, ...) -> (doc_id, split, shard,
+    n_chars) for every surviving document. Deterministic at any
+    parallelism; every stage SQL-replayable."""
+    weights = weights or DEFAULT_WEIGHTS
+
+    kept = (
+        quality_score(docs)
+        .where(F.col("quality") >= min_quality)
+        .select("doc_id", "text", size_col)
+    )
+
+    keep_ids = (
+        kept.groupBy(F.md5("text").alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = kept.join(keep_ids, "doc_id")
+
+    pairs = jaccard_verify_pairs(
+        lsh_candidate_pairs(kept, k=k, bands=bands, max_bucket=max_bucket),
+        kept,
+        threshold=jaccard_threshold,
+    )
+    near_dup_ids = pairs.select(F.col("doc_b").alias("doc_id")).dropDuplicates()
+    kept = kept.join(near_dup_ids, "doc_id", "left_anti")
+
+    kept = hash_split(kept, "doc_id", weights)
+
+    packed = None
+    for split_name in sorted(weights):
+        part = pack_by_budget(
+            kept.where(F.col("split") == split_name), size_col, shard_budget
+        )
+        packed = part if packed is None else packed.unionByName(part)
+    return packed.select("doc_id", "split", "shard", size_col)
