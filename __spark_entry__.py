@@ -416,7 +416,12 @@ def q_training_data_prep(spark, sf_dir):
     stage in isolation."""
     from nlp_cube_spark.plans.dataprep import prep_training_data
 
-    return prep_training_data(_t(spark, sf_dir, "documents"))
+    # single-file sf scan -> 1 partition; spread before the LSH/verify
+    # stages (at real scale the table scan supplies parallelism itself)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism * 2, "doc_id"
+    )
+    return prep_training_data(docs)
 
 
 def q_simhash_near_dups(spark, sf_dir):
@@ -1359,10 +1364,10 @@ def oracle_sql() -> dict[str, str]:
           ),
           keep_ids AS (SELECT min(doc_id) AS doc_id FROM keptq GROUP BY md5(text)),
           kept AS (SELECT k.* FROM keptq k JOIN keep_ids USING (doc_id)),
-          sig AS ({_minhash_duck(8, src="kept")}),
+          sig AS ({_minhash_duck(16, src="kept")}),
           banded AS (
             SELECT doc_id, b AS band_id,
-                   md5(array_to_string(minhash[b * 4 + 1 : b * 4 + 4], '_')) AS band_sig
+                   md5(array_to_string(minhash[b * 8 + 1 : b * 8 + 8], '_')) AS band_sig
             FROM sig, (SELECT unnest(range(0, 2)) AS b)
           ),
           capped AS (

@@ -33,6 +33,7 @@ HEADLINE = [
     "doc_fingerprints",
     "doc_quality",
     "simhash_signatures",
+    "training_data_prep",
     "ann_cosine_topk",
     "kg_upos_distribution",
     "kg_triples",

@@ -47,23 +47,32 @@ def shingle_expr(text_col: str, n: int = 3) -> str:
     )
 
 
-def minhash_signature(docs: DataFrame, text_col: str = "text", k: int = 16, n: int = 3) -> DataFrame:
-    """k-permutation MinHash signature (ARRAY<BIGINT> length k)."""
-    sh = shingle_expr(text_col, n)
+def minhash_signature(
+    docs: DataFrame, text_col: str = "text", k: int = 16, n: int = 3,
+    shingle_col: str | None = None,
+) -> DataFrame:
+    """k-permutation MinHash signature (ARRAY<BIGINT> length k).
+
+    `shingle_col` reuses a precomputed shingle array (cf.
+    jaccard_verify_pairs) instead of re-evaluating the interpreted HOF."""
     mins = ", ".join(
-        "array_min(transform(_sh, s -> %s))" % _h60("concat('%d:', s)" % j) for j in range(k)
+        "array_min(transform(_msh, s -> %s))" % _h60("concat('%d:', s)" % j) for j in range(k)
     )
-    return docs.withColumn("_sh", F.expr(sh)).withColumn(
-        "minhash", F.expr(f"array({mins})")
-    ).drop("_sh")
+    base = (
+        docs.withColumn("_msh", F.col(shingle_col))
+        if shingle_col is not None
+        else docs.withColumn("_msh", F.expr(shingle_expr(text_col, n)))
+    )
+    return base.withColumn("minhash", F.expr(f"array({mins})")).drop("_msh")
 
 
 def _banded_signatures(
     docs: DataFrame, id_col: str, text_col: str, k: int, bands: int, n: int,
+    shingle_col: str | None = None,
 ) -> DataFrame:
     """(id, band_id, band_sig) — one row per doc per band."""
     rows_per_band = k // bands
-    sig = minhash_signature(docs, text_col, k, n).select(id_col, "minhash")
+    sig = minhash_signature(docs, text_col, k, n, shingle_col).select(id_col, "minhash")
     return sig.select(
         id_col,
         F.explode(
@@ -78,6 +87,7 @@ def _banded_signatures(
 def lsh_candidate_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     k: int = 16, bands: int = 4, n: int = 3, max_bucket: int | None = None,
+    shingle_col: str | None = None,
 ) -> DataFrame:
     """LSH banding: docs agreeing on any band of k/bands minhashes.
 
@@ -90,7 +100,7 @@ def lsh_candidate_pairs(
     with `oversized_band_buckets` (bucket -> member list, linear cost) or
     route them to `exact_duplicates`. Documented recall note: a true
     near-dup pair is missed only if EVERY band it agrees on is oversized."""
-    banded = _banded_signatures(docs, id_col, text_col, k, bands, n)
+    banded = _banded_signatures(docs, id_col, text_col, k, bands, n, shingle_col)
     if max_bucket is not None:
         w = Window.partitionBy("band_id", "band_sig")
         banded = banded.withColumn("_bn", F.count(F.lit(1)).over(w)).where(
@@ -109,12 +119,13 @@ def lsh_candidate_pairs(
 def oversized_band_buckets(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     k: int = 16, bands: int = 4, n: int = 3, max_bucket: int = 1024,
+    shingle_col: str | None = None,
 ) -> DataFrame:
     """Band buckets too hot for pairwise expansion, as clusters:
     (band_id, band_sig, n_members, member_ids ARRAY) — linear in corpus
     size. At web scale these are boilerplate families; dedup keeps
     min(member_ids) per cluster without ever materializing the pairs."""
-    banded = _banded_signatures(docs, id_col, text_col, k, bands, n)
+    banded = _banded_signatures(docs, id_col, text_col, k, bands, n, shingle_col)
     return (
         banded.groupBy("band_id", "band_sig")
         .agg(F.count(F.lit(1)).alias("n_members"), F.sort_array(F.collect_list(id_col)).alias("member_ids"))
@@ -125,14 +136,23 @@ def oversized_band_buckets(
 def jaccard_verify_pairs(
     pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id",
     text_col: str = "text", n: int = 3, threshold: float = 0.5,
+    shingle_col: str | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard verification of a CANDIDATE pair list.
 
     This is the scale shape: cost is O(|pairs|), never all-pairs — feed it
     `lsh_candidate_pairs` (or `simhash_near_dups`) output. Shingle sets are
     joined onto both pair sides by id (two shuffles keyed on doc id, which
-    is uniform); the Jaccard math is pure Catalyst array expressions."""
-    sh = docs.select(F.col(id_col), F.expr(shingle_expr(text_col, n)).alias("_sh"))
+    is uniform); the Jaccard math is pure Catalyst array expressions.
+
+    `shingle_col` names a PRECOMPUTED array<string> column in `docs`: the
+    shingle expression is an interpreted HOF evaluated per doc per side,
+    so callers that materialize docs anyway (plans/dataprep) should
+    compute shingles once into the materialized set and pass the column."""
+    if shingle_col is not None:
+        sh = docs.select(F.col(id_col), F.col(shingle_col).alias("_sh"))
+    else:
+        sh = docs.select(F.col(id_col), F.expr(shingle_expr(text_col, n)).alias("_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -20,7 +20,10 @@ chain replayed as one DuckDB CTE).
 
 Scale notes: the only shuffles are the dedup hash-agg, the LSH band join
 (capped), the verify id-joins, and the per-split range bucketing — all on
-uniform or capped keys. The greedy near-dup rule ("drop any doc that is
+uniform or capped keys. Band selectivity matters when documents share a
+vocabulary (web boilerplate, these word-salad fixtures): 4-hash bands
+produced 51k candidate pairs on 4.3k sf0.1 docs vs 11k with 8-hash bands
+(k=16, bands=2 — the default), and the Jaccard verify is O(pairs). The greedy near-dup rule ("drop any doc that is
 the larger side of a verified pair") keeps the smallest doc_id of each
 detected cluster without a connected-components pass; use
 canonicalize.connected_components when full cluster semantics matter.
@@ -30,7 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..operators.dedup import jaccard_verify_pairs, lsh_candidate_pairs
+from ..operators.dedup import jaccard_verify_pairs, lsh_candidate_pairs, shingle_expr
 from ..operators.sampling import hash_split, pack_by_budget
 from ..operators.textstats import quality_score
 
@@ -40,17 +43,25 @@ DEFAULT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
 def prep_training_data(
     docs: DataFrame,
     min_quality: float = 0.62,
-    k: int = 8,
+    k: int = 16,
     bands: int = 2,
     max_bucket: int = 64,
     jaccard_threshold: float = 0.9,
     weights: dict[str, float] | None = None,
     shard_budget: int = 20000,
     size_col: str = "n_chars",
+    materialize: bool = True,
 ) -> DataFrame:
     """documents(doc_id, text, n_chars, ...) -> (doc_id, split, shard,
     n_chars) for every surviving document. Deterministic at any
-    parallelism; every stage SQL-replayable."""
+    parallelism; every stage SQL-replayable.
+
+    `materialize` inserts two barriers (localCheckpoint; persist() on a
+    real cluster): the deduped set is referenced FOUR times downstream
+    (LSH signatures, both Jaccard shingle attaches, the anti-join left
+    side) and the split survivors once per split by the shard packer plus
+    its range-boundary sampling actions — lazily composed, the expensive
+    upstream re-executes ~6x (measured 84s vs ~10s at sf0.1)."""
     weights = weights or DEFAULT_WEIGHTS
 
     kept = (
@@ -65,16 +76,24 @@ def prep_training_data(
         .select("doc_id")
     )
     kept = kept.join(keep_ids, "doc_id")
+    # shingles computed ONCE into the materialized set: the shingle HOF is
+    # interpreted per doc, and verify needs it on both join sides
+    kept = kept.withColumn("_sh", F.expr(shingle_expr("text", 3)))
+    if materialize:
+        kept = kept.localCheckpoint()
 
     pairs = jaccard_verify_pairs(
-        lsh_candidate_pairs(kept, k=k, bands=bands, max_bucket=max_bucket),
+        lsh_candidate_pairs(kept, k=k, bands=bands, max_bucket=max_bucket, shingle_col="_sh"),
         kept,
         threshold=jaccard_threshold,
+        shingle_col="_sh",
     )
     near_dup_ids = pairs.select(F.col("doc_b").alias("doc_id")).dropDuplicates()
     kept = kept.join(near_dup_ids, "doc_id", "left_anti")
 
-    kept = hash_split(kept, "doc_id", weights)
+    kept = hash_split(kept, "doc_id", weights).drop("text")
+    if materialize:
+        kept = kept.localCheckpoint()
 
     packed = None
     for split_name in sorted(weights):
