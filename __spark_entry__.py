@@ -407,6 +407,16 @@ def q_simhash_signatures(spark, sf_dir):
     return simhash64(_t(spark, sf_dir, "documents")).select("doc_id", "simhash")
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    """Transitive near-dup semantics: verified-pair graph -> connected
+    components (pointer-doubling cc over the pair graph only); cluster_id =
+    smallest doc_id in the component. The oracle replays LSH + Jaccard
+    verify + the components with a recursive CTE."""
+    from nlp_cube_spark.operators.dedup import near_dup_clusters
+
+    return near_dup_clusters(_docs_with_dups(spark, sf_dir), k=16, bands=2, max_bucket=64)
+
+
 def q_training_data_prep(spark, sf_dir):
     """The composed corpus pipeline a training-data user actually runs:
     quality filter -> exact dedup -> capped-LSH + Jaccard near-dup removal
@@ -723,6 +733,7 @@ _QUERIES = {
         "simhash_signatures": q_simhash_signatures,
         "simhash_near_dups": q_simhash_near_dups,
         "training_data_prep": q_training_data_prep,
+        "near_dup_clusters": q_near_dup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1345,6 +1356,44 @@ def oracle_sql() -> dict[str, str]:
           WHERE a.doc_id < b.doc_id
         """,
         "simhash_signatures": _simhash_duck(),
+        "near_dup_clusters": f"""
+          WITH RECURSIVE docs AS ({_DOCS_DUPS_DUCK}),
+          sig AS ({_minhash_duck(16, src="docs")}),
+          banded AS (
+            SELECT doc_id, b AS band_id,
+                   md5(array_to_string(minhash[b * 8 + 1 : b * 8 + 8], '_')) AS band_sig
+            FROM sig, (SELECT unnest(range(0, 2)) AS b)
+          ),
+          capped AS (
+            SELECT doc_id, band_id, band_sig FROM (
+              SELECT *, count(*) OVER (PARTITION BY band_id, band_sig) AS _bn FROM banded
+            ) WHERE _bn <= 64
+          ),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM capped a JOIN capped b USING (band_id, band_sig)
+            WHERE a.doc_id < b.doc_id
+          ),
+          shg AS (
+            SELECT doc_id, list_distinct([substr(lower(text), i, 3)
+                   FOR i IN range(1, greatest(length(lower(text)) - 2, 1) + 1)]) AS s
+            FROM docs
+          ),
+          verified AS (
+            SELECT doc_a, doc_b
+            FROM cand JOIN shg a ON a.doc_id = doc_a JOIN shg b ON b.doc_id = doc_b
+            WHERE len(list_intersect(a.s, b.s))
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
+          ),
+          sym AS (SELECT doc_a AS src, doc_b AS dst FROM verified
+                  UNION SELECT doc_b, doc_a FROM verified),
+          walk(node, comp) AS (
+            SELECT src, src FROM sym
+            UNION
+            SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.node
+          )
+          SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node
+        """,
         "training_data_prep": f"""
           WITH qbase AS (
             SELECT doc_id, text, n_chars,

@@ -308,3 +308,35 @@ def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
         .select("doc_a", "doc_b", "hamming")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def near_dup_clusters(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 16, bands: int = 2, n: int = 3, max_bucket: int | None = 64,
+    threshold: float = 0.9, shingle_col: str | None = None,
+) -> DataFrame:
+    """(doc_id, cluster_id) for every document in a verified near-dup
+    cluster: full TRANSITIVE semantics — cluster_id is the smallest doc_id
+    in the connected component of the verified-pair graph (cf. the greedy
+    drop-the-larger rule in plans/dataprep, which can keep a doc whose
+    only verified links are to other dropped docs). Keep-one dedup =
+    drop every row where doc_id != cluster_id.
+
+    Components run on the pair graph only (vastly smaller than the
+    corpus); ids are zero-padded so the string min-label of
+    canonicalize.connected_components equals the numeric min."""
+    from .canonicalize import connected_components
+
+    pairs = jaccard_verify_pairs(
+        lsh_candidate_pairs(docs, id_col, text_col, k, bands, n, max_bucket, shingle_col),
+        docs, id_col, text_col, n, threshold, shingle_col,
+    )
+    edges = pairs.select(
+        F.lpad(F.col("doc_a").cast("string"), 12, "0").alias("src"),
+        F.lpad(F.col("doc_b").cast("string"), 12, "0").alias("dst"),
+    )
+    comp = connected_components(edges)
+    return comp.select(
+        F.col("node").cast("bigint").alias(id_col),
+        F.col("component").cast("bigint").alias("cluster_id"),
+    )

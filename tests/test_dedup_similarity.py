@@ -193,3 +193,21 @@ def test_simhash_auto_dispatch(spark, docs):
     # empty/degenerate input must not fail the sampler
     empty = docs.where(F.lit(False))
     assert D._pick_simhash_impl(empty, "text") == "hof"
+
+
+def test_near_dup_clusters_transitive(spark):
+    """Connected-components near-dup semantics: a chain A~B~C lands in ONE
+    cluster keyed by the smallest id, and singletons don't appear."""
+    base = ("the quick brown fox jumps over the lazy dog and then runs far away "
+            "to the green hills beyond the river where tall trees grow") * 2
+    rows = [
+        (1, base, "en"),
+        (2, base + " x", "en"),
+        (3, base + " x y", "en"),
+        (50, "completely different text about spark catalyst plans", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.doc_id: r.cluster_id for r in
+           D.near_dup_clusters(docs, k=16, bands=2, threshold=0.9).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+    assert 50 not in got
