@@ -53,7 +53,20 @@ def start_triples_stream(
     stream = read_pages_stream(spark, src_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Empty micro-batches happen routinely (idle triggers, the
+        # state-flush batch availableNow appends after the data batches).
+        # A partitioned overwrite of an EMPTY DataFrame carries no
+        # partition values, so "dynamic" degenerates to static semantics
+        # and WIPES THE WHOLE TABLE (observed on Spark 4.1: the flush
+        # batch deleted every file the data batch had just written).
+        if batch_df.isEmpty():
+            return
+        # foreachBatch hands us a MICRO-BATCH-SCOPED session clone: conf
+        # set on the outer session may not reach this batch's writes (it
+        # reached them only by clone-inheritance timing — flaky). Without
+        # dynamic mode on the RIGHT session, a replayed batch would
+        # static-overwrite every other batch's partitions.
+        batch_df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         triples = A.fused_triples(batch_df)
         out = with_bucket(triples, n_buckets).withColumn("batch_id", F.lit(batch_id))
         # dynamic overwrite touches ONLY this batch_id's partitions ->

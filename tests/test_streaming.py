@@ -58,3 +58,73 @@ def test_stream_resume_from_checkpoint(spark, dirs):
     urls_got = {r.url for r in got.select("url").dropDuplicates().collect()}
     urls_want = {r.url for r in full.select("url").dropDuplicates().collect()}
     assert urls_got == urls_want
+
+
+def test_incremental_content_dedup_stream(spark, dirs):
+    """Cross-batch content dedup: exact and near re-publishes under NEW
+    urls are dropped against the accumulated signature store; the store
+    carries 16 longs + 1 hash per survivor, never text."""
+    import datetime
+
+    from nlp_cube_spark.streaming import dedup as SD
+
+    ts = datetime.datetime(2025, 1, 1)
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8).strip()
+
+    def write(rows):
+        spark.createDataFrame(
+            [(u, ts, bytearray(b"<html/>"), t, "en") for u, t in rows], ingest.PAGES_DDL
+        ).coalesce(1).write.mode("append").parquet(dirs["src"])
+
+    write([("u1", base), ("u2", "totally different text about query planners and joins")])
+    q = SD.start_dedup_stream(spark, dirs["src"], dirs["out"], dirs["ckpt"], sim_threshold=0.7)
+    q.awaitTermination(180)
+    s1 = {r.url for r in spark.read.parquet(f"{dirs['out']}/survivors").collect()}
+    assert s1 == {"u1", "u2"}
+
+    write([
+        ("u3", base),             # exact re-publish of u1 under a new url
+        ("u4", base + " omega"),  # near re-publish of u1
+        ("u5", "another genuinely unique document body for the stream"),
+    ])
+    q2 = SD.start_dedup_stream(spark, dirs["src"], dirs["out"], dirs["ckpt"], sim_threshold=0.7)
+    q2.awaitTermination(180)
+    surv = spark.read.parquet(f"{dirs['out']}/survivors")
+    assert {r.url for r in surv.collect()} == {"u1", "u2", "u5"}
+    sigs = spark.read.parquet(f"{dirs['out']}/signatures")
+    assert sigs.count() == 3 and set(sigs.columns) >= {"url", "content_hash", "minhash", "batch_id"}
+
+
+def test_dedup_batch_in_batch_rules(spark):
+    """Unit semantics without a stream: min-url keep rule for exact and
+    near dups within one batch; history drops both kinds."""
+    from nlp_cube_spark.streaming.dedup import dedup_batch
+
+    base = ("lambda mu nu xi omicron pi rho sigma tau upsilon " * 8).strip()
+    batch = spark.createDataFrame(
+        [("a", base), ("b", base), ("c", base + " phi"), ("d", "some other body entirely")],
+        "url string, text string",
+    )
+    out = dedup_batch(batch, None, sim_threshold=0.7)
+    assert {r.url for r in out.collect()} == {"a", "d"}
+    # same batch against a history that already has the base content
+    hist = out.where("url = 'a'").select("url", "content_hash", "minhash")
+    out2 = dedup_batch(batch, hist, sim_threshold=0.7)
+    assert {r.url for r in out2.collect()} == {"d"}
+
+
+def test_idle_trigger_does_not_wipe_output(spark, dirs):
+    """Regression (r3): availableNow appends a state-flush EMPTY batch, and
+    a partitioned overwrite of an empty DataFrame degenerates to static
+    semantics and deletes the whole table; additionally foreachBatch runs
+    on a session CLONE, so the dynamic-overwrite conf must be set on
+    batch_df.sparkSession, not the outer session. A restart with no new
+    input must leave the output byte-identical."""
+    pages_df(spark, 10, seed=5).write.mode("append").parquet(dirs["src"])
+    q = ingest.start_triples_stream(spark, dirs["src"], dirs["out"], dirs["ckpt"])
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(f"{dirs['out']}/triples").count()
+    assert n1 > 0
+    q2 = ingest.start_triples_stream(spark, dirs["src"], dirs["out"], dirs["ckpt"])
+    q2.awaitTermination(120)
+    assert spark.read.parquet(f"{dirs['out']}/triples").count() == n1
