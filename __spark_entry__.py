@@ -647,6 +647,19 @@ def q_multimodal_features(spark, sf_dir):
     return MM.extract_features(assets, dim=8).select("asset_id", "kind", "n_bytes", "content_hash")
 
 
+def q_multimodal_transformed(spark, sf_dir):
+    """Real media transforms end-to-end: synth valid containers ->
+    transform_assets (PNG full pixel decode + nearest resize 0.5x +
+    re-encode; WAV frame decimation /2; JPEG/MP4 pass-through) ->
+    strict header re-decode. The oracle replays the transform arithmetic
+    on the generator parameters, so the hash match proves the resized /
+    decimated bytes parse back to exactly the predicted geometry."""
+    from nlp_cube_spark.operators import multimodal as MM
+
+    assets = MM.synth_media_assets(spark, _t(spark, sf_dir, "documents"))
+    return MM.decode_assets(MM.transform_assets(assets, image_scale=0.5, audio_decimate=2))
+
+
 def q_doc_wordgram_embeddings(spark, sf_dir):
     """WordGram char-ngram encoder (#12) driver-visible: word vector = mean
     of trained char 3-5 gram vectors (fastText-style subword composition fit
@@ -754,6 +767,7 @@ _QUERIES = {
         "vocab_chars": q_vocab_chars,
         "multimodal_features": q_multimodal_features,
         "multimodal_decoded": q_multimodal_decoded,
+        "multimodal_transformed": q_multimodal_transformed,
     }
 
 
@@ -1751,6 +1765,33 @@ def oracle_sql() -> dict[str, str]:
                  CAST(CASE WHEN doc_id % 3 = 1
                            THEN [8000,16000,22050,44100][CAST(doc_id % 4 AS INT) + 1] END AS INT) AS sample_rate,
                  CAST(CASE WHEN doc_id % 3 = 1 THEN 100 + doc_id % 900 END AS BIGINT) AS n_samples,
+                 CAST(CASE WHEN doc_id % 3 = 2 THEN 600 + (doc_id % 5) * 600 END AS BIGINT) AS timescale,
+                 CAST(CASE WHEN doc_id % 3 = 2 THEN 500 * (1 + doc_id % 20) + doc_id % 7 END AS BIGINT) AS duration
+          FROM documents
+        """,
+        "multimodal_transformed": """
+          SELECT doc_id AS asset_id,
+                 ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+                 CASE WHEN doc_id % 3 = 0 THEN (CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END)
+                      WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'mp4' END AS format,
+                 CAST(CASE
+                      WHEN doc_id % 3 = 0 AND doc_id % 2 = 0
+                           THEN 68 + CAST(floor((16 + (doc_id * 7) % 49) / 2) AS INT)
+                                    * (1 + 3 * CAST(floor((16 + doc_id % 49) / 2) AS INT))
+                      WHEN doc_id % 3 = 0 THEN 55 + 64 + doc_id % 937
+                      WHEN doc_id % 3 = 1
+                           THEN 44 + CAST(floor((100 + doc_id % 900 + 1) / 2) AS INT) * (1 + doc_id % 2) * 2
+                      ELSE 144 + 32 + doc_id % 701 END AS INT) AS n_bytes,
+                 CAST(CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0 THEN floor((16 + doc_id % 49) / 2)
+                           WHEN doc_id % 3 = 0 THEN 16 + doc_id % 49 END AS INT) AS width,
+                 CAST(CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0 THEN floor((16 + (doc_id * 7) % 49) / 2)
+                           WHEN doc_id % 3 = 0 THEN 16 + (doc_id * 7) % 49 END AS INT) AS height,
+                 CAST(CASE WHEN doc_id % 3 = 0 THEN 8 WHEN doc_id % 3 = 1 THEN 16 END AS INT) AS bit_depth,
+                 CAST(CASE WHEN doc_id % 3 = 0 THEN 3
+                           WHEN doc_id % 3 = 1 THEN 1 + doc_id % 2 END AS INT) AS channels,
+                 CAST(CASE WHEN doc_id % 3 = 1
+                           THEN [8000,16000,22050,44100][CAST(doc_id % 4 AS INT) + 1] // 2 END AS INT) AS sample_rate,
+                 CAST(CASE WHEN doc_id % 3 = 1 THEN floor((100 + doc_id % 900 + 1) / 2) END AS BIGINT) AS n_samples,
                  CAST(CASE WHEN doc_id % 3 = 2 THEN 600 + (doc_id % 5) * 600 END AS BIGINT) AS timescale,
                  CAST(CASE WHEN doc_id % 3 = 2 THEN 500 * (1 + doc_id % 20) + doc_id % 7 END AS BIGINT) AS duration
           FROM documents

@@ -259,3 +259,134 @@ def decode_header(payload: bytes) -> dict:
     if fmt is None:
         raise MediaDecodeError("unrecognized container format")
     return _DECODERS[fmt](payload)
+
+
+# ------------------------------------------------- pixel/sample transforms
+
+
+def decode_png_pixels(payload: bytes):
+    """Full PNG decode for 8-bit RGB/gray images: chunk walk, zlib
+    inflate, scanline DEFILTER (all five PNG filter types per the spec).
+    Returns (width, height, channels, bytes pixels row-major)."""
+    hdr = decode_png(payload)
+    if hdr["bit_depth"] != 8 or hdr["channels"] not in (1, 3):
+        raise MediaDecodeError("pixel decode supports 8-bit gray/RGB only")
+    w, h, ch = hdr["width"], hdr["height"], hdr["channels"]
+    idat = bytearray()
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            idat += payload[pos + 8 : pos + 8 + length]
+        if tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (1 + stride):
+        raise MediaDecodeError("PNG pixel data length mismatch")
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    for y in range(h):
+        ftype = raw[y * (1 + stride)]
+        line = bytearray(raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)])
+        if ftype == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise MediaDecodeError(f"unknown PNG filter type {ftype}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return w, h, ch, bytes(out)
+
+
+def make_png_from_pixels(width: int, height: int, channels: int, pixels: bytes) -> bytes:
+    """8-bit gray/RGB pixels -> PNG (filter 0, zlib level 0 — same framing
+    as make_png, so byte lengths stay closed-form)."""
+    if channels not in (1, 3) or len(pixels) != width * height * channels:
+        raise ValueError("bad pixel buffer")
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    color = 0 if channels == 1 else 2
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    stride = width * channels
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)
+        raw += pixels[y * stride : (y + 1) * stride]
+    idat = zlib.compress(bytes(raw), 0)
+    return b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def resize_png_nearest(payload: bytes, new_w: int, new_h: int) -> bytes:
+    """Nearest-neighbor resize of an 8-bit gray/RGB PNG (floor index
+    mapping: src = floor(dst * src_dim / dst_dim)), re-encoded with the
+    closed-form framing."""
+    import numpy as np
+
+    w, h, ch, pix = decode_png_pixels(payload)
+    arr = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, ch)
+    ys = (np.arange(new_h) * h) // new_h
+    xs = (np.arange(new_w) * w) // new_w
+    out = arr[ys][:, xs]
+    return make_png_from_pixels(new_w, new_h, ch, out.tobytes())
+
+
+def decode_wav_samples(payload: bytes):
+    """(sample_rate, channels, int16 numpy array of frames*channels)."""
+    import numpy as np
+
+    hdr = decode_wav(payload)
+    pos = 12
+    data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if tag == b"data":
+            data = payload[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)
+    if data is None:
+        raise MediaDecodeError("no data chunk")
+    return hdr["sample_rate"], hdr["channels"], np.frombuffer(data, dtype="<i2")
+
+
+def decimate_wav(payload: bytes, k: int) -> bytes:
+    """Keep every k-th PCM frame; declared sample rate divides by k
+    (rate % k must be 0 — a real resampler would filter first; frame
+    decimation is the deterministic stdlib-only stand-in)."""
+    import numpy as np
+
+    rate, ch, samples = decode_wav_samples(payload)
+    if rate % k:
+        raise ValueError(f"rate {rate} not divisible by {k}")
+    frames = samples.reshape(-1, ch)[::k]
+    data = frames.astype("<i2").tobytes()
+    n = len(data)
+    fmt = struct.pack("<HHIIHH", 1, ch, rate // k, (rate // k) * ch * 2, ch * 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", n) + data
+    )

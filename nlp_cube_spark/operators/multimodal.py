@@ -203,3 +203,42 @@ def extract_features(assets: DataFrame, dim: int = 8) -> DataFrame:
             yield pd.DataFrame(out)
 
     return assets.select("asset_id", "kind", "payload").mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def transform_assets(
+    assets: DataFrame, image_scale: float = 0.5, audio_decimate: int = 2
+) -> DataFrame:
+    """The resize / frame-sample stage of the brief, with REAL math where
+    the container allows it: PNG images are nearest-neighbor resized by
+    `image_scale` (full decode -> defilter -> index-map -> re-encode,
+    kernels.mediacodec); WAV audio is frame-decimated by `audio_decimate`
+    (declared rate divides). JPEG and MP4 pass through unchanged —
+    baseline-JPEG re-encode needs a DCT codec and the synthetic MP4
+    carries no frames to sample (both documented plug-in seams). One
+    Arrow stage in, same ASSET_SCHEMA out."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {f.name: [] for f in ASSET_SCHEMA.fields}
+            for aid, url, kind, payload, meta in zip(
+                pdf["asset_id"], pdf["url"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                raw = bytes(payload) if payload is not None else b""
+                fmt = mc.sniff_format(raw)
+                if fmt == "png":
+                    d = mc.decode_header(raw)
+                    nw = max(1, int(d["width"] * image_scale))
+                    nh = max(1, int(d["height"] * image_scale))
+                    raw = mc.resize_png_nearest(raw, nw, nh)
+                elif fmt == "wav":
+                    raw = mc.decimate_wav(raw, audio_decimate)
+                out["asset_id"].append(int(aid))
+                out["url"].append(url)
+                out["kind"].append(kind)
+                out["payload"].append(raw)
+                out["meta"].append(meta)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(run, schema=ASSET_SCHEMA)

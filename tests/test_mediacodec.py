@@ -206,3 +206,98 @@ def test_decode_assets_quarantine_mode(spark):
         MM.decode_assets(assets, on_error="fail").collect()
     with pytest.raises(ValueError, match="on_error"):
         MM.decode_assets(assets, on_error="skip")
+
+
+def test_png_pixel_roundtrip_and_known_resize():
+    import numpy as np
+
+    # 2x2 RGB image with distinct corner colors
+    pix = bytes([255,0,0,  0,255,0,
+                 0,0,255,  255,255,0])
+    p = mc.make_png_from_pixels(2, 2, 3, pix)
+    w, h, ch, back = mc.decode_png_pixels(p)
+    assert (w, h, ch) == (2, 2, 3) and back == pix
+    # nearest resize 2x2 -> 1x1 keeps the top-left pixel (floor mapping)
+    r = mc.resize_png_nearest(p, 1, 1)
+    assert mc.decode_png_pixels(r)[3] == bytes([255, 0, 0])
+    # 2x2 -> 4x4 replicates each pixel into a 2x2 block
+    up = mc.resize_png_nearest(p, 4, 4)
+    arr = np.frombuffer(mc.decode_png_pixels(up)[3], dtype=np.uint8).reshape(4, 4, 3)
+    assert (arr[0, 0] == [255, 0, 0]).all() and (arr[1, 1] == [255, 0, 0]).all()
+    assert (arr[3, 3] == [255, 255, 0]).all() and (arr[0, 3] == [0, 255, 0]).all()
+
+
+def test_png_defilter_all_types():
+    """Hand-built scanlines exercising every PNG filter type (1=Sub, 2=Up,
+    3=Average, 4=Paeth) against a reference unfiltered encoding."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    w, h, ch = 5, 5, 3
+    img = rng.randint(0, 256, size=(h, w, ch)).astype(np.uint8)
+    stride = w * ch
+
+    def filt(ftype, line, prev):
+        out = bytearray()
+        for i in range(stride):
+            a = line[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if ftype == 0: pred = 0
+            elif ftype == 1: pred = a
+            elif ftype == 2: pred = b
+            elif ftype == 3: pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((line[i] - pred) & 0xFF)
+        return bytes(out)
+
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        ftype = y % 5
+        line = img[y].tobytes()
+        raw.append(ftype)
+        raw += filt(ftype, line, prev)
+        prev = line
+
+    def chunk(tag, data):
+        import struct as st, zlib as zl
+        return st.pack(">I", len(data)) + tag + data + st.pack(">I", zl.crc32(tag + data) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(bytes(raw), 6)) + chunk(b"IEND", b""))
+    got = mc.decode_png_pixels(payload)[3]
+    assert got == img.tobytes()
+
+
+def test_wav_decimate_values():
+    import numpy as np
+
+    p = mc.make_wav(16000, 2, 10)
+    rate, ch, samples = mc.decode_wav_samples(p)
+    d = mc.decimate_wav(p, 2)
+    r2, c2, s2 = mc.decode_wav_samples(d)
+    assert (r2, c2) == (8000, 2)
+    want = samples.reshape(-1, 2)[::2].reshape(-1)
+    assert np.array_equal(s2, want)
+    with pytest.raises(ValueError):
+        mc.decimate_wav(p, 3)  # 16000 % 3 != 0
+
+
+def test_transform_assets_spark(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, "websrc", "en") for i in range(12)], "doc_id long, source string, lang string"
+    )
+    assets = MM.synth_media_assets(spark, docs)
+    out = MM.decode_assets(MM.transform_assets(assets, image_scale=0.5, audio_decimate=2))
+    rows = {r.asset_id: r for r in out.collect()}
+    assert rows[0]["format"] == "png" and rows[0]["width"] == 8 and rows[0]["height"] == 8
+    assert rows[3]["format"] == "jpeg" and rows[3]["width"] == 19  # pass-through
+    assert rows[1]["sample_rate"] == 8000 and rows[1]["n_samples"] == (100 + 1 + 1) // 2
+    assert rows[2]["format"] == "mp4" and rows[2]["duration"] == 500 * 3 + 2  # pass-through
