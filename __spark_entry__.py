@@ -709,65 +709,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _wrap(fn) for name, fn in _QUERIES.items()}
 
 
+# Registry order matters: the driver's correctness gate checks the FIRST 50
+# entries, so the newest / least-proven queries lead and long-stable trivial
+# relational queries (green since round 1) trail.  Every entry is still
+# replayed locally against its DuckDB oracle in tests/test_entry_queries.py.
 _QUERIES = {
-        "pricing_summary": q_pricing_summary,
-        "top_revenue_orders": q_top_revenue_orders,
-        "region_revenue": q_region_revenue,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
-        "window_top3": q_window_top3,
-        "distinct_brand_type": q_distinct_brand_type,
-        "rollup_orders": q_rollup_orders,
-        "events_hourly": q_events_hourly,
-        "events_json_props": q_events_json_props,
-        "string_folding": q_string_folding,
-        "setops_brands": q_setops_brands,
-        "shipdate_pruned_agg": q_shipdate_pruned_agg,
-        "orders_topk": q_orders_topk,
-        "map_extract": q_map_extract,
-        "salted_supplier_counts": q_salted_supplier_counts,
-        "salted_join_parts": q_salted_join_parts,
-        "user_sessions": q_user_sessions,
-        "cube_order_counts": q_cube_order_counts,
-        "events_tumbling_window": q_events_tumbling_window,
-        "events_sliding_window": q_events_sliding_window,
-        "hot_parts": q_hot_parts,
-        "sampled_hot_parts": q_sampled_hot_parts,
-        "approx_distinct_parts": q_approx_distinct_parts,
+        # --- newest / never driver-checked first (round-4 window rotation) ---
+        "doc_wordgram_embeddings": q_doc_wordgram_embeddings,
+        "multimodal_decoded": q_multimodal_decoded,
+        "multimodal_transformed": q_multimodal_transformed,
+        "kg_linked_canonical": q_kg_linked_canonical,
+        "doc_hash_embeddings": q_doc_hash_embeddings,
+        "vocab_words": q_vocab_words,
+        "vocab_chars": q_vocab_chars,
+        "multimodal_features": q_multimodal_features,
+        "pack_shards": q_pack_shards,
+        # --- KG pipeline ---
+        "kg_triples": q_kg_triples,
+        "kg_words": q_kg_words,
+        "kg_words_learned": q_kg_words_learned,
+        "kg_heads_learned": q_kg_heads_learned,
+        "kg_head_distribution": q_kg_head_distribution,
+        "kg_deprel_distribution": q_kg_deprel_distribution,
+        "kg_upos_distribution": q_kg_upos_distribution,
+        "kg_tag_distribution": q_kg_tag_distribution,
+        "kg_predicate_counts": q_kg_predicate_counts,
+        # --- training-data prep / dedup / similarity ---
+        "training_data_prep": q_training_data_prep,
+        "near_dup_clusters": q_near_dup_clusters,
+        "exact_dups": q_exact_dups,
+        "minhash_band_pairs": q_minhash_band_pairs,
+        "simhash_signatures": q_simhash_signatures,
+        "simhash_near_dups": q_simhash_near_dups,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_near_dups": q_embedding_near_dups,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "stratified_sample": q_stratified_sample,
+        "train_val_test_split": q_train_val_test_split,
+        # --- text analysis ---
         "doc_fingerprints": q_doc_fingerprints,
         "doc_token_counts": q_doc_token_counts,
         "doc_lang_id": q_doc_lang_id,
         "doc_quality": q_doc_quality,
-        "exact_dups": q_exact_dups,
-        "stratified_sample": q_stratified_sample,
-        "train_val_test_split": q_train_val_test_split,
-        "pack_shards": q_pack_shards,
-        "minhash_band_pairs": q_minhash_band_pairs,
-        "simhash_signatures": q_simhash_signatures,
-        "simhash_near_dups": q_simhash_near_dups,
-        "training_data_prep": q_training_data_prep,
-        "near_dup_clusters": q_near_dup_clusters,
-        "ngram_jaccard": q_ngram_jaccard,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "embedding_near_dups": q_embedding_near_dups,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "kg_upos_distribution": q_kg_upos_distribution,
-        "kg_tag_distribution": q_kg_tag_distribution,
-        "kg_deprel_distribution": q_kg_deprel_distribution,
-        "kg_head_distribution": q_kg_head_distribution,
-        "kg_words": q_kg_words,
-        "kg_words_learned": q_kg_words_learned,
-        "kg_heads_learned": q_kg_heads_learned,
-        "kg_triples": q_kg_triples,
-        "kg_predicate_counts": q_kg_predicate_counts,
-        "kg_linked_canonical": q_kg_linked_canonical,
-        "doc_hash_embeddings": q_doc_hash_embeddings,
-        "doc_wordgram_embeddings": q_doc_wordgram_embeddings,
-        "vocab_words": q_vocab_words,
-        "vocab_chars": q_vocab_chars,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_decoded": q_multimodal_decoded,
-        "multimodal_transformed": q_multimodal_transformed,
+        # --- skew / sketches ---
+        "salted_supplier_counts": q_salted_supplier_counts,
+        "salted_join_parts": q_salted_join_parts,
+        "sampled_hot_parts": q_sampled_hot_parts,
+        "approx_distinct_parts": q_approx_distinct_parts,
+        "hot_parts": q_hot_parts,
+        # --- time / sessions ---
+        "user_sessions": q_user_sessions,
+        "events_tumbling_window": q_events_tumbling_window,
+        "events_sliding_window": q_events_sliding_window,
+        "events_hourly": q_events_hourly,
+        # --- relational surface (long-stable; trivials last) ---
+        "pricing_summary": q_pricing_summary,
+        "shipdate_pruned_agg": q_shipdate_pruned_agg,
+        "region_revenue": q_region_revenue,
+        "window_top3": q_window_top3,
+        "top_revenue_orders": q_top_revenue_orders,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "rollup_orders": q_rollup_orders,
+        "cube_order_counts": q_cube_order_counts,
+        "orders_topk": q_orders_topk,
+        "map_extract": q_map_extract,
+        "events_json_props": q_events_json_props,
+        "setops_brands": q_setops_brands,
+        "string_folding": q_string_folding,
+        "distinct_brand_type": q_distinct_brand_type,
     }
 
 
@@ -1346,7 +1357,10 @@ def oracle_sql() -> dict[str, str]:
           ) GROUP BY split
         """,
         "pack_shards": """
-          SELECT shard, count(*) AS n_docs, sum(n_chars) AS chars FROM (
+          -- CAST: DuckDB sum(BIGINT) returns HUGEINT, which pandas renders as
+          -- float64 ("2000.0") while Spark emits int64 ("2000") — a stringify
+          -- hash mismatch invisible to fetchall() value comparison.
+          SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars FROM (
             SELECT CAST(floor(coalesce(sum(n_chars) OVER (ORDER BY doc_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000) AS INT) AS shard,
                    n_chars

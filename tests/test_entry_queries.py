@@ -32,6 +32,35 @@ def _norm(v):
     return v
 
 
+def _render_class(t):
+    """Bucket a Spark/DuckDB column type by how pandas RENDERS it.
+
+    The driver stringifies pandas-materialized values before hashing, so a
+    DuckDB HUGEINT (sum of BIGINT) renders "2000.0" while Spark's BIGINT
+    renders "2000" — invisible to fetchall() value comparison (both give
+    Python ints) but a guaranteed driver hash mismatch.  Two columns are
+    render-compatible iff their classes match."""
+    t = str(t).lower()
+    if t.startswith("decimal") or t in ("hugeint", "uhugeint", "float", "double", "real"):
+        return "float"
+    if t in ("tinyint", "smallint", "integer", "int", "bigint", "long",
+             "short", "byte", "utinyint", "usmallint", "uinteger", "ubigint"):
+        return "int"
+    if t in ("varchar", "string"):
+        return "str"
+    if t in ("blob", "binary"):
+        return "bytes"
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t in ("boolean", "bool"):
+        return "bool"
+    if t.endswith("[]") or t.startswith("array"):
+        return "list"
+    if t.startswith(("map", "struct")):
+        return "nested"
+    return t
+
+
 def _multiset(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = {}
@@ -60,6 +89,9 @@ def test_query_vs_oracle(spark, con, name):
     dcols = res.columns
     drows = res.fetchall()
     assert sorted(scols) == sorted(dcols), (scols, dcols)
+    stypes = {f.name: _render_class(f.dataType.simpleString()) for f in sdf.schema.fields}
+    dtypes = {c: _render_class(t) for c, t in zip(res.columns, res.types)}
+    assert stypes == dtypes, f"{name}: render-incompatible types {stypes} vs {dtypes}"
     assert len(srows) == len(drows), f"{name}: {len(srows)} vs {len(drows)}"
     assert _multiset(srows, scols) == _multiset(drows, dcols), name
 
