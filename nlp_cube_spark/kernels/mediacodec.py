@@ -124,6 +124,29 @@ class MediaDecodeError(ValueError):
     """Raised on malformed/truncated payloads or checksum failures."""
 
 
+def _decode_guard(fn):
+    """Re-raise low-level parse failures as MediaDecodeError.
+
+    The parsers index into attacker-shaped bytes: a CRC-valid-but-short
+    IHDR hits struct.error, an unknown PNG color type hits the channel-map
+    KeyError, corrupt IDAT hits zlib.error. Callers (decode_media
+    strict=False, decode_assets on_error='quarantine') are contracted to
+    survive any malformed payload, so only MediaDecodeError may escape.
+    """
+    import functools
+
+    @functools.wraps(fn)
+    def inner(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except MediaDecodeError:
+            raise
+        except (struct.error, KeyError, IndexError, zlib.error, OverflowError) as exc:
+            raise MediaDecodeError(f"{fn.__name__}: malformed payload ({exc!r})") from exc
+
+    return inner
+
+
 def sniff_format(payload: bytes) -> str | None:
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
@@ -136,6 +159,7 @@ def sniff_format(payload: bytes) -> str | None:
     return None
 
 
+@_decode_guard
 def decode_png(payload: bytes) -> dict:
     """Walk PNG chunks; return IHDR fields. Verifies signature and IHDR CRC."""
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
@@ -170,6 +194,7 @@ def decode_png(payload: bytes) -> dict:
     return ihdr
 
 
+@_decode_guard
 def decode_jpeg(payload: bytes) -> dict:
     """Walk JPEG markers to the first SOF0/1/2; return frame dimensions."""
     if payload[:2] != b"\xff\xd8":
@@ -192,6 +217,7 @@ def decode_jpeg(payload: bytes) -> dict:
     raise MediaDecodeError("no SOF marker")
 
 
+@_decode_guard
 def decode_wav(payload: bytes) -> dict:
     """Walk RIFF chunks; return fmt fields + sample count from the data size."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -222,6 +248,7 @@ def decode_wav(payload: bytes) -> dict:
     }
 
 
+@_decode_guard
 def decode_mp4(payload: bytes) -> dict:
     """Walk top-level ISO-BMFF boxes into moov/mvhd; return timescale+duration."""
     if len(payload) < 12 or payload[4:8] != b"ftyp":
@@ -264,6 +291,7 @@ def decode_header(payload: bytes) -> dict:
 # ------------------------------------------------- pixel/sample transforms
 
 
+@_decode_guard
 def decode_png_pixels(payload: bytes):
     """Full PNG decode for 8-bit RGB/gray images: chunk walk, zlib
     inflate, scanline DEFILTER (all five PNG filter types per the spec).
@@ -340,6 +368,7 @@ def make_png_from_pixels(width: int, height: int, channels: int, pixels: bytes) 
     return b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 
+@_decode_guard
 def resize_png_nearest(payload: bytes, new_w: int, new_h: int) -> bytes:
     """Nearest-neighbor resize of an 8-bit gray/RGB PNG (floor index
     mapping: src = floor(dst * src_dim / dst_dim)), re-encoded with the
@@ -354,6 +383,7 @@ def resize_png_nearest(payload: bytes, new_w: int, new_h: int) -> bytes:
     return make_png_from_pixels(new_w, new_h, ch, out.tobytes())
 
 
+@_decode_guard
 def decode_wav_samples(payload: bytes):
     """(sample_rate, channels, int16 numpy array of frames*channels)."""
     import numpy as np
@@ -372,6 +402,7 @@ def decode_wav_samples(payload: bytes):
     return hdr["sample_rate"], hdr["channels"], np.frombuffer(data, dtype="<i2")
 
 
+@_decode_guard
 def decimate_wav(payload: bytes, k: int) -> bytes:
     """Keep every k-th PCM frame; declared sample rate divides by k
     (rate % k must be 0 — a real resampler would filter first; frame

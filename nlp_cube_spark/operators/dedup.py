@@ -274,23 +274,40 @@ def _pick_simhash_impl(docs: DataFrame, text_col: str, sample_docs: int = 2048) 
     return "arrow" if avg > SIMHASH_CROSSOVER_TOKENS else "hof"
 
 
-def simhash64_auto(docs: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
+def simhash64_auto(
+    docs: DataFrame, text_col: str = "text", out_col: str = "simhash",
+    impl: str | None = None,
+) -> DataFrame:
     """Length-adaptive SimHash: dispatches to the interpreted-HOF or the
     Arrow kernel on a sampled mean token count (both are bit-identical, so
     the choice is purely physical). This is the scale-safe default for
     inputs of unknown length distribution — web documents sit well above
-    the crossover, fixture-sized rows below it."""
-    impl = _pick_simhash_impl(docs, text_col)
+    the crossover, fixture-sized rows below it.
+
+    Pass `impl` ('hof' | 'arrow') to skip the sampling probe and keep plan
+    construction fully lazy — required for streaming DataFrames (the probe
+    is an eager job) and for lazy composition where re-executing upstream
+    lineage at plan time would be expensive. Streaming inputs without an
+    explicit impl default to 'arrow' (the web-length side of the
+    crossover) instead of probing."""
+    if impl is None:
+        impl = "arrow" if docs.isStreaming else _pick_simhash_impl(docs, text_col)
+    if impl not in ("hof", "arrow"):
+        raise ValueError(f"impl must be 'hof' or 'arrow', got {impl!r}")
     fn = simhash64_arrow if impl == "arrow" else simhash64
     return fn(docs, text_col, out_col)
 
 
-def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+def simhash_near_dups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    max_hamming: int = 3, impl: str | None = None,
+) -> DataFrame:
     """Near-dup pairs by SimHash: block on 15-bit chunks (pigeonhole: any
     pair with Hamming<=3 over 60 bits shares at least one of 4 chunks),
     verify Hamming exactly with bit_count(xor). Signatures come from the
-    length-adaptive kernel (simhash64_auto)."""
-    sig = simhash64_auto(docs, text_col).select(id_col, "simhash")
+    length-adaptive kernel (simhash64_auto); pass `impl` to keep plan
+    construction lazy (see simhash64_auto)."""
+    sig = simhash64_auto(docs, text_col, impl=impl).select(id_col, "simhash")
     chunks = sig.select(
         id_col,
         "simhash",
@@ -331,10 +348,17 @@ def near_dup_clusters(
         lsh_candidate_pairs(docs, id_col, text_col, k, bands, n, max_bucket, shingle_col),
         docs, id_col, text_col, n, threshold, shingle_col,
     )
-    edges = pairs.select(
-        F.lpad(F.col("doc_a").cast("string"), 12, "0").alias("src"),
-        F.lpad(F.col("doc_b").cast("string"), 12, "0").alias("dst"),
-    )
+    # 19 digits = bigint max width: Spark lpad TRUNCATES longer inputs, so a
+    # narrower pad silently merges unrelated docs once ids pass 10^12. The
+    # negative-id raise lives inside the used expression (not a droppable
+    # check column) so Catalyst cannot prune it.
+    def _pad(c: str):
+        return (
+            F.when(F.col(c) < 0, F.raise_error(F.lit(f"near_dup_clusters: negative {c}")))
+            .otherwise(F.lpad(F.col(c).cast("string"), 19, "0"))
+        )
+
+    edges = pairs.select(_pad("doc_a").alias("src"), _pad("doc_b").alias("dst"))
     comp = connected_components(edges)
     return comp.select(
         F.col("node").cast("bigint").alias(id_col),

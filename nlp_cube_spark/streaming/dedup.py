@@ -18,10 +18,23 @@ Per micro-batch (foreachBatch):
      ingest.start_triples_stream). History comparisons read only
      batch_id < current, so a replay never sees its own partial output.
 
-Scale notes: the signature store is 16 longs + 1 hash per SURVIVOR — at
-10^12 docs it is a normal fact table, and both the exact-hash join and
-the band join shuffle on uniform hash keys. No shingle storage, no text
-re-reads of history.
+Scale notes (the 10^12-survivor design): the history side is PRUNED, not
+scanned. Both stores persist in join-ready, prefix-partitioned form:
+
+  {out}/hashes      (url, content_hash)                part. by (batch_id, hash_prefix)
+  {out}/signatures  (url, minhash, band_id, band_sig)  part. by (batch_id, sig_prefix)
+
+where *_prefix = first PREFIX_LEN hex chars of the key (256 buckets).
+Each micro-batch collects its own distinct prefixes (bounded by 256
+strings — a constant-size driver list regardless of batch or history
+size) and reads only matching partitions, so per-batch history I/O is
+O(min(batch_prefixes, 256) / 256 * history) instead of O(history), and
+no re-banding of history ever happens — bands are stored banded. Files
+are sorted by the join key within each partition so a pushed-down
+band_sig/content_hash filter (applied when the batch's distinct key set
+is small enough for a literal IN) also enables parquet row-group
+skipping on min/max stats. Signature rows are 16 longs + 1 hash per
+SURVIVOR; no shingle storage, no text re-reads of history.
 """
 
 from __future__ import annotations
@@ -32,6 +45,8 @@ from ..operators.dedup import minhash_signature
 
 SIG_K = 16
 BANDS = 4
+PREFIX_LEN = 2  # hex chars -> 256 partition buckets per store
+_MAX_PUSHDOWN_KEYS = 1024  # literal IN filter only below this cardinality
 
 
 def _with_signature(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -59,21 +74,34 @@ def _match_frac(a: str, b: str):
     )
 
 
-def dedup_batch(
-    batch: DataFrame, history_sigs: DataFrame | None, sim_threshold: float = 0.8
-) -> DataFrame:
-    """One micro-batch of pages -> surviving pages + signature columns
-    (minhash, content_hash). Pure batch logic, unit-testable without a
-    stream; deterministic keep-rule = min url."""
-    sig = _with_signature(batch).localCheckpoint()
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    """Scheme-agnostic existence check via the Hadoop FileSystem API, so a
+    transient read failure (corrupt footer, FS hiccup) FAILS the batch
+    instead of being silently treated as 'no history yet' and re-admitting
+    duplicates."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
 
+
+def _dedup_sig(
+    sig: DataFrame,
+    history_hashes: DataFrame | None,
+    history_bands: DataFrame | None,
+    sim_threshold: float,
+) -> DataFrame:
+    """Core per-batch logic over a precomputed signature frame.
+
+    `history_hashes` (content_hash) / `history_bands` (url, minhash,
+    band_id, band_sig) arrive already partition-pruned by the caller."""
     # 1a. in-batch exact: keep min url per content hash
     keep = sig.groupBy("content_hash").agg(F.min("url").alias("url"))
     sig = sig.join(keep, ["content_hash", "url"])
     # 1b. historical exact
-    if history_sigs is not None:
+    if history_hashes is not None:
         sig = sig.join(
-            history_sigs.select("content_hash").dropDuplicates(),
+            history_hashes.select("content_hash").dropDuplicates(),
             "content_hash",
             "left_anti",
         )
@@ -89,18 +117,60 @@ def dedup_batch(
         .dropDuplicates()
     )
     sig = sig.join(selfp, "url", "left_anti")
-    if history_sigs is not None:
-        hb = _bands(history_sigs.select("url", "minhash"))
+    if history_bands is not None:
         histp = (
             _bands(sig)
             .alias("x")
-            .join(hb.alias("y"), ["band_id", "band_sig"])
+            .join(history_bands.alias("y"), ["band_id", "band_sig"])
             .where(_match_frac("x.minhash", "y.minhash") >= sim_threshold)
             .select(F.col("x.url").alias("url"))
             .dropDuplicates()
         )
         sig = sig.join(histp, "url", "left_anti")
     return sig
+
+
+def dedup_batch(
+    batch: DataFrame, history_sigs: DataFrame | None, sim_threshold: float = 0.8
+) -> DataFrame:
+    """One micro-batch of pages -> surviving pages + signature columns
+    (minhash, content_hash). Pure batch logic, unit-testable without a
+    stream; deterministic keep-rule = min url. `history_sigs` is the
+    compact (url, content_hash, minhash) shape; the streaming driver
+    instead feeds `_dedup_sig` pre-banded, pre-pruned history."""
+    sig = _with_signature(batch).localCheckpoint()
+    hh = history_sigs.select("content_hash") if history_sigs is not None else None
+    hb = _bands(history_sigs.select("url", "minhash")) if history_sigs is not None else None
+    return _dedup_sig(sig, hh, hb, sim_threshold)
+
+
+def _distinct_values(df: DataFrame, col: str, cap: int) -> list | None:
+    """Collect up to `cap` distinct values of `col`; None when over cap.
+    Used for bounded prefix lists (<=256) and optional key pushdown."""
+    vals = [r[0] for r in df.select(col).dropDuplicates().limit(cap + 1).collect()]
+    return None if len(vals) > cap else vals
+
+
+def _read_pruned(
+    spark: SparkSession,
+    path: str,
+    batch_id: int,
+    prefix_col: str,
+    prefixes: list,
+    key_col: str,
+    keys: list | None,
+) -> DataFrame:
+    """History scan restricted to this batch's key space: partition pruning
+    on (batch_id, prefix) always; row-group-skipping literal IN on the full
+    key when the batch's distinct key set is small."""
+    df = (
+        spark.read.parquet(path)
+        .where(F.col("batch_id") < batch_id)
+        .where(F.col(prefix_col).isin(prefixes))
+    )
+    if keys is not None:
+        df = df.where(F.col(key_col).isin(keys))
+    return df
 
 
 def start_dedup_stream(
@@ -112,36 +182,66 @@ def start_dedup_stream(
     max_files: int = 1,
     available_now: bool = True,
 ):
-    """Stream pages -> content-deduped survivors + signature store.
+    """Stream pages -> content-deduped survivors + prunable signature store.
 
-    Layout: {out_dir}/survivors and {out_dir}/signatures, both partitioned
-    by batch_id (dynamic overwrite => idempotent replay)."""
+    Layout: {out_dir}/survivors (batch_id), {out_dir}/hashes
+    (batch_id, hash_prefix), {out_dir}/signatures (batch_id, sig_prefix) —
+    all dynamic-overwrite partitioned => idempotent replay."""
     from .ingest import read_pages_stream
 
     stream = read_pages_stream(spark, src_dir, max_files=max_files)
+    surv_path = f"{out_dir}/survivors"
+    hash_path = f"{out_dir}/hashes"
+    sig_path = f"{out_dir}/signatures"
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():  # empty overwrite would wipe the table (see ingest)
             return
-        # conf must land on the micro-batch session clone (see ingest)
-        batch_df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            hist = spark.read.parquet(f"{out_dir}/signatures").where(
-                F.col("batch_id") < batch_id
+        bs = batch_df.sparkSession  # micro-batch session CLONE (see ingest)
+        bs.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+        sig = _with_signature(batch_df).localCheckpoint()
+        bands = _bands(sig).withColumn(
+            "sig_prefix", F.substring("band_sig", 1, PREFIX_LEN)
+        ).localCheckpoint()
+        sig = sig.withColumn("hash_prefix", F.substring("content_hash", 1, PREFIX_LEN))
+
+        hist_hashes = hist_bands = None
+        if _path_exists(bs, sig_path):  # stores are written together
+            hash_prefixes = _distinct_values(sig, "hash_prefix", 16 ** PREFIX_LEN)
+            sig_prefixes = _distinct_values(bands, "sig_prefix", 16 ** PREFIX_LEN)
+            hist_hashes = _read_pruned(
+                bs, hash_path, batch_id, "hash_prefix", hash_prefixes,
+                "content_hash", _distinct_values(sig, "content_hash", _MAX_PUSHDOWN_KEYS),
             )
-            if not hist.take(1):
-                hist = None
-        except Exception:  # first batch: store does not exist yet
-            hist = None
-        surv = dedup_batch(batch_df, hist, sim_threshold).withColumn(
+            hist_bands = _read_pruned(
+                bs, sig_path, batch_id, "sig_prefix", sig_prefixes,
+                "band_sig", _distinct_values(bands, "band_sig", _MAX_PUSHDOWN_KEYS),
+            )
+
+        surv = _dedup_sig(sig, hist_hashes, hist_bands, sim_threshold).withColumn(
             "batch_id", F.lit(batch_id)
         )
-        surv.drop("minhash", "content_hash").write.partitionBy("batch_id").mode(
-            "overwrite"
-        ).parquet(f"{out_dir}/survivors")
-        surv.select("url", "content_hash", "minhash", "batch_id").write.partitionBy(
+        surv.drop("minhash", "content_hash", "hash_prefix").write.partitionBy(
             "batch_id"
-        ).mode("overwrite").parquet(f"{out_dir}/signatures")
+        ).mode("overwrite").parquet(surv_path)
+        (
+            surv.select("url", "content_hash", "hash_prefix", "batch_id")
+            .repartition("hash_prefix")  # one file per partition dir, not tasks x dirs
+            .sortWithinPartitions("content_hash")
+            .write.partitionBy("batch_id", "hash_prefix")
+            .mode("overwrite")
+            .parquet(hash_path)
+        )
+        (
+            bands.join(surv.select("url"), "url")
+            .withColumn("batch_id", F.lit(batch_id))
+            .repartition("sig_prefix")
+            .sortWithinPartitions("band_sig")
+            .write.partitionBy("batch_id", "sig_prefix")
+            .mode("overwrite")
+            .parquet(sig_path)
+        )
 
     writer = (
         stream.writeStream.outputMode("update")

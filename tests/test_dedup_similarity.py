@@ -195,6 +195,32 @@ def test_simhash_auto_dispatch(spark, docs):
     assert D._pick_simhash_impl(empty, "text") == "hof"
 
 
+def test_simhash_auto_explicit_impl_stays_lazy(spark, docs, monkeypatch):
+    """Round-4 ADVICE: an explicit impl override must skip the eager
+    sampling probe entirely (lazy composition / streaming safety), and a
+    streaming input without an override defaults to 'arrow' instead of
+    failing on the probe job."""
+    from pyspark.sql import functions as F
+
+    def boom(*a, **k):
+        raise AssertionError("probe must not run when impl is explicit")
+
+    monkeypatch.setattr(D, "_pick_simhash_impl", boom)
+    got = {(r.doc_id, r.simhash) for r in D.simhash64_auto(docs, impl="hof").select("doc_id", "simhash").collect()}
+    want = {(r.doc_id, r.simhash) for r in D.simhash64(docs).select("doc_id", "simhash").collect()}
+    assert got == want
+    with pytest.raises(ValueError):
+        D.simhash64_auto(docs, impl="turbo")
+    # streaming: plan must CONSTRUCT without an eager job
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="simhash_stream_")
+    docs.write.mode("overwrite").parquet(d)
+    sdf = spark.readStream.schema(docs.schema).parquet(d)
+    out = D.simhash64_auto(sdf)
+    assert out.isStreaming and "simhash" in out.columns
+
+
 def test_near_dup_clusters_transitive(spark):
     """Connected-components near-dup semantics: a chain A~B~C lands in ONE
     cluster keyed by the smallest id, and singletons don't appear."""
@@ -211,3 +237,23 @@ def test_near_dup_clusters_transitive(spark):
            D.near_dup_clusters(docs, k=16, bands=2, threshold=0.9).collect()}
     assert got == {1: 1, 2: 1, 3: 1}
     assert 50 not in got
+
+
+def test_near_dup_clusters_13_digit_ids(spark):
+    """Regression (round-4 ADVICE): Spark lpad TRUNCATES inputs longer than
+    the pad width, so doc_ids >= 10^12 under the old 12-char pad collapsed
+    distinct ids and merged unrelated docs. 19-char pad covers bigint."""
+    base = ("the quick brown fox jumps over the lazy dog and then runs far away "
+            "to the green hills beyond the river where tall trees grow") * 2
+    other = ("entirely different content about catalyst optimizer rules and "
+             "adaptive query execution strategies in distributed engines") * 2
+    # Two ids sharing the same first 12 digits — a 12-char pad maps both to
+    # the same node label and would weld their clusters together.
+    a1, a2 = 5_000_000_000_001, 5_000_000_000_002
+    b1, b2 = 5_000_000_000_013, 5_000_000_000_014
+    rows = [(a1, base, "en"), (a2, base + " x", "en"),
+            (b1, other, "en"), (b2, other + " y", "en")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.doc_id: r.cluster_id for r in
+           D.near_dup_clusters(docs, k=16, bands=2, threshold=0.9).collect()}
+    assert got == {a1: a1, a2: a1, b1: b1, b2: b1}

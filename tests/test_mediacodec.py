@@ -182,8 +182,85 @@ try:
         with pytest.raises(mc.MediaDecodeError):
             mc.decode_header(payload[: len(payload) - cut])
 
+    @settings(max_examples=120, deadline=None)
+    @given(
+        kind=st.sampled_from(["png", "jpeg", "wav", "mp4"]),
+        pos_frac=st.floats(min_value=0.0, max_value=0.999),
+        bit=st.integers(min_value=0, max_value=7),
+    )
+    def test_bitflip_only_raises_decode_error(kind, pos_frac, bit):
+        """Corrupt (not merely truncate) a valid payload: decode_header must
+        either still succeed (flip landed in ignored bytes) or raise
+        MediaDecodeError — never struct.error/KeyError/zlib.error, which
+        would escape quarantine mode and kill the job."""
+        payload = {
+            "png": lambda: mc.make_png(6, 5),
+            "jpeg": lambda: mc.make_jpeg(9, 7, 20),
+            "wav": lambda: mc.make_wav(16000, 2, 10),
+            "mp4": lambda: mc.make_mp4(1000, 2500, 16),
+        }[kind]()
+        i = int(pos_frac * len(payload))
+        flipped = bytearray(payload)
+        flipped[i] ^= 1 << bit
+        try:
+            mc.decode_header(bytes(flipped))
+        except mc.MediaDecodeError:
+            pass
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        pos_frac=st.floats(min_value=0.0, max_value=0.999),
+        bit=st.integers(min_value=0, max_value=7),
+    )
+    def test_bitflip_pixel_decode_only_raises_decode_error(pos_frac, bit):
+        """Same guarantee for the full pixel decoder (zlib inflate +
+        defilter), which transform_assets calls under quarantine."""
+        payload = mc.make_png(6, 5)
+        i = int(pos_frac * len(payload))
+        flipped = bytearray(payload)
+        flipped[i] ^= 1 << bit
+        try:
+            mc.decode_png_pixels(bytes(flipped))
+        except mc.MediaDecodeError:
+            pass
+
 except ImportError:  # pragma: no cover - hypothesis is in the container
     pass
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data)) + tag + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [
+        # PNG color type 5 (invalid) with a VALID IHDR CRC: previously KeyError
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 5, 0, 0, 0))
+        + _png_chunk(b"IEND", b""),
+        # CRC-valid but SHORT IHDR payload: previously struct.error
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", b"\x00\x01\x02\x03\x04")
+        + _png_chunk(b"IEND", b""),
+        # WAV whose fmt chunk is only 8 bytes long: previously struct.error
+        b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 8) + b"\x01\x00\x02\x00\x40\x1f\x00\x00",
+        # MP4 whose mvhd box is 4 data bytes: previously struct.error
+        struct.pack(">I", 16) + b"ftyp" + b"isomisom"
+        + struct.pack(">I", 20) + b"moov" + struct.pack(">I", 12) + b"mvhd" + b"\x00\x00\x00\x00",
+    ],
+    ids=["png-color-type-5-valid-crc", "png-short-ihdr-valid-crc", "wav-short-fmt", "mp4-short-mvhd"],
+)
+def test_malformed_but_wellframed_raises_decode_error(payload):
+    """Regression (round-4 ADVICE): structurally well-framed but semantically
+    malformed payloads must raise MediaDecodeError, not leak KeyError or
+    struct.error past quarantine."""
+    with pytest.raises(mc.MediaDecodeError):
+        mc.decode_header(payload)
 
 
 def test_decode_assets_quarantine_mode(spark):

@@ -91,8 +91,47 @@ def test_incremental_content_dedup_stream(spark, dirs):
     q2.awaitTermination(180)
     surv = spark.read.parquet(f"{dirs['out']}/survivors")
     assert {r.url for r in surv.collect()} == {"u1", "u2", "u5"}
+    # the store is persisted pre-banded (BANDS rows per survivor) so no
+    # micro-batch ever re-bands history, plus a compact exact-hash store
     sigs = spark.read.parquet(f"{dirs['out']}/signatures")
-    assert sigs.count() == 3 and set(sigs.columns) >= {"url", "content_hash", "minhash", "batch_id"}
+    assert sigs.count() == 3 * SD.BANDS
+    assert set(sigs.columns) >= {"url", "minhash", "band_id", "band_sig", "sig_prefix", "batch_id"}
+    hashes = spark.read.parquet(f"{dirs['out']}/hashes")
+    assert hashes.count() == 3
+    assert set(hashes.columns) >= {"url", "content_hash", "hash_prefix", "batch_id"}
+
+
+def test_dedup_history_scan_is_pruned(spark, dirs):
+    """Scale guard: each micro-batch must read only the history partitions
+    matching its own band-signature prefixes, never the full store. Checked
+    against the files a pruned scan ACTUALLY touches (input_file_name after
+    partition pruning), not the plan text."""
+    import datetime
+
+    from nlp_cube_spark.streaming import dedup as SD
+
+    ts = datetime.datetime(2025, 1, 1)
+    import hashlib
+
+    def body(i):  # shingle-disjoint bodies so band signatures spread over buckets
+        return " ".join(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:8] for j in range(30))
+
+    rows = [(f"u{i}", body(i)) for i in range(16)]
+    spark.createDataFrame(
+        [(u, ts, bytearray(b"<html/>"), t, "en") for u, t in rows], ingest.PAGES_DDL
+    ).coalesce(1).write.mode("append").parquet(dirs["src"])
+    q = SD.start_dedup_stream(spark, dirs["src"], dirs["out"], dirs["ckpt"], sim_threshold=0.7)
+    q.awaitTermination(180)
+
+    sig_path = f"{dirs['out']}/signatures"
+    full = spark.read.parquet(sig_path)
+    prefixes = [r.sig_prefix for r in full.select("sig_prefix").dropDuplicates().collect()]
+    assert len(prefixes) > 4  # enough buckets for pruning to be observable
+    pruned = SD._read_pruned(spark, sig_path, 999, "sig_prefix", prefixes[:2], "band_sig", None)
+    files_full = {r[0] for r in full.select(F.input_file_name()).dropDuplicates().collect()}
+    files_pruned = {r[0] for r in pruned.select(F.input_file_name()).dropDuplicates().collect()}
+    assert 0 < len(files_pruned) < len(files_full)
+    assert files_pruned < files_full
 
 
 def test_dedup_batch_in_batch_rules(spark):
