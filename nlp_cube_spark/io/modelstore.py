@@ -72,7 +72,7 @@ _CATALOG: dict[str, dict[str, dict]] = {
     "micro_mwt": {
         "1.0": {
             "path": os.path.join(_PKG_DIR, "kernels", "micro_mwt_weights.json"),
-            "sha256": "d8ad230f0b048a053d039cf22bad25157cb7459c6e6018a1c345fcc1d2e63e9e",
+            "sha256": "9cde5aca84f8b33242821cb2526c300c4c27de424e6010e7624ca460faf4bf68",
         }
     },
     "micro_wordgram": {

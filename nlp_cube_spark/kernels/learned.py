@@ -462,6 +462,56 @@ def get_mwt_expander(name: str):
     raise ValueError(f"unknown MWT expander: {name!r}")
 
 
+# ------------------------------------------------- coverage introspection
+
+def vocab_coverage(
+    keys: list[tuple[str, str, str]],
+    lemma_train_keys: set | None = None,
+    mwt_train_forms: set | None = None,
+) -> dict:
+    """Closed-vocab boundary metric for the learned lemmatizer + MWT
+    expander (the honest stat behind the exact-parity claim): the learned
+    kernels are CLASSIFIERS over finite class sets — provably exact on
+    every trained key (the trainers assert 0 train errors), generalizing
+    to unseen forms only via suffix/shape sharing — unlike the reference's
+    seq2seq (lemmatizer.py:78-171, compound.py:183-245) which can emit
+    arbitrary strings. Before pointing this engine at an open-vocabulary
+    corpus, run this over the corpus's distinct keys: keys outside the
+    train set ride the shape-generalization path, whose quality is what
+    the *_rules_agree_frac columns measure against the rules fallback.
+
+    keys: distinct (form, upos, lang) triples from the corpus.
+    lemma_train_keys: the lemmatizer trainer's (form, upos, lang) set
+      (reproducible from scripts/train_micro_lemmatizer.py defaults).
+    mwt_train_forms: the MWT trainer's (lang, lower-form) set.
+    Exact fracs are None when the corresponding train set isn't supplied.
+    """
+    from . import lemma_rules, segment_rules
+
+    n = len(keys)
+    if not n:
+        return {"n_keys": 0, "lemma_exact_frac": 1.0, "lemma_rules_agree_frac": 1.0,
+                "mwt_exact_frac": 1.0, "mwt_rules_agree_frac": 1.0}
+    lemma_exact = lemma_agree = mwt_exact = mwt_agree = 0
+    for form, upos, lang in keys:
+        low = form.lower()
+        if lemma_train_keys is not None and (form, upos, lang) in lemma_train_keys:
+            lemma_exact += 1
+        if lemmatize(form, upos, lang) == lemma_rules.lemmatize(form, upos, lang):
+            lemma_agree += 1
+        if mwt_train_forms is not None and (lang, low) in mwt_train_forms:
+            mwt_exact += 1
+        if expand_mwt(form, lang) == segment_rules.expand_mwt(form, lang):
+            mwt_agree += 1
+    return {
+        "n_keys": n,
+        "lemma_exact_frac": lemma_exact / n if lemma_train_keys is not None else None,
+        "lemma_rules_agree_frac": lemma_agree / n,
+        "mwt_exact_frac": mwt_exact / n if mwt_train_forms is not None else None,
+        "mwt_rules_agree_frac": mwt_agree / n,
+    }
+
+
 # ---------------------------------------------------------------- loading
 
 def _load_artifact(store_name: str, basename: str) -> dict:

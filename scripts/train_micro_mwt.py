@@ -75,6 +75,27 @@ TRAIN_PAIRS: list[tuple[str, str, list[str]]] = [
     ("de", "berg", ["berg"]),
 ]
 
+# The driver corpus's closed word-salad vocabulary (TESTDATA.md) as
+# identity pairs in every corpus language: r4's vocab-coverage metric
+# found 7 salad forms (e.g. de 'stream', fr 'a') whose shape features
+# overlapped real contractions enough to mis-expand. None are ever
+# MWT-FLAGGED in the pipeline, but the expander contract is per-form, so
+# identity must hold on the whole corpus vocabulary, not just flagged
+# tokens. (Same lesson as r3's tagger salad-coverage gap.)
+_SALAD_VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "the", "value", "vector", "window",
+]
+_ZH_CHARS = sorted({c for w in _SALAD_VOCAB for c in w})
+TRAIN_PAIRS += [
+    (lang, form, [form])
+    for lang in ("en", "de", "es", "fr", "zh")
+    for form in (_ZH_CHARS if lang == "zh" else _SALAD_VOCAB)
+    if (lang, form) not in {(l, s) for l, s, _ in TRAIN_PAIRS}
+]
+
 # Held out from training entirely: solvable ONLY by program-class sharing
 # (das/nas share 's2+e|l2+' / 's2+em|l2+' with dos/nos via the plural-s
 # shape; vila/mar are identity generalization).
