@@ -136,16 +136,81 @@ def score_matrix(forms: list[str], upos: list[str]) -> np.ndarray:
 
 
 def get_scorer(name: str):
-    """Kernel registry for the arc-score seam: 'rules' (v0 default) or
-    'learned' (pinned-weight micro-parser). Resolved INSIDE the python
-    worker so only the name string crosses the closure boundary."""
+    """Kernel registry for the arc-score seam: 'rules' (v0 default),
+    'learned' (pinned-weight micro-parser), or 'external:<basename>' — a
+    heavyweight artifact shipped via modelstore.ship() and loaded lazily
+    inside each python worker (the 100 TB XLM-R deployment path, SURVEY
+    §2a #6/#11). Resolved INSIDE the python worker so only the name
+    string crosses the closure boundary."""
     if name == "rules":
         from . import arc_scores
 
         return arc_scores.score_matrix
     if name == "learned":
         return score_matrix
+    if name.startswith("external:"):
+        return external_arc_scorer(name.split(":", 1)[1])
     raise ValueError(f"unknown arc scorer: {name!r}")
+
+
+# ------------------------------------------- external (heavyweight) models
+#
+# The deployment seam for real neural scorers: the driver registers an
+# artifact in the modelstore catalog and ship()s it (addFile fan-out);
+# workers resolve it by BASENAME through SparkFiles and cache the loaded
+# model as a per-process singleton, so a 1000-executor job loads the
+# model once per python worker, never per task and never through the
+# closure. Supports torch state_dicts (.pt/.pth, import-gated — torch is
+# not in this container) and numpy .npz with the same tensor layout:
+#   upos_vocab: array of strings, position 0 = ROOT column label
+#   arc_logits: float matrix [dep_upos_idx, head_upos_idx]
+
+_EXTERNAL_MODELS: dict[str, dict] = {}
+
+
+def _load_external_arc_model(path: str) -> dict:
+    if path.endswith((".pt", ".pth")):
+        import torch  # the real heavyweight path; same tensor contract
+
+        sd = torch.load(path, map_location="cpu")
+        vocab = [str(x) for x in sd["upos_vocab"]]
+        mat = sd["arc_logits"].detach().cpu().numpy()
+    else:
+        data = np.load(path, allow_pickle=False)
+        vocab = [str(s) for s in data["upos_vocab"].tolist()]
+        mat = np.asarray(data["arc_logits"], dtype=float)
+    if mat.shape != (len(vocab), len(vocab)):
+        raise ValueError(f"arc_logits {mat.shape} does not match vocab {len(vocab)}")
+    return {"idx": {u: i for i, u in enumerate(vocab)}, "mat": mat}
+
+
+def external_arc_scorer(basename: str):
+    """score_matrix-contract scorer backed by a shipped artifact: same
+    (forms, upos) -> (n+1, n+1) row-stochastic output as the rules and
+    pinned-perceptron kernels, so it slots behind fused_words/fused_triples
+    with zero plan change."""
+
+    def scorer(forms: list[str], upos: list[str]) -> np.ndarray:
+        model = _EXTERNAL_MODELS.get(basename)
+        if model is None:
+            from ..io.modelstore import executor_path
+
+            model = _load_external_arc_model(executor_path(basename))
+            _EXTERNAL_MODELS[basename] = model
+        idx, mat = model["idx"], model["mat"]
+        root = idx["ROOT"]
+        cols = [root] + [idx.get(u, root) for u in upos]
+        n = len(upos)
+        raw = np.zeros((n + 1, n + 1))
+        for d in range(1, n + 1):
+            raw[d] = mat[idx.get(upos[d - 1], root)][cols]
+        m = np.zeros((n + 1, n + 1))
+        ex = np.exp(raw[1:] - raw[1:].max(axis=1, keepdims=True))
+        m[1:] = ex / ex.sum(axis=1, keepdims=True)
+        m[0, 0] = 1.0
+        return m
+
+    return scorer
 
 
 # ---------------------------------------------------------------------------

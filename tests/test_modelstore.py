@@ -92,3 +92,66 @@ def test_ship_reaches_executors(spark):
 
     ns = spark.sparkContext.parallelize(range(8), 4).mapPartitions(probe).collect()
     assert len(set(ns)) == 1 and ns[0] > 10
+
+
+def test_external_heavyweight_scorer_seam(spark, tmp_path):
+    """The 100 TB model-deployment path (round-4 VERDICT item 6): an
+    EXTERNAL heavyweight artifact — a state-dict-layout tensor file that
+    was never packaged with the code — registers through the modelstore,
+    ships via addFile, and loads lazily inside each python worker behind
+    the existing get_scorer seam ('external:<basename>'), driving the
+    fused Arrow annotation stage with zero plan change. A torch .pt with
+    the same tensor layout takes the import-gated torch branch (torch is
+    not in this container; the .npz branch exercises the identical
+    contract)."""
+    import numpy as np
+
+    from nlp_cube_spark.datagen import pages_df
+    from nlp_cube_spark.kernels import learned
+    from nlp_cube_spark.operators import annotate as A
+    from nlp_cube_spark.operators.annotate import _annotate_doc
+
+    vocab = ["ROOT", "NOUN", "VERB", "DET", "ADJ", "ADP", "PRON", "PROPN", "NUM", "PUNCT", "X"]
+    mat = np.array([[((i * 7 + j * 3) % 11) - 5.0 for j in range(len(vocab))]
+                    for i in range(len(vocab))])
+    art = tmp_path / "demo_arc_scorer.npz"
+    np.savez(art, upos_vocab=np.array(vocab), arc_logits=mat)
+
+    MS.register("demo_heavy_arc", "1.0", str(art))
+    try:
+        basename = MS.ship(spark, "demo_heavy_arc")
+        name = f"external:{basename}"
+        pages = pages_df(spark, 12, seed=9).localCheckpoint()
+        words = A.fused_words(pages, scorer=name)
+        got = {(r.url, r.sent_id, r.word_id): r.head for r in words.collect()}
+        assert len(got) > 0
+
+        # eager per-document replay with the same artifact == engine output
+        want = {}
+        for p in pages.collect():
+            for sid, (forms, _sp, _mw, _tf, _tags, heads, _lb) in enumerate(
+                _annotate_doc(p.text, p.lang, scorer=name)
+            ):
+                for i, h in enumerate(heads):
+                    want[(p.url, sid, i + 1)] = h
+        assert got == want
+        # the external model actually drove decisions (loaded + cached as a
+        # per-process singleton), and differs from the rules kernel
+        assert basename in learned._EXTERNAL_MODELS
+        rules = {(r.url, r.sent_id, r.word_id): r.head
+                 for r in A.fused_words(pages).collect()}
+        assert got != rules
+    finally:
+        MS._CATALOG.pop("demo_heavy_arc", None)
+
+
+def test_external_scorer_torch_branch_is_gated(tmp_path):
+    """A .pt artifact routes to torch.load; in this torch-less container
+    that must surface as the import error, not a silent wrong-format
+    parse."""
+    from nlp_cube_spark.kernels import learned
+
+    p = tmp_path / "model.pt"
+    p.write_bytes(b"not a real state dict")
+    with pytest.raises(ModuleNotFoundError):
+        learned._load_external_arc_model(str(p))
