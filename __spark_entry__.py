@@ -697,6 +697,64 @@ def q_multimodal_decoded(spark, sf_dir):
     return MM.decode_assets(assets)
 
 
+def q_tokenizer_targets(spark, sf_dir):
+    """Tokenizer training-target encoding (SURVEY §2a #9, reference
+    utils_tokenizer.py:298-320): per-pre-token 5-class boundary labels by
+    running char-length alignment to gold tokens, fused into one Arrow
+    stage (segmentation + MWT + alignment, parse skipped). On the salad
+    corpus pre-tokens equal tokens, so classes are 2 (token end) and 4
+    (sentence end) — the oracle replays the alignment closed-form."""
+    from nlp_cube_spark.operators.targets import fused_tokenizer_targets
+
+    return fused_tokenizer_targets(_docs_as_pages(spark, sf_dir))
+
+
+def q_events_asof_prev_click(spark, sf_dir):
+    """Backward STRICT as-of join (operators/temporal.asof_join): every
+    event gets the same user's most recent strictly-earlier click. Plan is
+    tagged-union + ONE hash exchange + running last(ignorenulls) window —
+    no theta join, no per-key explosion; the oracle replays it with
+    DuckDB's native ASOF LEFT JOIN."""
+    from nlp_cube_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"), clicks,
+        "user_id", "ts", "ts", ["click_id"], strict=True,
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.coalesce(F.col("click_id"), F.lit(-1)).alias("prev_click_id"),
+    )
+
+
+def q_events_range_clicks(spark, sf_dir):
+    """Bounded range join (operators/temporal.range_join_binned): per
+    'error' event, how many clicks the same user made within the next
+    hour. Left windows replicate into <=2 hour-bins, right rows land in
+    exactly one, so the equi-join on (user_id, bin) emits each qualifying
+    pair once — no cartesian path, no dedup pass."""
+    from nlp_cube_spark.operators.temporal import range_join_binned
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("click_id")
+    )
+    pairs = range_join_binned(errors, clicks, "user_id", "ts", "cts", 0, 3600)
+    counts = pairs.groupBy("event_id").agg(F.count("click_id").alias("n_clicks"))
+    return (
+        errors.select("event_id")
+        .join(counts, "event_id", "left")
+        .select("event_id", F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"))
+    )
+
+
 def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_shipped(spark)
@@ -724,6 +782,9 @@ _QUERIES = {
         "vocab_chars": q_vocab_chars,
         "multimodal_features": q_multimodal_features,
         "pack_shards": q_pack_shards,
+        "tokenizer_targets": q_tokenizer_targets,
+        "events_asof_prev_click": q_events_asof_prev_click,
+        "events_range_clicks": q_events_range_clicks,
         # --- KG pipeline ---
         "kg_triples": q_kg_triples,
         "kg_words": q_kg_words,
@@ -1366,6 +1427,42 @@ def oracle_sql() -> dict[str, str]:
                    n_chars
             FROM documents
           ) GROUP BY shard
+        """,
+        "tokenizer_targets": """
+          WITH tk AS (
+            SELECT doc_id, lang,
+                   unnest([{'pos': i, 'tok': t[i]} FOR i IN range(1, len(t)+1)], recursive := true)
+            FROM (SELECT doc_id, lang,
+                    CASE WHEN lang = 'zh'
+                         THEN [substr(replace(text, ' ', ''), i, 1)
+                               FOR i IN range(1, length(replace(text, ' ', '')) + 1)]
+                         ELSE list_filter(string_split(text, ' '), x -> x <> '')
+                    END AS t
+                  FROM documents)
+          )
+          SELECT 'https://ex.org/doc/' || doc_id AS url, CAST(0 AS INT) AS sent_id,
+                 CAST(pos AS INT) AS pretok_id, tok AS pretok,
+                 CAST(CASE WHEN pos = max(pos) OVER (PARTITION BY doc_id)
+                      THEN 4 ELSE 2 END AS INT) AS target
+          FROM tk
+        """,
+        "events_asof_prev_click": """
+          WITH clicks AS (
+            SELECT user_id, ts, max(event_id) AS click_id FROM events
+            WHERE event_type = 'click' GROUP BY user_id, ts
+          )
+          SELECT e.event_id, e.user_id, e.ts,
+                 coalesce(c.click_id, -1) AS prev_click_id
+          FROM events e ASOF LEFT JOIN clicks c
+            ON e.user_id = c.user_id AND e.ts > c.ts
+        """,
+        "events_range_clicks": """
+          SELECT e.event_id, count(c.event_id) AS n_clicks
+          FROM events e LEFT JOIN events c
+            ON c.user_id = e.user_id AND c.event_type = 'click'
+           AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 1 HOUR
+          WHERE e.event_type = 'error'
+          GROUP BY e.event_id
         """,
         "exact_dups": f"""
           WITH docs AS ({_DOCS_DUPS_DUCK})

@@ -1,0 +1,125 @@
+"""Temporal joins Spark lacks as built-ins: as-of and bounded range join.
+
+Both are staples of event analytics (and of the reference's crawl-ts
+page model: BASELINE input_hint `warc_ts`) that naive SQL expresses as
+theta joins — a cartesian-per-key explosion at scale. Here they are
+re-expressed as single-shuffle equi-join plans:
+
+- asof_join: for each left row, the single right row with the greatest
+  right_ts <= left_ts (or < when strict) for the same key. Implemented
+  as tagged UNION -> one hash exchange on the key -> per-partition sort
+  -> running `last(value, ignorenulls)` window. One shuffle, no join
+  explosion, no per-key driver loop. (The classic merge-join formulation
+  of pandas.merge_asof, distributed.)
+- range_join_binned: right_ts in [left_ts + lower, left_ts + upper).
+  Left rows replicate into the <= 2 time bins of width (upper - lower)
+  their window can touch; right rows land in exactly ONE bin, so the
+  equi-join on (key, bin) + exact residual filter produces each
+  qualifying pair exactly once — no dedup pass. Shuffle keys are
+  (key, bin): uniform when the timeline is, and salting composes on top
+  for hot keys (operators/salting).
+
+Skew note: a single hot key serializes its window in asof_join (same as
+any per-key sort); pre-split hot keys with operators/salting.with_salt
+when key frequency is Zipfian.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _micros(col: str) -> Column:
+    """Epoch micros; cast first so TIMESTAMP_NTZ parquet columns work
+    (unix_micros rejects NTZ; the session-tz interpretation cancels in
+    every delta/bin computed here)."""
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    strict: bool = False,
+    tolerance_sec: float | None = None,
+) -> DataFrame:
+    """Backward as-of join; left keeps all rows, matched value_cols arrive
+    null when no right row qualifies.
+
+    Deterministic contract: at most one right row per (key, right_ts) —
+    pre-aggregate ties (e.g. max_by) before calling; duplicate stamps
+    would make "the" most recent row ambiguous under any engine.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    # tag so that at equal timestamps right sorts before left (non-strict
+    # match) or after it (strict: simultaneous right rows are invisible)
+    right_tag, left_tag = (1, 0) if strict else (0, 1)
+    lcols = left.columns
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__ts"),
+        F.lit(right_tag).alias("__tag"),
+        F.struct(*[F.col(c) for c in value_cols], F.col(right_ts).alias("__rts")).alias("__val"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in keys],
+    )
+    l = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("__ts"),
+        F.lit(left_tag).alias("__tag"),
+        F.lit(None).cast(r.schema["__val"].dataType).alias("__val"),
+        *[F.col(c) for c in lcols if c not in keys],
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = F.last("__val", ignorenulls=True).over(w)
+    if tolerance_sec is not None:
+        age = F.col("__ts").cast("timestamp").cast("double") - matched["__rts"].cast("timestamp").cast("double")
+        matched = F.when(age <= float(tolerance_sec), matched)
+    out = (
+        r.unionByName(l)
+        .withColumn("__m", matched)
+        .where(F.col("__tag") == left_tag)
+    )
+    return out.select(
+        *[F.col(c) for c in lcols],
+        *[F.col("__m")[c].alias(c) for c in value_cols],
+    )
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    lower_sec: float,
+    upper_sec: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Pairs (left, right) with right_ts in [left_ts + lower, left_ts +
+    upper), upper > lower. Columns from both sides survive (right's via
+    the caller pre-selecting / renaming to avoid collisions)."""
+    if not upper_sec > lower_sec:
+        raise ValueError("upper_sec must exceed lower_sec")
+    keys = [on] if isinstance(on, str) else list(on)
+    w_us = int(round((upper_sec - lower_sec) * 1_000_000))
+    lo_us = int(round(lower_sec * 1_000_000))
+    up_us = int(round(upper_sec * 1_000_000))
+
+    lbin0 = F.floor((_micros(left_ts) + lo_us) / F.lit(w_us))
+    lbin1 = F.floor((_micros(left_ts) + up_us - 1) / F.lit(w_us))
+    l = left.withColumn("__bin", F.explode(F.array_distinct(F.array(lbin0, lbin1))))
+    r = right.withColumn("__bin", F.floor(_micros(right_ts) / F.lit(w_us)))
+    delta = _micros(right_ts) - _micros(left_ts)
+    cond = (delta >= lo_us) & (delta < up_us)
+    joined = l.join(r, keys + ["__bin"], "inner").where(cond).drop("__bin")
+    if how == "inner":
+        return joined
+    raise ValueError(f"unsupported how={how!r} (use inner; left-outer counts "
+                     "compose via a separate aggregate + left join)")

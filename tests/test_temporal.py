@@ -1,0 +1,89 @@
+"""As-of and binned range joins: semantics vs tiny hand oracles plus plan
+shape (single shuffle, no cartesian)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from nlp_cube_spark.operators.temporal import asof_join, range_join_binned
+
+
+def _ts(m, s=0, us=0):
+    return dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(minutes=m, seconds=s, microseconds=us)
+
+
+def _events(spark):
+    rows = [
+        # (event_id, user, ts, kind)
+        (1, 1, _ts(0), "click"),
+        (2, 1, _ts(5), "error"),
+        (3, 1, _ts(5), "click"),   # simultaneous with the error
+        (4, 1, _ts(9), "error"),
+        (5, 2, _ts(2), "error"),   # user 2 has no click before
+        (6, 2, _ts(3), "click"),
+        (7, 2, _ts(70), "error"),  # far from any click
+    ]
+    return spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, kind string")
+
+
+def test_asof_join_backward_semantics(spark):
+    ev = _events(spark)
+    clicks = ev.where("kind = 'click'").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    errors = ev.where("kind = 'error'")
+
+    got = {r.event_id: r.click_id for r in
+           asof_join(errors, clicks, "user_id", "ts", "ts", ["click_id"]).collect()}
+    # non-strict: the simultaneous click (id 3) matches error 2
+    assert got == {2: 3, 4: 3, 5: None, 7: 6}
+
+    strict = {r.event_id: r.click_id for r in
+              asof_join(errors, clicks, "user_id", "ts", "ts", ["click_id"],
+                        strict=True).collect()}
+    assert strict == {2: 1, 4: 3, 5: None, 7: 6}
+
+    tol = {r.event_id: r.click_id for r in
+           asof_join(errors, clicks, "user_id", "ts", "ts", ["click_id"],
+                     tolerance_sec=600).collect()}
+    assert tol == {2: 3, 4: 3, 5: None, 7: None}  # 67 min > tolerance
+
+
+def test_asof_join_single_shuffle_no_join(spark):
+    ev = _events(spark)
+    clicks = ev.where("kind = 'click'").select("user_id", "ts", F.col("event_id").alias("click_id"))
+    plan = asof_join(ev, clicks, "user_id", "ts", "ts", ["click_id"])._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # window formulation, not a theta join
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_binned_semantics(spark):
+    ev = _events(spark)
+    errors = ev.where("kind = 'error'").select("event_id", "user_id", "ts")
+    clicks = ev.where("kind = 'click'").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("click_id")
+    )
+    # clicks within [ts, ts + 5 min)
+    got = sorted((r.event_id, r.click_id) for r in
+                 range_join_binned(errors, clicks, "user_id", "ts", "cts",
+                                   0, 300).collect())
+    assert got == [(2, 3), (5, 6)]
+    # window straddling a bin boundary still finds the pair exactly once
+    wide = sorted((r.event_id, r.click_id) for r in
+                  range_join_binned(errors, clicks, "user_id", "ts", "cts",
+                                    0, 241).collect())
+    assert wide == [(2, 3), (5, 6)]
+    # backward-looking window: click 1 sits exactly at the closed lower
+    # bound of error 2 (delta = -300 s); simultaneous clicks are excluded
+    # by the open upper bound
+    back = sorted((r.event_id, r.click_id) for r in
+                  range_join_binned(errors, clicks, "user_id", "ts", "cts",
+                                    -300, 0).collect())
+    assert back == [(2, 1), (4, 3)]
+
+
+def test_range_join_is_equi_join_not_cartesian(spark):
+    ev = _events(spark)
+    clicks = ev.select("user_id", F.col("ts").alias("cts"), F.col("event_id").alias("click_id"))
+    plan = range_join_binned(ev, clicks, "user_id", "ts", "cts", 0, 300)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
