@@ -755,6 +755,56 @@ def q_events_range_clicks(spark, sf_dir):
     )
 
 
+def _q_term_scores(spark, sf_dir, scheme):
+    from pyspark.sql import Window
+
+    from nlp_cube_spark.operators.textstats import term_scores
+
+    scored = term_scores(_t(spark, sf_dir, "documents"), scheme=scheme)
+    # rank on the ROUNDED score: tf/df/dl arithmetic is reproducible across
+    # engines but ln() may differ in the last ulp, which must never decide
+    # top-k membership
+    scored = scored.withColumn("score", F.round("score", 6))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF top-3 terms per document (textstats.term_scores): pure
+    Catalyst — two uniform-key hash aggs, a term-keyed shuffle join (the
+    df dimension deliberately NOT broadcast: web vocab exceeds broadcast
+    size), a broadcast 1-row corpus-stats cross join, one ranking window."""
+    return _q_term_scores(spark, sf_dir, "tfidf")
+
+
+def q_bm25_top_terms(spark, sf_dir):
+    """BM25 (k1=1.2, b=0.75) top-3 terms per document — same plan shape as
+    tfidf with the doc-length normalization attached from the dl agg."""
+    return _q_term_scores(spark, sf_dir, "bm25")
+
+
+def q_kg_entity_pagerank(spark, sf_dir):
+    """PageRank over the KG entity graph (distinct subj->obj edges from
+    the fused triple pipeline), 3 synchronous iterations with uniform
+    dangling redistribution (operators/graphstats.pagerank). The oracle
+    replays the SAME double arithmetic as an unrolled CTE chain over the
+    relational triple replay — a hash match certifies the whole stack:
+    annotation kernels -> triple emission -> iterative graph analytics."""
+    from nlp_cube_spark.operators import annotate as A
+    from nlp_cube_spark.operators.graphstats import pagerank
+
+    trip = A.fused_triples(_docs_as_pages(spark, sf_dir))
+    edges = trip.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    pr = pagerank(edges, iters=3)
+    return pr.select(
+        F.col("node").alias("entity"), F.round("rank", 6).alias("pagerank")
+    )
+
+
 def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_shipped(spark)
@@ -785,6 +835,9 @@ _QUERIES = {
         "tokenizer_targets": q_tokenizer_targets,
         "events_asof_prev_click": q_events_asof_prev_click,
         "events_range_clicks": q_events_range_clicks,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "bm25_top_terms": q_bm25_top_terms,
+        "kg_entity_pagerank": q_kg_entity_pagerank,
         # --- KG pipeline ---
         "kg_triples": q_kg_triples,
         "kg_words": q_kg_words,
@@ -968,6 +1021,32 @@ SELECT 'https://ex.org/doc/' || doc_id AS url, CAST(0 AS INT) AS sent_id,
        subj, pred, obj, pattern
 FROM allt
 """
+
+
+def _pagerank_duck(iters: int = 3, d: float = 0.85) -> str:
+    """Unrolled power-iteration CTE chain over the relational triple
+    replay — mirrors graphstats.pagerank's exact double arithmetic
+    ((1 - d)/N + d*(contrib + dangling/N), CAST(d AS DOUBLE) so DuckDB
+    doesn't route the constants through DECIMAL)."""
+    dd = f"CAST({d} AS DOUBLE)"
+    sql = f"""
+      WITH e AS MATERIALIZED (SELECT DISTINCT subj AS src, obj AS dst FROM ({_KG_TRIPLES_DUCK})),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      degt AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+      nd AS MATERIALIZED (SELECT node, coalesce(deg, 0) AS deg FROM nodes LEFT JOIN degt ON node = src),
+      nc AS (SELECT count(*) AS n FROM nd),
+      r0 AS (SELECT node, deg, CAST(1.0 AS DOUBLE) / n AS rank FROM nd CROSS JOIN nc)"""
+    for i in range(iters):
+        sql += f""",
+      dang{i} AS (SELECT coalesce(sum(rank), 0.0) AS dm FROM r{i} WHERE deg = 0),
+      contrib{i} AS (SELECT e.dst AS node, sum(r.rank / r.deg) AS c
+                     FROM r{i} r JOIN e ON r.node = e.src GROUP BY e.dst),
+      r{i + 1} AS (SELECT nd.node, nd.deg,
+                   (1 - {dd}) / n + {dd} * (coalesce(c.c, 0.0) + dang{i}.dm / n) AS rank
+                   FROM nd CROSS JOIN nc CROSS JOIN dang{i}
+                   LEFT JOIN contrib{i} c ON nd.node = c.node)"""
+    return sql + f"""
+      SELECT node AS entity, round(rank, 6) AS pagerank FROM r{iters}"""
 
 
 def _srp_sig_duck(vec: str = "embedding", dim: int = 64, n_planes: int = 16) -> str:
@@ -1445,6 +1524,42 @@ def oracle_sql() -> dict[str, str]:
                  CAST(CASE WHEN pos = max(pos) OVER (PARTITION BY doc_id)
                       THEN 4 ELSE 2 END AS INT) AS target
           FROM tk
+        """,
+        "kg_entity_pagerank": _pagerank_duck(),
+        "tfidf_top_terms": """
+          WITH toks AS (
+            SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+            FROM documents
+          ), tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+          dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+          dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+          corpus AS (SELECT count(*) AS n_docs FROM dl),
+          scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                   round(tf.tf * (ln((n_docs + 1) / (df + 1)) + 1), 6) AS score
+            FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus
+          )
+          SELECT doc_id, term, tf, df, score,
+                 CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rank
+          FROM scored QUALIFY rank <= 3
+        """,
+        "bm25_top_terms": """
+          WITH toks AS (
+            SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+            FROM documents
+          ), tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+          dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+          dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+          corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+          scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                   round(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                         * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl)), 6) AS score
+            FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus
+          )
+          SELECT doc_id, term, tf, df, score,
+                 CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rank
+          FROM scored QUALIFY rank <= 3
         """,
         "events_asof_prev_click": """
           WITH clicks AS (

@@ -1,0 +1,80 @@
+"""Graph analytics over the materialized KG (degree views exist as plain
+aggregations; this adds PageRank).
+
+pagerank() is classic synchronous power iteration, expressed so every
+step is a uniform-key shuffle:
+
+  contrib(v) = sum over edges u->v of rank(u) / out_deg(u)   (join + agg)
+  rank'(v)   = (1-d)/N + d * (contrib(v) + dangling_mass/N)
+
+Dangling nodes (no out-edges) redistribute their mass uniformly — the
+standard stochastic-matrix completion, so total rank stays 1 every
+iteration (asserted in tests). The iteration count is FIXED (default 3)
+rather than convergence-tested: deterministic output, oracle-replayable
+by an unrolled SQL CTE chain, and each iteration localCheckpoints so
+the plan stays iteration-sized instead of growing exponentially (same
+discipline as canonicalize.connected_components).
+
+100 TB shape: ranks and degrees are node-dimension tables, edges shuffle
+on src/dst (uniform unless the graph is skewed — salt hot entities with
+operators/salting first); the two scalar aggregates per iteration
+(node count, dangling mass) attach via broadcast cross join, never a
+driver-side collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(node, pagerank) after `iters` synchronous iterations over the
+    DISTINCT edge set. Double arithmetic is kept in the exact shape the
+    DuckDB oracle replays: (1 - d)/N + d * (contrib + dangling/N)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).dropDuplicates()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .dropDuplicates()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nd = (
+        nodes.join(deg, nodes["node"] == deg["src"], "left")
+        .select("node", F.coalesce("deg", F.lit(0)).alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    nc = nd.agg(F.count(F.lit(1)).alias("n"))
+    ranks = nd.crossJoin(F.broadcast(nc)).select(
+        "node", "deg", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(iters):
+        dang = ranks.where(F.col("deg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+        )
+        contrib = (
+            ranks.join(e, ranks["node"] == e["src"])
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            nd.crossJoin(F.broadcast(nc))
+            .crossJoin(F.broadcast(dang))
+            .join(contrib, nd["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                "deg",
+                (
+                    (1 - damping) / F.col("n")
+                    + damping * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") / F.col("n"))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node", "rank")

@@ -78,3 +78,59 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     whitespace-collapsed, lower-cased text."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
     return docs.withColumn("fingerprint", F.md5(norm))
+
+def term_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scheme: str = "tfidf",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Per-(doc, term) relevance scores over whitespace tokens — pure
+    Catalyst, no UDF.
+
+    tfidf: tf * (ln((N+1)/(df+1)) + 1)   (smoothed idf)
+    bm25:  ln(1 + (N-df+0.5)/(df+0.5)) * tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))
+
+    Plan shape at scale: two hash aggregations on uniform keys ((doc,term)
+    then term), a shuffle join on term (the document-frequency dimension
+    can exceed broadcast size at web vocab — deliberately NOT broadcast),
+    and a 1-row corpus-stats aggregate attached by broadcast cross join.
+    top_k adds one ranking window per doc, keyed by the same id."""
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(corpus))
+    )
+    if scheme == "tfidf":
+        idf = F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1
+        score = F.col("tf") * idf
+    elif scheme == "bm25":
+        idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        norm = F.col("tf") * (k1 + 1) / (
+            F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+        score = idf * norm
+    else:
+        raise ValueError(f"unknown scheme {scheme!r} (tfidf | bm25)")
+    out = scored.select(id_col, "term", "tf", "df", score.alias("score"))
+    if top_k is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+        out = (
+            out.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_k)
+        )
+    return out

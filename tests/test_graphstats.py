@@ -1,0 +1,57 @@
+"""PageRank over the entity graph: hand-verified values, mass
+conservation, dangling redistribution."""
+
+import pytest
+
+from nlp_cube_spark.operators.graphstats import pagerank
+
+
+def _pr_eager(edges, iters=3, d=0.85):
+    """Independent driver-side power iteration for cross-checking."""
+    e = sorted(set(edges))
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    deg = {u: sum(1 for a, _ in e if a == u) for u in nodes}
+    n = len(nodes)
+    r = {u: 1.0 / n for u in nodes}
+    for _ in range(iters):
+        dm = sum(r[u] for u in nodes if deg[u] == 0)
+        c = {u: 0.0 for u in nodes}
+        for u, v in e:
+            c[v] += r[u] / deg[u]
+        r = {u: (1 - d) / n + d * (c[u] + dm / n) for u in nodes}
+    return r
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        [("a", "b"), ("b", "c"), ("c", "a")],                    # cycle: uniform
+        [("a", "b"), ("a", "c"), ("b", "c")],                    # c is a dangling sink
+        [("h", f"l{i}") for i in range(20)]                      # star hub
+        + [(f"l{i}", "h") for i in range(10)],
+    ],
+)
+def test_pagerank_matches_eager(spark, edges):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.rank for r in pagerank(df).collect()}
+    want = _pr_eager(edges)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)  # mass conserved
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    df = spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string")
+    got = {r.node: r.rank for r in pagerank(df, iters=5).collect()}
+    assert all(v == pytest.approx(1 / 3, abs=1e-12) for v in got.values())
+
+
+def test_pagerank_duplicate_edges_ignored(spark):
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    got = {r.node: r.rank for r in pagerank(df).collect()}
+    want = _pr_eager([("a", "b"), ("b", "a")])
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
