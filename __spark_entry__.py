@@ -805,6 +805,22 @@ def q_kg_entity_pagerank(spark, sf_dir):
     )
 
 
+def q_doc_length_quantiles(spark, sf_dir):
+    """Exact interpolated quantiles (p50/p90/p99) of document char length
+    per language: Spark's exact `percentile` (sort-based within the
+    per-lang hash agg) vs DuckDB quantile_cont — both implement the same
+    linear-interpolation definition. At 100 TB one would flip to
+    approx_percentile (t-digest, mergeable partial aggs) and accept the
+    documented error bound; the exact form is the oracle-able variant."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.round(F.expr("percentile(length(text), 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(length(text), 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(length(text), 0.99)"), 4).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_shipped(spark)
@@ -838,6 +854,7 @@ _QUERIES = {
         "tfidf_top_terms": q_tfidf_top_terms,
         "bm25_top_terms": q_bm25_top_terms,
         "kg_entity_pagerank": q_kg_entity_pagerank,
+        "doc_length_quantiles": q_doc_length_quantiles,
         # --- KG pipeline ---
         "kg_triples": q_kg_triples,
         "kg_words": q_kg_words,
@@ -1526,6 +1543,14 @@ def oracle_sql() -> dict[str, str]:
           FROM tk
         """,
         "kg_entity_pagerank": _pagerank_duck(),
+        "doc_length_quantiles": """
+          SELECT lang,
+                 round(quantile_cont(length(text), 0.5), 4) AS p50,
+                 round(quantile_cont(length(text), 0.9), 4) AS p90,
+                 round(quantile_cont(length(text), 0.99), 4) AS p99,
+                 count(*) AS n
+          FROM documents GROUP BY lang
+        """,
         "tfidf_top_terms": """
           WITH toks AS (
             SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
