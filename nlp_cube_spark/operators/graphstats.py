@@ -78,3 +78,50 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks.select("node", "rank")
+
+class Graph:
+    """GraphFrames-style facade over plain DataFrames (the north-star's
+    "GraphFrames-style edge DataFrame" without the external package):
+    `edges` must carry (src, dst); `vertices` (id, ...) is derived from
+    the edge endpoints when not supplied. Every method returns a
+    DataFrame and composes with the rest of the engine."""
+
+    def __init__(self, edges: DataFrame, vertices: DataFrame | None = None):
+        if "src" not in edges.columns or "dst" not in edges.columns:
+            raise ValueError("edges must have src and dst columns")
+        self.edges = edges
+        self._vertices = vertices
+
+    @property
+    def vertices(self) -> DataFrame:
+        if self._vertices is not None:
+            return self._vertices
+        return (
+            self.edges.select(F.col("src").alias("id"))
+            .union(self.edges.select(F.col("dst").alias("id")))
+            .dropDuplicates()
+        )
+
+    def out_degrees(self) -> DataFrame:
+        return self.edges.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("out_degree")
+        )
+
+    def in_degrees(self) -> DataFrame:
+        return self.edges.groupBy(F.col("dst").alias("id")).agg(
+            F.count(F.lit(1)).alias("in_degree")
+        )
+
+    def degrees(self) -> DataFrame:
+        both = self.edges.select(F.col("src").alias("id")).union(
+            self.edges.select(F.col("dst").alias("id"))
+        )
+        return both.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+
+    def page_rank(self, iters: int = 3, damping: float = 0.85) -> DataFrame:
+        return pagerank(self.edges, iters=iters, damping=damping)
+
+    def connected_components(self, max_iter: int = 15) -> DataFrame:
+        from .canonicalize import connected_components
+
+        return connected_components(self.edges, max_iter=max_iter)

@@ -55,3 +55,23 @@ def test_pagerank_duplicate_edges_ignored(spark):
     want = _pr_eager([("a", "b"), ("b", "a")])
     for k in want:
         assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+
+def test_graph_facade(spark):
+    from nlp_cube_spark.operators.graphstats import Graph
+
+    g = Graph(spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("x", "y")], "src string, dst string"
+    ))
+    assert {r.id for r in g.vertices.collect()} == {"a", "b", "c", "x", "y"}
+    assert {(r.id, r.out_degree) for r in g.out_degrees().collect()} == {("a", 2), ("b", 1), ("x", 1)}
+    assert {(r.id, r.in_degree) for r in g.in_degrees().collect()} == {("b", 1), ("c", 2), ("y", 1)}
+    assert {(r.id, r.degree) for r in g.degrees().collect()} == {
+        ("a", 2), ("b", 2), ("c", 2), ("x", 1), ("y", 1)}
+    comp = {r.node: r.component for r in g.connected_components().collect()}
+    assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    pr = {r.node: r.rank for r in g.page_rank().collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-9
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        Graph(spark.createDataFrame([(1, 2)], "a long, b long"))

@@ -87,3 +87,36 @@ def test_range_join_is_equi_join_not_cartesian(spark):
     clicks = ev.select("user_id", F.col("ts").alias("cts"), F.col("event_id").alias("click_id"))
     plan = range_join_binned(ev, clicks, "user_id", "ts", "cts", 0, 300)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Property check against the canonical single-node implementation:
+    pandas.merge_asof (backward direction) on deterministic pseudo-random
+    data with duplicate-free right stamps per key."""
+    import pandas as pd
+
+    def h(i, salt):
+        import hashlib
+        return int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:8], 16)
+
+    base = dt.datetime(2024, 3, 1)
+    lrows = [(i, h(i, "k") % 5, base + dt.timedelta(seconds=h(i, "lt") % 10_000))
+             for i in range(200)]
+    rrows = {}
+    for i in range(120):
+        key = (h(i, "rk") % 5, base + dt.timedelta(seconds=h(i, "rt") % 10_000))
+        rrows[key] = max(rrows.get(key, 0), i)  # unique (key, ts): max id wins
+    rrows = [(k, t, v) for (k, t), v in sorted(rrows.items())]
+
+    left = spark.createDataFrame(lrows, "lid long, k long, ts timestamp")
+    right = spark.createDataFrame(rrows, "k long, rts timestamp, rid long")
+    got = {r.lid: r.rid for r in
+           asof_join(left, right, "k", "ts", "rts", ["rid"]).collect()}
+
+    lpdf = pd.DataFrame(lrows, columns=["lid", "k", "ts"]).sort_values("ts")
+    rpdf = pd.DataFrame(rrows, columns=["k", "rts", "rid"]).sort_values("rts")
+    m = pd.merge_asof(lpdf, rpdf, left_on="ts", right_on="rts",
+                      by="k", direction="backward")
+    want = {int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+            for r in m.itertuples()}
+    assert got == want
