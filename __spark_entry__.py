@@ -821,6 +821,28 @@ def q_doc_length_quantiles(spark, sf_dir):
     )
 
 
+def q_doc_length_quantiles_twopass(spark, sf_dir):
+    """Same quantiles as doc_length_quantiles but through the scale-safe
+    two-pass plan (operators/quantiles.grouped_quantiles): counts over
+    (lang, distinct length) then rank-interpolated selection — the
+    largest task is O(distinct lengths of the hottest lang), never
+    O(docs of the hottest lang). Hash-oracled against the SAME DuckDB
+    quantile_cont SQL as the exact-percentile form, proving the plans
+    are value-identical, not merely error-bounded."""
+    from nlp_cube_spark.operators.quantiles import grouped_quantiles
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", F.length("text").alias("len")
+    )
+    qd = grouped_quantiles(docs, ["lang"], "len", [0.5, 0.9, 0.99])
+    return qd.groupBy("lang").agg(
+        F.round(F.max(F.when(F.col("q") == 0.5, F.col("value"))), 4).alias("p50"),
+        F.round(F.max(F.when(F.col("q") == 0.9, F.col("value"))), 4).alias("p90"),
+        F.round(F.max(F.when(F.col("q") == 0.99, F.col("value"))), 4).alias("p99"),
+        F.max("n").alias("n"),
+    )
+
+
 def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_shipped(spark)
@@ -838,7 +860,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # relational queries (green since round 1) trail.  Every entry is still
 # replayed locally against its DuckDB oracle in tests/test_entry_queries.py.
 _QUERIES = {
-        # --- newest / never driver-checked first (round-4 window rotation) ---
+        # --- newest / never driver-checked first (round-5 window rotation) ---
+        "doc_length_quantiles_twopass": q_doc_length_quantiles_twopass,
         "doc_wordgram_embeddings": q_doc_wordgram_embeddings,
         "multimodal_decoded": q_multimodal_decoded,
         "multimodal_transformed": q_multimodal_transformed,
@@ -1544,6 +1567,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_entity_pagerank": _pagerank_duck(),
         "doc_length_quantiles": """
+          SELECT lang,
+                 round(quantile_cont(length(text), 0.5), 4) AS p50,
+                 round(quantile_cont(length(text), 0.9), 4) AS p90,
+                 round(quantile_cont(length(text), 0.99), 4) AS p99,
+                 count(*) AS n
+          FROM documents GROUP BY lang
+        """,
+        "doc_length_quantiles_twopass": """
           SELECT lang,
                  round(quantile_cont(length(text), 0.5), 4) AS p50,
                  round(quantile_cont(length(text), 0.9), 4) AS p90,

@@ -129,6 +129,15 @@ def resolve(name: str, version: str = "latest", cache_dir: str | None = None) ->
         raise FileNotFoundError(f"artifact missing: {path}")
     digest = _sha256(path)
     if entry.get("sha256") is None:
+        if path.endswith((".pt", ".pth")):
+            # torch checkpoints are pickle-bearing: lazy trust-on-first-use
+            # pinning would let a tampered artifact self-certify. Require an
+            # out-of-band digest (kernels/learned.py loads weights_only, but
+            # defense-in-depth for torch <2.6 deployments).
+            raise ValueError(
+                f"torch artifact {name} {version} must register() a pinned "
+                "sha256 (lazy pinning is only allowed for non-pickle formats)"
+            )
         entry["sha256"] = digest  # pin packaged files on first resolve
     elif digest != entry["sha256"]:
         raise ValueError(

@@ -172,7 +172,10 @@ def _load_external_arc_model(path: str) -> dict:
     if path.endswith((".pt", ".pth")):
         import torch  # the real heavyweight path; same tensor contract
 
-        sd = torch.load(path, map_location="cpu")
+        # weights_only: the declared contract is pure tensors + a string
+        # vocab — never let a tampered artifact execute pickle code in
+        # every python worker (sha pinning is enforced at resolve()).
+        sd = torch.load(path, map_location="cpu", weights_only=True)
         vocab = [str(x) for x in sd["upos_vocab"]]
         mat = sd["arc_logits"].detach().cpu().numpy()
     else:
@@ -181,6 +184,11 @@ def _load_external_arc_model(path: str) -> dict:
         mat = np.asarray(data["arc_logits"], dtype=float)
     if mat.shape != (len(vocab), len(vocab)):
         raise ValueError(f"arc_logits {mat.shape} does not match vocab {len(vocab)}")
+    if "ROOT" not in vocab:
+        raise ValueError(
+            f"external arc model {os.path.basename(path)!r}: upos_vocab lacks "
+            "the documented position-0 'ROOT' label"
+        )
     return {"idx": {u: i for i, u in enumerate(vocab)}, "mat": mat}
 
 

@@ -20,8 +20,11 @@ re-expressed as single-shuffle equi-join plans:
   for hot keys (operators/salting).
 
 Skew note: a single hot key serializes its window in asof_join (same as
-any per-key sort); pre-split hot keys with operators/salting.with_salt
-when key frequency is Zipfian.
+any per-key sort); when key frequency is Zipfian use `salted_asof_join`
+below — the composition of operators/salting.with_salt with asof_join
+(left side salted, right side replicated per salt bucket), result-equal
+to the unsalted form (tests/test_temporal.py::test_salted_asof_join_
+equals_unsalted_on_zipfian_key).
 """
 
 from __future__ import annotations
@@ -54,6 +57,16 @@ def asof_join(
     would make "the" most recent row ambiguous under any engine.
     """
     keys = [on] if isinstance(on, str) else list(on)
+    reserved = {"__ts", "__tag", "__val", "__m"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(f"asof_join reserves internal columns {sorted(clash)}; rename inputs")
+    bad = set(value_cols) & (set(left.columns) | set(keys))
+    if bad:
+        raise ValueError(
+            f"value_cols {sorted(bad)} collide with left/key columns; "
+            "alias them on the right side before joining"
+        )
     # tag so that at equal timestamps right sorts before left (non-strict
     # match) or after it (strict: simultaneous right rows are invisible)
     right_tag, left_tag = (1, 0) if strict else (0, 1)
@@ -92,6 +105,38 @@ def asof_join(
     )
 
 
+def salted_asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    n_salt: int = 16,
+    strict: bool = False,
+    tolerance_sec: float | None = None,
+) -> DataFrame:
+    """asof_join for Zipfian keys: the left (probe) side is salted with a
+    content-derived salt (operators/salting.with_salt — rerun-stable), the
+    right side is replicated into every salt bucket, and the window
+    partitions on (key, salt). A hot key's window sort splits into n_salt
+    tasks instead of one; each bucket still sees ALL right rows of the
+    key, so the result is row-identical to the unsalted asof_join. Cost:
+    right side shuffles n_salt x — use when the right (reference) stream
+    per key is much smaller than the left event stream, the usual as-of
+    shape."""
+    from .salting import with_salt
+
+    l = with_salt(left, on, n_salt, col="__salt")
+    r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("long"))
+    return asof_join(
+        l, r, [on, "__salt"], left_ts, right_ts, value_cols,
+        strict=strict, tolerance_sec=tolerance_sec,
+    ).drop("__salt")
+
+
 def range_join_binned(
     left: DataFrame,
     right: DataFrame,
@@ -107,6 +152,8 @@ def range_join_binned(
     the caller pre-selecting / renaming to avoid collisions)."""
     if not upper_sec > lower_sec:
         raise ValueError("upper_sec must exceed lower_sec")
+    if "__bin" in left.columns or "__bin" in right.columns:
+        raise ValueError("range_join_binned reserves internal column '__bin'; rename inputs")
     keys = [on] if isinstance(on, str) else list(on)
     w_us = int(round((upper_sec - lower_sec) * 1_000_000))
     lo_us = int(round(lower_sec * 1_000_000))

@@ -5,7 +5,13 @@ import datetime as dt
 
 from pyspark.sql import functions as F
 
-from nlp_cube_spark.operators.temporal import asof_join, range_join_binned
+import pytest
+
+from nlp_cube_spark.operators.temporal import (
+    asof_join,
+    range_join_binned,
+    salted_asof_join,
+)
 
 
 def _ts(m, s=0, us=0):
@@ -87,6 +93,60 @@ def test_range_join_is_equi_join_not_cartesian(spark):
     clicks = ev.select("user_id", F.col("ts").alias("cts"), F.col("event_id").alias("click_id"))
     plan = range_join_binned(ev, clicks, "user_id", "ts", "cts", 0, 300)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_rejects_reserved_and_colliding_columns(spark):
+    ev = _events(spark)
+    clicks = ev.select("user_id", "ts", F.col("event_id").alias("click_id"))
+    with pytest.raises(ValueError, match="reserves internal columns"):
+        asof_join(ev.withColumn("__ts", F.lit(1)), clicks,
+                  "user_id", "ts", "ts", ["click_id"])
+    with pytest.raises(ValueError, match="collide"):
+        # value_col 'kind' already exists on the left
+        asof_join(ev, clicks.withColumn("kind", F.lit("x")),
+                  "user_id", "ts", "ts", ["kind"])
+    with pytest.raises(ValueError, match="reserves internal column"):
+        range_join_binned(ev.withColumn("__bin", F.lit(1)), clicks,
+                          "user_id", "ts", "ts", 0, 300)
+
+
+def test_salted_asof_join_equals_unsalted_on_zipfian_key(spark):
+    """Skew composition (operators/salting.with_salt x asof_join): a
+    deliberately Zipfian left stream (~80% of rows on one key) must give
+    row-identical results through the salted plan that splits the hot
+    key's window sort across n_salt tasks."""
+    import hashlib
+
+    def h(i, salt):
+        return int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:8], 16)
+
+    base = dt.datetime(2024, 5, 1)
+    # Zipf head: key 0 takes ~4/5 of left rows
+    lrows = [
+        (i, 0 if h(i, "z") % 5 < 4 else 1 + h(i, "z") % 3,
+         base + dt.timedelta(seconds=h(i, "lt") % 50_000))
+        for i in range(400)
+    ]
+    rrows = {}
+    for i in range(60):
+        key = (h(i, "rk") % 4, base + dt.timedelta(seconds=h(i, "rt") % 50_000))
+        rrows[key] = max(rrows.get(key, 0), i)
+    rrows = [(k, t, v) for (k, t), v in sorted(rrows.items())]
+
+    left = spark.createDataFrame(lrows, "lid long, k long, ts timestamp")
+    right = spark.createDataFrame(rrows, "k long, rts timestamp, rid long")
+
+    plain = {r.lid: r.rid for r in
+             asof_join(left, right, "k", "ts", "rts", ["rid"]).collect()}
+    salted = {r.lid: r.rid for r in
+              salted_asof_join(left, right, "k", "ts", "rts", ["rid"],
+                               n_salt=8).collect()}
+    assert salted == plain
+    # the salted left really spreads: the hot key occupies several buckets
+    from nlp_cube_spark.operators.salting import with_salt
+    n_buckets = (with_salt(left.where("k = 0"), "k", 8, col="__salt")
+                 .select("__salt").distinct().count())
+    assert n_buckets > 1
 
 
 def test_asof_join_matches_pandas_merge_asof(spark):
