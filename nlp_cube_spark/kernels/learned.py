@@ -168,20 +168,37 @@ def get_scorer(name: str):
 _EXTERNAL_MODELS: dict[str, dict] = {}
 
 
-def _load_external_arc_model(path: str) -> dict:
+def _load_tensor_dict(path: str) -> dict:
+    """Read a .pt/.pth state dict (torch, import-gated) or an .npz into
+    plain numpy arrays. weights_only: the declared contract is pure
+    tensors + string vocabs — never let a tampered artifact execute
+    pickle code in every python worker (sha pinning for .pt/.pth is
+    additionally enforced at modelstore.resolve())."""
     if path.endswith((".pt", ".pth")):
         import torch  # the real heavyweight path; same tensor contract
 
-        # weights_only: the declared contract is pure tensors + a string
-        # vocab — never let a tampered artifact execute pickle code in
-        # every python worker (sha pinning is enforced at resolve()).
         sd = torch.load(path, map_location="cpu", weights_only=True)
-        vocab = [str(x) for x in sd["upos_vocab"]]
-        mat = sd["arc_logits"].detach().cpu().numpy()
-    else:
-        data = np.load(path, allow_pickle=False)
-        vocab = [str(s) for s in data["upos_vocab"].tolist()]
-        mat = np.asarray(data["arc_logits"], dtype=float)
+        return {
+            k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+            for k, v in sd.items()
+        }
+    data = np.load(path, allow_pickle=False)
+    return {k: data[k] for k in data.files}
+
+
+def _strings(d: dict, key: str, path: str) -> list[str]:
+    try:
+        return [str(s) for s in d[key].tolist()]
+    except KeyError:
+        raise ValueError(
+            f"external model {os.path.basename(path)!r}: missing field {key!r}"
+        ) from None
+
+
+def _load_external_arc_model(path: str) -> dict:
+    d = _load_tensor_dict(path)
+    vocab = _strings(d, "upos_vocab", path)
+    mat = np.asarray(d["arc_logits"], dtype=float)
     if mat.shape != (len(vocab), len(vocab)):
         raise ValueError(f"arc_logits {mat.shape} does not match vocab {len(vocab)}")
     if "ROOT" not in vocab:
@@ -219,6 +236,105 @@ def external_arc_scorer(basename: str):
         return m
 
     return scorer
+
+
+def _load_external_tag_model(path: str) -> dict:
+    """Tensor contract for an external tagger (e.g. an exported embedding-
+    lookup head of a neural tagger): form_vocab (lowercased forms, must
+    contain '<unk>'), tag_classes ('upos\\txpos\\tfeats' joint classes),
+    tag_logits [form_idx, class_idx]."""
+    d = _load_tensor_dict(path)
+    vocab = _strings(d, "form_vocab", path)
+    classes = _strings(d, "tag_classes", path)
+    mat = np.asarray(d["tag_logits"], dtype=float)
+    if mat.shape != (len(vocab), len(classes)):
+        raise ValueError(
+            f"tag_logits {mat.shape} does not match vocab {len(vocab)} x classes {len(classes)}"
+        )
+    if "<unk>" not in vocab:
+        raise ValueError(
+            f"external tag model {os.path.basename(path)!r}: form_vocab lacks '<unk>'"
+        )
+    bad = [c for c in classes if c.count("\t") != 2]
+    if bad:
+        raise ValueError(
+            f"external tag model {os.path.basename(path)!r}: classes must be "
+            f"'upos\\txpos\\tfeats' triples, got {bad[:3]!r}"
+        )
+    return {"idx": {f: i for i, f in enumerate(vocab)}, "classes": classes, "mat": mat}
+
+
+def external_tagger(basename: str):
+    """tag_sentence-contract tagger ((forms, lang) -> [(upos, xpos,
+    feats)]) backed by a shipped artifact — same per-process singleton
+    discipline as external_arc_scorer; slots behind fused_words/
+    fused_triples(tagger='external:<basename>') with zero plan change.
+    Unknown forms fall back to the '<unk>' row (argmax ties break to the
+    lower class index — deterministic under any parallelism)."""
+
+    def tagger(forms: list[str], lang: str) -> list[tuple[str, str, str]]:
+        key = ("tag", basename)
+        model = _EXTERNAL_MODELS.get(key)
+        if model is None:
+            from ..io.modelstore import executor_path
+
+            model = _load_external_tag_model(executor_path(basename))
+            _EXTERNAL_MODELS[key] = model
+        idx, classes, mat = model["idx"], model["classes"], model["mat"]
+        unk = idx["<unk>"]
+        out = []
+        for f in forms:
+            cls = classes[int(np.argmax(mat[idx.get(f.lower(), unk)]))]
+            upos, xpos, feats = cls.split("\t")
+            out.append((upos, xpos, feats))
+        return out
+
+    return tagger
+
+
+def _load_external_lemma_model(path: str) -> dict:
+    """Tensor contract for an external lemmatizer: key_vocab (strings
+    'form\\tupos', bare 'form' fallback keys allowed, must contain
+    '<unk>'), edit_classes (edit-script grammar of edit_script()),
+    edit_logits [key_idx, class_idx]. The argmax class is applied with
+    apply_edit, so the artifact stays pure tensors while reusing the
+    committed transduction semantics."""
+    d = _load_tensor_dict(path)
+    vocab = _strings(d, "key_vocab", path)
+    classes = _strings(d, "edit_classes", path)
+    mat = np.asarray(d["edit_logits"], dtype=float)
+    if mat.shape != (len(vocab), len(classes)):
+        raise ValueError(
+            f"edit_logits {mat.shape} does not match vocab {len(vocab)} x classes {len(classes)}"
+        )
+    if "<unk>" not in vocab:
+        raise ValueError(
+            f"external lemma model {os.path.basename(path)!r}: key_vocab lacks '<unk>'"
+        )
+    return {"idx": {k: i for i, k in enumerate(vocab)}, "classes": classes, "mat": mat}
+
+
+def external_lemmatizer(basename: str):
+    """lemmatize-contract ((form, upos, lang) -> lemma) backed by a
+    shipped artifact; slots behind the dedup-then-broadcast-join stage
+    (operators/annotate.attach_lemmas(lemmatizer='external:<basename>'))
+    with zero plan change. Lookup ladder: 'form\\tupos' -> lowercased
+    form -> '<unk>'."""
+
+    def lem(form: str, upos: str, lang: str) -> str:
+        key = ("lemma", basename)
+        model = _EXTERNAL_MODELS.get(key)
+        if model is None:
+            from ..io.modelstore import executor_path
+
+            model = _load_external_lemma_model(executor_path(basename))
+            _EXTERNAL_MODELS[key] = model
+        idx, classes, mat = model["idx"], model["classes"], model["mat"]
+        low = form.lower()
+        i = idx.get(f"{low}\t{upos}", idx.get(low, idx["<unk>"]))
+        return apply_edit(form, classes[int(np.argmax(mat[i]))])
+
+    return lem
 
 
 # ---------------------------------------------------------------------------
@@ -290,12 +406,18 @@ def tag_sentence(forms: list[str], lang: str) -> list[tuple[str, str, str]]:
 
 
 def get_tagger(name: str):
+    """'rules' | 'learned' | 'external:<basename>' (a shipped tensor
+    artifact, see external_tagger) — same registry convention as
+    get_scorer, so a deployment can swap the tagging stage (SURVEY §2a
+    #13) without touching the plan."""
     if name == "rules":
         from . import tagger_rules
 
         return tagger_rules.tag_sentence
     if name == "learned":
         return tag_sentence
+    if name.startswith("external:"):
+        return external_tagger(name.split(":", 1)[1])
     raise ValueError(f"unknown tagger: {name!r}")
 
 
@@ -427,12 +549,18 @@ def lemmatize(form: str, upos: str, lang: str) -> str:
 
 
 def get_lemmatizer(name: str):
+    """'rules' | 'learned' | 'external:<basename>' (a shipped tensor
+    artifact, see external_lemmatizer) — same registry convention as
+    get_scorer, completing the three neural-stage seams (SURVEY §2a
+    #13/#14/#17)."""
     if name == "rules":
         from . import lemma_rules
 
         return lemma_rules.lemmatize
     if name == "learned":
         return lemmatize
+    if name.startswith("external:"):
+        return external_lemmatizer(name.split(":", 1)[1])
     raise ValueError(f"unknown lemmatizer: {name!r}")
 
 

@@ -173,6 +173,57 @@ def _read_pruned(
     return df
 
 
+def compact_store(spark: SparkSession, out_dir: str, upto_batch_id: int) -> dict:
+    """Fold the per-batch partition growth of both prunable stores.
+
+    The sink writes up to 256 new (batch_id, prefix) directories per
+    micro-batch; at 10^5 batches the file LISTING dominates even though
+    reads prune. This rewrites every row with batch_id <= upto_batch_id
+    under the single batch_id=upto_batch_id layout (one sorted file per
+    prefix, preserving the row-group-skipping sort) and deletes the
+    superseded batch directories, bounding the store at 256 dirs + 256
+    per uncompacted batch.
+
+    Replay-safe: structured streaming replays only batches AFTER the last
+    checkpoint commit, so any replayed k > upto_batch_id still sees the
+    whole folded history through the `batch_id < k` read predicate —
+    never fold batches at or beyond the checkpoint frontier. Run with the
+    stream STOPPED (io/tables.compact_partitions contract). Crash-safe:
+    dying between rewrite and delete leaves duplicate history rows, which
+    the dedup logic tolerates (exact history is dropDuplicates'd, band
+    matches collapse per url); rerun to finish.
+    """
+    stats = {}
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for sub, prefix_col, key_col in (
+        ("hashes", "hash_prefix", "content_hash"),
+        ("signatures", "sig_prefix", "band_sig"),
+    ):
+        path = f"{out_dir}/{sub}"
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            spark.read.parquet(path)
+            .where(F.col("batch_id") <= upto_batch_id)
+            .withColumn("batch_id", F.lit(upto_batch_id))
+            .repartition(prefix_col)
+            .sortWithinPartitions(key_col)
+            .write.partitionBy("batch_id", prefix_col)
+            .mode("overwrite")
+            .parquet(path)
+        )
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(hconf)
+        removed = 0
+        for st in fs.listStatus(hpath):
+            name = st.getPath().getName()
+            if name.startswith("batch_id=") and int(name.split("=", 1)[1]) < upto_batch_id:
+                fs.delete(st.getPath(), True)
+                removed += 1
+        stats[sub] = {"batch_dirs_removed": removed}
+    return stats
+
+
 def start_dedup_stream(
     spark: SparkSession,
     src_dir: str,

@@ -145,6 +145,132 @@ def test_external_heavyweight_scorer_seam(spark, tmp_path):
         MS._CATALOG.pop("demo_heavy_arc", None)
 
 
+def test_external_tagger_seam(spark, tmp_path):
+    """Round-4 VERDICT item 6: the external-artifact convention must cover
+    ALL THREE neural-stage seams. Tagger: an npz with (form_vocab,
+    tag_classes, tag_logits) registers, ships, and drives the fused
+    annotation stage via tagger='external:<basename>'; engine output ==
+    eager per-document replay with the same artifact."""
+    import numpy as np
+
+    from nlp_cube_spark.datagen import pages_df
+    from nlp_cube_spark.kernels import learned
+    from nlp_cube_spark.operators import annotate as A
+    from nlp_cube_spark.operators.annotate import _annotate_doc
+
+    vocab = ["<unk>", "the", "a", "alpha", "beta", "runs", "sees", "fast"]
+    classes = ["NOUN\tNN\t_", "VERB\tVBZ\tNumber=Sing", "DET\tDT\tDefinite=Def", "X\tXX\t_"]
+    mat = np.array([[((i * 5 + j * 7) % 9) - 4.0 for j in range(len(classes))]
+                    for i in range(len(vocab))])
+    art = tmp_path / "demo_tagger.npz"
+    np.savez(art, form_vocab=np.array(vocab), tag_classes=np.array(classes), tag_logits=mat)
+
+    MS.register("demo_heavy_tag", "1.0", str(art))
+    try:
+        basename = MS.ship(spark, "demo_heavy_tag")
+        name = f"external:{basename}"
+        pages = pages_df(spark, 10, seed=5).localCheckpoint()
+        words = A.fused_words(pages, tagger=name)
+        got = {(r.url, r.sent_id, r.word_id): (r.upos, r.xpos) for r in words.collect()}
+        assert len(got) > 0
+
+        want = {}
+        for p in pages.collect():
+            for sid, (forms, _sp, _mw, _tf, tags, _h, _lb) in enumerate(
+                _annotate_doc(p.text, p.lang, tagger=name)
+            ):
+                for i, (u, x, _f) in enumerate(tags):
+                    want[(p.url, sid, i + 1)] = (u, x)
+        assert got == want
+        assert ("tag", basename) in learned._EXTERNAL_MODELS
+        rules = {(r.url, r.sent_id, r.word_id): (r.upos, r.xpos)
+                 for r in A.fused_words(pages).collect()}
+        assert got != rules  # the artifact actually drove decisions
+    finally:
+        MS._CATALOG.pop("demo_heavy_tag", None)
+
+
+def test_external_lemmatizer_seam(spark, tmp_path):
+    """Lemmatizer leg of the external convention: npz (key_vocab,
+    edit_classes, edit_logits); argmax edit script applied via the
+    committed apply_edit transduction. Engine rows == direct kernel
+    replay; lookup ladder 'form\\tupos' -> form -> '<unk>'."""
+    import numpy as np
+
+    from nlp_cube_spark.datagen import pages_df
+    from nlp_cube_spark.kernels import learned
+    from nlp_cube_spark.operators import annotate as A
+
+    # class 0 strips one trailing char; class 1 is lowercase-identity —
+    # logits send 'form\tupos'-keyed entries to 0, everything else to 1
+    classes = ["1||low", "0||low"]
+    keys = ["<unk>", "alpha\tNOUN", "beta\tNOUN", "runs"]
+    mat = np.array([[0.0, 1.0], [1.0, 0.0], [1.0, 0.0], [1.0, 0.0]])
+    art = tmp_path / "demo_lemmatizer.npz"
+    np.savez(art, key_vocab=np.array(keys), edit_classes=np.array(classes), edit_logits=mat)
+
+    MS.register("demo_heavy_lemma", "1.0", str(art))
+    try:
+        basename = MS.ship(spark, "demo_heavy_lemma")
+        name = f"external:{basename}"
+        pages = pages_df(spark, 10, seed=5).localCheckpoint()
+        words = A.attach_lemmas(A.fused_words(pages), lemmatizer=name)
+        rows = words.select("form", "upos", "lang", "lemma").collect()
+        assert len(rows) > 0
+
+        lem = learned.external_lemmatizer(basename)
+        for r in rows:
+            assert r.lemma == lem(r.form, r.upos, r.lang), (r.form, r.upos)
+        assert ("lemma", basename) in learned._EXTERNAL_MODELS
+        # the ladder really fires: a keyed form strips, an unknown doesn't
+        assert lem("alpha", "NOUN", "en") == "alph"
+        assert lem("Alpha", "NOUN", "en") == "alph"   # lookup is lowercased
+        assert lem("runs", "VERB", "en") == "run"     # bare-form fallback
+        assert lem("zzz", "NOUN", "en") == "zzz"      # <unk> -> identity
+    finally:
+        MS._CATALOG.pop("demo_heavy_lemma", None)
+
+
+def test_external_model_validation_errors(tmp_path):
+    """Misformatted artifacts fail at LOAD with the artifact basename in
+    the message, not as an opaque per-task KeyError (ADVICE r4)."""
+    import numpy as np
+
+    from nlp_cube_spark.kernels import learned
+
+    no_root = tmp_path / "no_root.npz"
+    np.savez(no_root, upos_vocab=np.array(["NOUN"]), arc_logits=np.zeros((1, 1)))
+    with pytest.raises(ValueError, match="no_root.npz.*ROOT"):
+        learned._load_external_arc_model(str(no_root))
+
+    no_unk = tmp_path / "no_unk.npz"
+    np.savez(no_unk, form_vocab=np.array(["the"]), tag_classes=np.array(["NOUN\tNN\t_"]),
+             tag_logits=np.zeros((1, 1)))
+    with pytest.raises(ValueError, match="no_unk.npz.*<unk>"):
+        learned._load_external_tag_model(str(no_unk))
+
+    missing = tmp_path / "missing_field.npz"
+    np.savez(missing, key_vocab=np.array(["<unk>"]), edit_logits=np.zeros((1, 1)))
+    with pytest.raises(ValueError, match="missing_field.npz.*edit_classes"):
+        learned._load_external_lemma_model(str(missing))
+
+
+def test_torch_artifact_requires_pinned_sha(tmp_path):
+    """Pickle-bearing .pt artifacts may not lazily self-pin their digest
+    (ADVICE r4): register(sha256=None) + resolve must refuse."""
+    p = tmp_path / "model.pt"
+    p.write_bytes(b"fake checkpoint bytes")
+    MS.register("demo_torch", "1.0", str(p))
+    try:
+        with pytest.raises(ValueError, match="pinned sha256"):
+            MS.resolve("demo_torch", "1.0")
+        # with a pinned digest the integrity path works as usual
+        MS.register("demo_torch", "1.0", str(p), sha256=MS._sha256(str(p)))
+        assert MS.resolve("demo_torch", "1.0") == str(p)
+    finally:
+        MS._CATALOG.pop("demo_torch", None)
+
+
 def test_external_scorer_torch_branch_is_gated(tmp_path):
     """A .pt artifact routes to torch.load; in this torch-less container
     that must surface as the import error, not a silent wrong-format

@@ -134,6 +134,76 @@ def test_dedup_history_scan_is_pruned(spark, dirs):
     assert files_pruned < files_full
 
 
+def test_dedup_store_compaction_preserves_history_and_pruning(spark, dirs):
+    """What's-wrong #2 (r4): the (batch_id, prefix) layout grows ~256 dirs
+    per micro-batch. compact_store folds old batches into one batch_id
+    layout; afterwards (a) the directory census is bounded, (b) a later
+    batch still drops duplicates of PRE-compaction content (history
+    survives the fold through the batch_id < k predicate), and (c) the
+    pruned-read path works unchanged on the compacted layout."""
+    import datetime
+
+    from nlp_cube_spark.streaming import dedup as SD
+
+    ts = datetime.datetime(2025, 1, 1)
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8).strip()
+
+    def write(rows):
+        spark.createDataFrame(
+            [(u, ts, bytearray(b"<html/>"), t, "en") for u, t in rows], ingest.PAGES_DDL
+        ).coalesce(1).write.mode("append").parquet(dirs["src"])
+
+    def run():
+        q = SD.start_dedup_stream(
+            spark, dirs["src"], dirs["out"], dirs["ckpt"], sim_threshold=0.7
+        )
+        q.awaitTermination(180)
+
+    write([("u1", base), ("u2", "unique text about query planners and joins")])
+    run()
+    write([("u3", "second unique body mentioning vectorized execution")])
+    run()
+    write([("u4", "third unique body mentioning adaptive query replanning")])
+    run()
+
+    def batch_dirs(sub):
+        import os
+        return sorted(
+            d for d in os.listdir(f"{dirs['out']}/{sub}") if d.startswith("batch_id=")
+        )
+
+    ids = [int(d.split("=", 1)[1]) for d in batch_dirs("signatures")]
+    assert len(ids) == 3  # one layout level per (non-empty) batch
+    top = max(ids)  # availableNow interleaves empty state-flush batch ids
+    stats = SD.compact_store(spark, dirs["out"], upto_batch_id=top)
+    assert stats["signatures"]["batch_dirs_removed"] == 2
+    assert batch_dirs("signatures") == [f"batch_id={top}"]
+    assert batch_dirs("hashes") == [f"batch_id={top}"]
+    # no rows lost or duplicated by the fold
+    assert spark.read.parquet(f"{dirs['out']}/hashes").count() == 4
+    assert spark.read.parquet(f"{dirs['out']}/signatures").count() == 4 * SD.BANDS
+
+    # (b) post-compaction batch still sees pre-compaction history
+    write([
+        ("u5", base),             # exact dup of u1 (batch 0, now folded)
+        ("u6", base + " omega"),  # near dup of u1
+        ("u7", "a genuinely new document body arriving after compaction"),
+    ])
+    run()
+    surv = {r.url for r in spark.read.parquet(f"{dirs['out']}/survivors").collect()}
+    assert surv == {"u1", "u2", "u3", "u4", "u7"}
+
+    # (c) pruned read on the compacted layout still touches a file subset
+    sig_path = f"{dirs['out']}/signatures"
+    full = spark.read.parquet(sig_path)
+    prefixes = sorted({r.sig_prefix for r in full.select("sig_prefix").collect()})
+    assert len(prefixes) > 2
+    pruned = SD._read_pruned(spark, sig_path, 999, "sig_prefix", prefixes[:1], "band_sig", None)
+    files_full = {r[0] for r in full.select(F.input_file_name()).dropDuplicates().collect()}
+    files_pruned = {r[0] for r in pruned.select(F.input_file_name()).dropDuplicates().collect()}
+    assert 0 < len(files_pruned) < len(files_full)
+
+
 def test_dedup_batch_in_batch_rules(spark):
     """Unit semantics without a stream: min-url keep rule for exact and
     near dups within one batch; history drops both kinds."""
