@@ -66,7 +66,7 @@ _CATALOG: dict[str, dict[str, dict]] = {
     "micro_lemmatizer": {
         "1.0": {
             "path": os.path.join(_PKG_DIR, "kernels", "micro_lemmatizer_weights.json"),
-            "sha256": "017a192bf0450cede1f9aac96be73de9e5ce1b07cfa84f1425bb9b01d528bde1",
+            "sha256": "2b79a0930da74e1c5b44412bedaf8353238f10dfa56414335ea279d5d5b685d4",
         }
     },
     "micro_mwt": {

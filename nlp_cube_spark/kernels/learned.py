@@ -597,6 +597,14 @@ def mwt_program(form: str, words: list[str]) -> str:
 
 
 def apply_mwt_program(form: str, program: str) -> list[str]:
+    if program == "s0+":
+        # pure identity passes the form through VERBATIM — the rules
+        # expander returns [form] for any non-lexicon form regardless of
+        # case (segment_rules.expand_mwt), and the shape features are
+        # case-folded, so a case-lowering identity would silently
+        # lower-case every capitalized unseen form (measured as the 13%
+        # mwt_rules_agree gap on the r5 open-vocabulary corpus).
+        return [form]
     low = form.lower()
     out = []
     for spec in program.split("|"):

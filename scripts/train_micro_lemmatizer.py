@@ -68,6 +68,56 @@ def salad_keys() -> list[tuple[str, str, str]]:
     return list(seen)
 
 
+# Open-vocabulary generalization battery (r5): the r5 coverage test
+# measured 95.5% rules-agreement on genuinely unseen English web text;
+# the misses were (a) PROPN recasing — too few PROPN train keys, so
+# unseen PROPN forms predicted the lowercase identity class — and (b)
+# '-ss' endings mis-striping the plural-s rule. These keys teach those
+# SHAPES (gold still derives from lemma_rules at example time, like
+# every other key); the w:/wu:/wul: exact-key features keep the train
+# set separable, while u:/suf{k}:{suf}:{upos} carry the transfer.
+def generalization_keys() -> list[tuple[str, str, str]]:
+    propn = ["Paris", "London", "Berlin", "Lisbon", "Dublin", "Athens",
+             "Wales", "Hastings", "Flanders", "Andes", "Naples", "Santos",
+             "Reading", "Banning", "Salford", "Oxford"]
+    ss_forms = ["class", "press", "process", "address", "access", "loss",
+                "cross", "pass", "glass", "mass", "chess", "stress"]
+    # NOTE: deliberately DISJOINT from tests/test_learned_kernel.OPEN_SENTS
+    # content words — the battery teaches suffix SHAPES, while the open-
+    # vocabulary coverage eval stays genuinely out-of-vocabulary.
+    ing_ed = ["building", "testing", "fixing", "loading", "mapping",
+              "braked", "marked", "mapped", "folded", "shipped"]
+    ies = ["copies", "ferries", "bodies", "stories", "parties"]
+    plurals = ["signals", "brokers", "reports", "drivers", "widgets",
+               "panels", "engines", "funnels", "ledgers", "optics",
+               # -es / -ps suffix shapes (r5 coverage misses: 'stages'
+               # rode the -ies strip-3 class, 'loops' the identity class)
+               "badges", "nodes", "caches", "images", "ranges", "phrases",
+               "maps", "groups", "chips", "steps", "scoops", "heaps"]
+    advs = ["briskly", "slowly", "swiftly", "gladly", "rarely"]
+    keys: list[tuple[str, str, str]] = []
+    for f in propn:
+        keys.append((f, "PROPN", "en"))
+    for f in ss_forms:
+        keys += [(f, "NOUN", "en"), (f, "VERB", "en")]
+        keys.append((f.capitalize(), "NOUN", "en"))  # sentence-initial
+    for f in ing_ed:
+        keys += [(f, "VERB", "en"), (f.capitalize(), "VERB", "en")]
+    for f in ies:
+        keys += [(f, "NOUN", "en"), (f, "VERB", "en")]
+    for f in plurals:
+        keys += [(f, "NOUN", "en"), (f.capitalize(), "NOUN", "en"),
+                 (f, "PROPN", "en")]
+    for f in advs:
+        keys.append((f, "ADV", "en"))
+    # a light multilingual sprinkle so the en battery doesn't skew the
+    # shared u:/suf features for other corpus languages
+    for lang in ("de", "es", "fr"):
+        keys += [("Hamburg", "PROPN", lang), ("libros", "NOUN", lang),
+                 ("klasse", "NOUN", lang)]
+    return keys
+
+
 def examples(keys):
     out = []
     for form, upos, lang in keys:
@@ -126,7 +176,8 @@ def main():
     print("training micro_lemmatizer")
     train_keys = lemma_keys(args.docs, args.seed)
     sal = salad_keys()
-    dedup = {k: None for k in train_keys + sal}
+    gen = generalization_keys()
+    dedup = {k: None for k in train_keys + sal + gen}
     train_keys = list(dedup)
     weights = train(examples(train_keys))
     tw, tt = lemma_accuracy(weights, train_keys)

@@ -356,6 +356,10 @@ def test_vocab_coverage_on_open_vocabulary_corpus(spark):
     assert cov["n_keys"] >= 100
     oov_frac = 1.0 - cov["lemma_exact_frac"]
     assert oov_frac >= 0.9  # genuinely open vocabulary, not a mutation set
-    # committed floors (COVERAGE.md r5; measured 0.9554 / 0.8661 pre-retrain)
-    assert cov["lemma_rules_agree_frac"] >= 0.90
-    assert cov["mwt_rules_agree_frac"] >= 0.80
+    # committed floors (COVERAGE.md r5). Pre-fix baseline was 0.9554 /
+    # 0.8661; the verbatim-identity MWT program + the trainer's
+    # suffix-shape battery (disjoint from OPEN_SENTS) raised the measured
+    # numbers to 0.9911 / 1.0 — the one residual miss ('across' NOUN,
+    # '-ss' shape at an untrained length) is the documented boundary.
+    assert cov["lemma_rules_agree_frac"] >= 0.98
+    assert cov["mwt_rules_agree_frac"] >= 0.99
