@@ -878,6 +878,23 @@ _QUERIES = {
         "bm25_top_terms": q_bm25_top_terms,
         "kg_entity_pagerank": q_kg_entity_pagerank,
         "doc_length_quantiles": q_doc_length_quantiles,
+        # --- relational trivials, rotated INTO the window for r5 (driver
+        # evidence last refreshed r3; everything below here was green r4) ---
+        "pricing_summary": q_pricing_summary,
+        "shipdate_pruned_agg": q_shipdate_pruned_agg,
+        "region_revenue": q_region_revenue,
+        "window_top3": q_window_top3,
+        "top_revenue_orders": q_top_revenue_orders,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "rollup_orders": q_rollup_orders,
+        "cube_order_counts": q_cube_order_counts,
+        "orders_topk": q_orders_topk,
+        "map_extract": q_map_extract,
+        "events_json_props": q_events_json_props,
+        "setops_brands": q_setops_brands,
+        "string_folding": q_string_folding,
+        "distinct_brand_type": q_distinct_brand_type,
         # --- KG pipeline ---
         "kg_triples": q_kg_triples,
         "kg_words": q_kg_words,
@@ -917,22 +934,6 @@ _QUERIES = {
         "events_tumbling_window": q_events_tumbling_window,
         "events_sliding_window": q_events_sliding_window,
         "events_hourly": q_events_hourly,
-        # --- relational surface (long-stable; trivials last) ---
-        "pricing_summary": q_pricing_summary,
-        "shipdate_pruned_agg": q_shipdate_pruned_agg,
-        "region_revenue": q_region_revenue,
-        "window_top3": q_window_top3,
-        "top_revenue_orders": q_top_revenue_orders,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
-        "rollup_orders": q_rollup_orders,
-        "cube_order_counts": q_cube_order_counts,
-        "orders_topk": q_orders_topk,
-        "map_extract": q_map_extract,
-        "events_json_props": q_events_json_props,
-        "setops_brands": q_setops_brands,
-        "string_folding": q_string_folding,
-        "distinct_brand_type": q_distinct_brand_type,
     }
 
 
