@@ -843,6 +843,24 @@ def q_doc_length_quantiles_twopass(spark, sf_dir):
     )
 
 
+def q_doc_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filters per doc (operators/textstats.
+    repetition_stats, n=2): duplicate-line fraction + most-frequent-bigram
+    coverage — explode + two uniform hash aggs, no per-doc buffer."""
+    from nlp_cube_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_source_mix(spark, sf_dir):
+    """Per-source corpus-mix report (operators/textstats.source_mix):
+    the per-domain doc counts / exact-dup fraction / mean length that
+    drive C4-style domain capping."""
+    from nlp_cube_spark.operators.textstats import source_mix
+
+    return source_mix(_t(spark, sf_dir, "documents"))
+
+
 def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_shipped(spark)
@@ -861,6 +879,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # replayed locally against its DuckDB oracle in tests/test_entry_queries.py.
 _QUERIES = {
         # --- newest / never driver-checked first (round-5 window rotation) ---
+        "doc_repetition_stats": q_doc_repetition_stats,
+        "source_mix": q_source_mix,
         "doc_length_quantiles_twopass": q_doc_length_quantiles_twopass,
         "doc_wordgram_embeddings": q_doc_wordgram_embeddings,
         "multimodal_decoded": q_multimodal_decoded,
@@ -1574,6 +1594,34 @@ def oracle_sql() -> dict[str, str]:
                  round(quantile_cont(length(text), 0.99), 4) AS p99,
                  count(*) AS n
           FROM documents GROUP BY lang
+        """,
+        "doc_repetition_stats": """
+          WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks,
+                   list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+            FROM documents
+          ), g AS (
+            SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram
+            FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)
+          ), gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+          gm AS (SELECT doc_id, max(c) AS top_c FROM gc GROUP BY 1)
+          SELECT t.doc_id,
+                 CAST(len(toks) AS INT) AS n_tokens,
+                 CAST(len(lines) AS INT) AS n_lines,
+                 round(coalesce(1 - len(list_distinct(lines))
+                       / nullif(CAST(len(lines) AS DOUBLE), 0), 0), 6) AS dup_line_frac,
+                 round(top_c * 2 / nullif(CAST(len(toks) AS DOUBLE), 0), 6) AS top_ngram_frac
+          FROM t LEFT JOIN gm USING (doc_id)
+        """,
+        "source_mix": """
+          SELECT source,
+                 count(*) AS n_docs,
+                 count(DISTINCT md5(text)) AS n_unique_texts,
+                 round(1 - count(DISTINCT md5(text)) / CAST(count(*) AS DOUBLE), 6)
+                   AS exact_dup_frac,
+                 round(avg(length(text)), 4) AS avg_chars
+          FROM documents GROUP BY source
         """,
         "doc_length_quantiles_twopass": """
           SELECT lang,

@@ -10,9 +10,9 @@ local cache), re-expressed for a Spark deployment:
 - `resolve` verifies integrity (sha256 — the reference trusts transport;
   at cluster scale silent object-store corruption is a real failure) and
   returns a local path, fetching into a cache dir when the source is
-  remote. Remote fetch goes through fsspec/urllib ONLY if available and is
-  stubbed out in this container (the seam raises with instructions, like
-  the multimodal codec seam);
+  remote (urllib streaming, split-archive concatenation like the
+  reference's model.zip.001 downloads; pinned sha REQUIRED for anything
+  remote, and file:// exercises the same path offline in tests);
 - `ship` registers the artifact with SparkContext.addFile so every
   executor's python worker resolves it via SparkFiles.get — the
   distributed analog of the reference unpacking into ~/.nlpcube (driver
@@ -84,8 +84,42 @@ _CATALOG: dict[str, dict[str, dict]] = {
 }
 
 
-def register(name: str, version: str, path: str, sha256: str | None = None) -> None:
-    _CATALOG.setdefault(name, {})[version] = {"path": path, "sha256": sha256}
+def register(
+    name: str,
+    version: str,
+    path: str,
+    sha256: str | None = None,
+    parts: list[str] | None = None,
+) -> None:
+    """`parts`: ordered URI list for split archives (the reference's
+    model.zip.001... download shape, modelstore.py:67-103) — fetched and
+    CONCATENATED into one local artifact; `path` then only names the
+    cache file. Remote entries (path or parts with a scheme) REQUIRE a
+    pinned sha256."""
+    _CATALOG.setdefault(name, {})[version] = {
+        "path": path, "sha256": sha256, **({"parts": parts} if parts else {}),
+    }
+
+
+def _fetch_concat(uris: list[str], dest: str) -> None:
+    """Stream one or more URIs into a single local file (split archives
+    concatenate in order — reference ModelStore download shape). urllib
+    handles file:// (testable offline) and http(s):// with the same code;
+    the write is tmp-then-rename so a crashed fetch never half-populates
+    the cache."""
+    from urllib.request import urlopen
+
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    tmp = dest + ".part"
+    with open(tmp, "wb") as f:
+        for uri in uris:
+            with urlopen(uri) as r:
+                while True:
+                    chunk = r.read(1 << 20)
+                    if not chunk:
+                        break
+                    f.write(chunk)
+    os.replace(tmp, dest)
 
 
 def _sha256(path: str) -> str:
@@ -107,27 +141,37 @@ def latest_version(name: str) -> str:
 def resolve(name: str, version: str = "latest", cache_dir: str | None = None) -> str:
     """Catalog entry -> verified LOCAL path (reference ModelStore.solve).
 
-    Local artifacts are verified in place; remote URIs are fetched into
-    cache_dir once and verified (the fetch seam raises in this container —
-    no network — exactly like the multimodal codec seam)."""
+    Local artifacts are verified in place; remote URIs (and split-archive
+    `parts` lists, the reference's download shape) are fetched into
+    cache_dir once via urllib — file:// exercises the identical code path
+    offline; http(s):// works wherever the deployment has network — then
+    sha-verified against the REQUIRED pinned digest. A mismatching fetch
+    is deleted from the cache before raising."""
     version = latest_version(name) if version == "latest" else version
     try:
         entry = _CATALOG[name][version]
     except KeyError:
         raise KeyError(f"model '{name}' version '{version}' not in catalog") from None
     path = entry["path"]
-    if "://" in path:
+    parts = entry.get("parts")
+    fetched = False
+    if "://" in path or parts:
+        if entry.get("sha256") is None:
+            raise ValueError(
+                f"remote artifact {name} {version} must register() a pinned "
+                "sha256 — trust-on-first-use is only allowed for local files"
+            )
         cache_dir = cache_dir or os.path.join(os.path.expanduser("~"), ".nlp_cube_spark")
         local = os.path.join(cache_dir, f"{name}.{version}", os.path.basename(path))
         if not os.path.exists(local):
-            raise NotImplementedError(
-                f"no network in this environment; fetch {path} to {local} "
-                "(plug fsspec/urllib here) — local catalog entries work as-is"
-            )
+            _fetch_concat(parts or [path], local)
+            fetched = True
         path = local
     if not os.path.exists(path):
         raise FileNotFoundError(f"artifact missing: {path}")
     digest = _sha256(path)
+    if fetched and entry.get("sha256") not in (None, digest):
+        os.remove(path)  # never leave a poisoned cache; a retry re-fetches
     if entry.get("sha256") is None:
         if path.endswith((".pt", ".pth")):
             # torch checkpoints are pickle-bearing: lazy trust-on-first-use

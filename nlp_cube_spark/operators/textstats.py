@@ -79,6 +79,100 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
     return docs.withColumn("fingerprint", F.md5(norm))
 
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Gopher-style repetition counters per document — the standard
+    web-corpus quality filters (duplicate-line fraction and most-frequent
+    n-gram coverage; Rae et al. 2021 §A1.1, public knowledge).
+
+    Returns: id, n_tokens, n_lines, dup_line_frac (1 - distinct/total
+    non-empty lines), top_ngram_frac (tokens covered by the single most
+    frequent whitespace n-gram = max_count * n / n_tokens, NULL when the
+    doc has < n tokens). top_ngram_frac is a coverage ESTIMATE: a gram
+    that overlaps itself ('p p p p') counts every occurrence, so values
+    can exceed 1 — filters threshold it, they don't sum it.
+
+    Plan shape: the line stats are per-row scalar expressions; the n-gram
+    stat is explode -> two uniform-key hash aggregations ((id, gram) then
+    id) -> a join back on id. No per-doc value buffer, no UDF; a hot doc
+    costs O(its tokens) spread over the shuffle like any other rows."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t <> '')"
+    lines_expr = f"filter(split({text_col}, '\\n'), l -> l <> '')"
+    base = docs.select(
+        F.col(id_col),
+        F.expr(f"size({toks_expr})").alias("n_tokens"),
+        F.expr(f"size({lines_expr})").alias("n_lines"),
+        F.expr(f"size(array_distinct({lines_expr}))").alias("__n_dlines"),
+        F.expr(toks_expr).alias("__toks"),
+    )
+    grams = base.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"case when size(__toks) >= {n} then "
+                f"transform(sequence(1, size(__toks) - {n} + 1), "
+                f"i -> array_join(slice(__toks, i, {n}), ' ')) "
+                "else array() end"
+            )
+        ).alias("gram"),
+    )
+    top = (
+        grams.groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("__top_c"))
+    )
+    out = base.join(top, id_col, "left")
+    return out.select(
+        F.col(id_col),
+        "n_tokens",
+        "n_lines",
+        F.round(
+            F.coalesce(
+                1 - F.col("__n_dlines") / F.nullif(F.col("n_lines").cast("double"), F.lit(0.0)),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("dup_line_frac"),
+        F.round(
+            F.col("__top_c") * n / F.nullif(F.col("n_tokens").cast("double"), F.lit(0.0)), 6
+        ).alias("top_ngram_frac"),
+    )
+
+
+def source_mix(
+    docs: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-source corpus-mix report — the per-domain statistics a web
+    pipeline uses to cap or down-weight domains (C4/RefinedWeb-style
+    domain filtering, public knowledge): doc count, exact-duplicate
+    fraction (1 - distinct content hashes / docs), and mean length.
+
+    Plan shape: one two-phase hash aggregation; count(distinct md5) is
+    Spark's expand + partial-agg form, keys stay (source, hash)-uniform,
+    so a hot source spreads across reducers in the partial phase."""
+    return (
+        docs.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(F.md5(F.col(text_col))).alias("n_unique_texts"),
+            F.round(F.avg(F.length(F.col(text_col))), 4).alias("avg_chars"),
+        )
+        .select(
+            source_col,
+            "n_docs",
+            "n_unique_texts",
+            F.round(
+                1 - F.col("n_unique_texts") / F.col("n_docs").cast("double"), 6
+            ).alias("exact_dup_frac"),
+            "avg_chars",
+        )
+    )
+
+
 def term_scores(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -94,6 +94,67 @@ def test_ship_reaches_executors(spark):
     assert len(set(ns)) == 1 and ns[0] > 10
 
 
+def test_remote_fetch_via_file_uri(tmp_path):
+    """Remote-scheme resolution (round-4 'What's missing' #4): a file://
+    URI drives the SAME urllib fetch code as http(s)://, streaming into
+    the cache dir, verified against the REQUIRED pinned sha."""
+    src = tmp_path / "weights.json"
+    src.write_text(json.dumps({"hello": "model"}))
+    uri = src.as_uri()
+    cache = tmp_path / "cache"
+
+    MS.register("demo_remote", "1.0", uri)  # no sha -> refused
+    try:
+        with pytest.raises(ValueError, match="pinned sha256"):
+            MS.resolve("demo_remote", "1.0", cache_dir=str(cache))
+
+        MS.register("demo_remote", "1.0", uri, sha256=MS._sha256(str(src)))
+        local = MS.resolve("demo_remote", "1.0", cache_dir=str(cache))
+        assert local.startswith(str(cache)) and os.path.exists(local)
+        assert json.load(open(local)) == {"hello": "model"}
+        # second resolve is a cache hit (delete the source to prove it)
+        src.unlink()
+        assert MS.resolve("demo_remote", "1.0", cache_dir=str(cache)) == local
+    finally:
+        MS._CATALOG.pop("demo_remote", None)
+
+
+def test_remote_fetch_split_archive_parts(tmp_path):
+    """Split archives (the reference's model.zip.001... shape,
+    modelstore.py:67-103): ordered parts concatenate into one verified
+    artifact."""
+    payload = json.dumps({"w": list(range(100))}).encode()
+    p1, p2 = tmp_path / "m.json.001", tmp_path / "m.json.002"
+    p1.write_bytes(payload[:37])
+    p2.write_bytes(payload[37:])
+    import hashlib
+    sha = hashlib.sha256(payload).hexdigest()
+    cache = tmp_path / "cache"
+
+    MS.register("demo_parts", "1.0", "m.json", sha256=sha,
+                parts=[p1.as_uri(), p2.as_uri()])
+    try:
+        local = MS.resolve("demo_parts", "1.0", cache_dir=str(cache))
+        assert open(local, "rb").read() == payload
+    finally:
+        MS._CATALOG.pop("demo_parts", None)
+
+
+def test_remote_fetch_tamper_cleans_cache(tmp_path):
+    """A fetched artifact that fails verification must NOT stay in the
+    cache (a poisoned cache would satisfy every later resolve)."""
+    src = tmp_path / "w.json"
+    src.write_text("{}")
+    cache = tmp_path / "cache"
+    MS.register("demo_tampered_remote", "1.0", src.as_uri(), sha256="0" * 64)
+    try:
+        with pytest.raises(ValueError, match="sha256 mismatch"):
+            MS.resolve("demo_tampered_remote", "1.0", cache_dir=str(cache))
+        assert not any(cache.rglob("w.json")) if cache.exists() else True
+    finally:
+        MS._CATALOG.pop("demo_tampered_remote", None)
+
+
 def test_external_heavyweight_scorer_seam(spark, tmp_path):
     """The 100 TB model-deployment path (round-4 VERDICT item 6): an
     EXTERNAL heavyweight artifact — a state-dict-layout tensor file that

@@ -37,6 +37,48 @@ def test_fingerprint_normalization_stable(spark):
     assert fps[0] == fps[1] == fps[2]
 
 
+def test_repetition_stats(spark):
+    """Gopher-style counters on hand-computable docs, incl. degenerate
+    shapes (empty text, single token, all-duplicate lines)."""
+    rows = [
+        # 6 tokens, bigram "a b" appears 2x -> top frac 2*2/6; two lines, dup
+        (1, "a b c\na b c"),
+        # no repetition: 3 distinct tokens, every bigram unique
+        (2, "x y z"),
+        (3, "solo"),      # 1 token -> no bigram -> NULL frac
+        (4, ""),          # empty -> 0 tokens/lines, frac NULL, dup 0
+        (5, "p p p p"),   # "p p" 3x of 4 tokens -> 6/4? no: 3*2/4 = 1.5?? capped? no cap: 1.5
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in TS.repetition_stats(df).collect()}
+    assert got[1]["n_tokens"] == 6 and got[1]["n_lines"] == 2
+    assert got[1]["dup_line_frac"] == 0.5
+    assert got[1]["top_ngram_frac"] == round(2 * 2 / 6, 6)
+    assert got[2]["top_ngram_frac"] == round(2 / 3, 6)
+    assert got[2]["dup_line_frac"] == 0.0
+    assert got[3]["n_tokens"] == 1 and got[3]["top_ngram_frac"] is None
+    assert got[4]["n_tokens"] == 0 and got[4]["n_lines"] == 0
+    assert got[4]["dup_line_frac"] == 0.0 and got[4]["top_ngram_frac"] is None
+    # overlapping repeats can exceed 1 (documented: token-coverage ESTIMATE)
+    assert got[5]["top_ngram_frac"] == 1.5
+
+    with pytest.raises(ValueError):
+        TS.repetition_stats(df, n=0)
+
+
+def test_source_mix(spark):
+    rows = [
+        (1, "same text", "s1"), (2, "same text", "s1"), (3, "other", "s1"),
+        (4, "unique", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r.asDict() for r in TS.source_mix(df).collect()}
+    assert got["s1"]["n_docs"] == 3 and got["s1"]["n_unique_texts"] == 2
+    assert got["s1"]["exact_dup_frac"] == round(1 - 2 / 3, 6)
+    assert got["s2"]["exact_dup_frac"] == 0.0
+    assert got["s2"]["avg_chars"] == 6.0
+
+
 def test_conllu_roundtrip(spark):
     pages = pages_df(spark, 8, seed=77)
     words = A.annotate(pages).localCheckpoint()
