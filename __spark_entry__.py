@@ -861,6 +861,43 @@ def q_source_mix(spark, sf_dir):
     return source_mix(_t(spark, sf_dir, "documents"))
 
 
+def q_doc_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/curate.decontaminate): docs
+    sharing any 5-gram with the deterministic 'benchmark' subset
+    (doc_id % 50 = 0, which the rule rightly flags as self-contaminated)
+    — benchmark grams broadcast; the corpus is never shuffled on gram."""
+    from nlp_cube_spark.operators.curate import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where("doc_id % 50 = 0").select("text")
+    return decontaminate(docs, bench, n=5).select(
+        "doc_id", F.col("contaminated").cast("int").alias("contaminated")
+    )
+
+
+def q_doc_scrub_pii(spark, sf_dir):
+    """C4-style PII scrubbing (operators/curate.scrub_pii) over documents
+    with deterministically injected emails/phones (the salad corpus has
+    none), so counts and the scrubbed text are all non-trivially
+    verified; md5 keeps the scrubbed text hash-comparable."""
+    from nlp_cube_spark.operators.curate import scrub_pii
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "concat(text,"
+            " case when doc_id % 7 = 0 then"
+            "   concat(' contact user', doc_id, '@example.com now') else '' end,"
+            " case when doc_id % 11 = 0 then"
+            "   concat(' call +1 555-01', doc_id, ' today') else '' end)"
+        ).alias("text"),
+    )
+    out = scrub_pii(docs)
+    return out.select(
+        "doc_id", "n_emails", "n_phones", F.md5("scrubbed").alias("scrubbed_md5")
+    )
+
+
 def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_shipped(spark)
@@ -879,6 +916,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # replayed locally against its DuckDB oracle in tests/test_entry_queries.py.
 _QUERIES = {
         # --- newest / never driver-checked first (round-5 window rotation) ---
+        "doc_decontaminate": q_doc_decontaminate,
+        "doc_scrub_pii": q_doc_scrub_pii,
         "doc_repetition_stats": q_doc_repetition_stats,
         "source_mix": q_source_mix,
         "doc_length_quantiles_twopass": q_doc_length_quantiles_twopass,
@@ -1594,6 +1633,49 @@ def oracle_sql() -> dict[str, str]:
                  round(quantile_cont(length(text), 0.99), 4) AS p99,
                  count(*) AS n
           FROM documents GROUP BY lang
+        """,
+        "doc_decontaminate": """
+          WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+            FROM documents
+          ), g AS (
+            SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS gram
+            FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i FROM t)
+          ), bg AS (
+            SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0
+          ), hits AS (
+            SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram)
+          )
+          SELECT d.doc_id,
+                 CAST(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS INT) AS contaminated
+          FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "doc_scrub_pii": """
+          WITH d AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 7 = 0
+                      THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0
+                      THEN ' call +1 555-01' || doc_id || ' today' ELSE '' END AS text
+            FROM documents
+          ), s AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS n_emails,
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t1
+            FROM d
+          )
+          SELECT doc_id,
+                 CAST(n_emails AS INT) AS n_emails,
+                 CAST(len(regexp_extract_all(t1, '[+]?[0-9][0-9 -]{7,}[0-9]')) AS INT)
+                   AS n_phones,
+                 md5(regexp_replace(t1, '[+]?[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g'))
+                   AS scrubbed_md5
+          FROM s
         """,
         "doc_repetition_stats": """
           WITH t AS (
