@@ -588,7 +588,11 @@ def q_kg_linked_canonical(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     pages = _docs_as_pages(spark, sf_dir)
-    linked = LK.link_triples(A.fused_triples(pages), LK.derived_aliases(docs)).localCheckpoint()
+    # checkpoint the fused stage BEFORE link: link_triples references its
+    # input 3x (mention branches + attach) — see plans/pipeline.py:83
+    linked = LK.link_triples(
+        A.fused_triples(pages).localCheckpoint(), LK.derived_aliases(docs)
+    ).localCheckpoint()
     return C.canonicalize_triples(linked).select(
         "url", "sent_id", "subj", "pred", "obj", "pattern", "subj_id", "obj_id", "subj_canon", "obj_canon"
     )

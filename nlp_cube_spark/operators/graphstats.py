@@ -37,7 +37,14 @@ def pagerank(
     """(node, pagerank) after `iters` synchronous iterations over the
     DISTINCT edge set. Double arithmetic is kept in the exact shape the
     DuckDB oracle replays: (1 - d)/N + d * (contrib + dangling/N)."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).dropDuplicates()
+    # lazy checkpoint: e is referenced by nodes/deg AND by every
+    # iteration's contrib join — unmaterialized, an expensive upstream
+    # plan (e.g. the fused triple kernel) would re-run once per iteration
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .dropDuplicates()
+        .localCheckpoint(eager=False)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))

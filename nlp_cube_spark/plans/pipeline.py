@@ -78,8 +78,14 @@ def build_graph(
 
     # one fused Arrow stage: segment+tag+parse+extract (one python worker
     # per task; chaining separate mapInPandas stages triples worker count
-    # and scaled negatively — see BENCH/BASELINE.md)
-    triples = A.fused_triples(pages_b)
+    # and scaled negatively — see BENCH/BASELINE.md).
+    # localCheckpoint: link_triples references its input THREE times
+    # (subj-mention branch, obj-mention branch, attach join) and Spark
+    # does not dedupe common mapInPandas subtrees across union/join
+    # branches — unmaterialized, the whole annotate kernel re-ran 3x
+    # (measured 1.5s -> 6.6s at sf0.1). At cluster scale the same barrier
+    # is persist(DISK_ONLY) or re-reading the written triples table.
+    triples = A.fused_triples(pages_b).localCheckpoint()
     linked = LK.link_triples(triples, aliases)
 
     out = with_bucket(linked, n_buckets).withColumn(
