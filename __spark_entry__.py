@@ -865,6 +865,15 @@ def q_source_mix(spark, sf_dir):
     return source_mix(_t(spark, sf_dir, "documents"))
 
 
+def q_source_sampling_weights(spark, sf_dir):
+    """Temperature-smoothed source mixing weights, alpha=0.3 (textstats.
+    source_sampling_weights): one source-dim hash agg + two broadcast
+    scalar attaches."""
+    from nlp_cube_spark.operators.textstats import source_sampling_weights
+
+    return source_sampling_weights(_t(spark, sf_dir, "documents"), alpha=0.3)
+
+
 def q_doc_decontaminate(spark, sf_dir):
     """Benchmark decontamination (operators/curate.decontaminate): docs
     sharing any 5-gram with the deterministic 'benchmark' subset
@@ -920,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # replayed locally against its DuckDB oracle in tests/test_entry_queries.py.
 _QUERIES = {
         # --- newest / never driver-checked first (round-5 window rotation) ---
+        "source_sampling_weights": q_source_sampling_weights,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_scrub_pii": q_doc_scrub_pii,
         "doc_repetition_stats": q_doc_repetition_stats,
@@ -1637,6 +1647,19 @@ def oracle_sql() -> dict[str, str]:
                  round(quantile_cont(length(text), 0.99), 4) AS p99,
                  count(*) AS n
           FROM documents GROUP BY lang
+        """,
+        "source_sampling_weights": """
+          WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+          t AS (SELECT sum(n_docs) AS N FROM c),
+          s AS (
+            SELECT source, n_docs,
+                   round(n_docs / CAST(N AS DOUBLE), 6) AS natural_frac,
+                   pow(n_docs / CAST(N AS DOUBLE), 0.3) AS p
+            FROM c CROSS JOIN t
+          )
+          SELECT source, n_docs, natural_frac,
+                 round(p / (SELECT sum(p) FROM s), 6) AS weight
+          FROM s
         """,
         "doc_decontaminate": """
           WITH t AS (

@@ -173,6 +173,35 @@ def source_mix(
     )
 
 
+def source_sampling_weights(
+    docs: DataFrame, source_col: str = "source", alpha: float = 0.3
+) -> DataFrame:
+    """Temperature-based source mixing weights (the mT5/XLM-R multinomial
+    smoothing, public knowledge): p_s ∝ (n_s / N)^alpha. alpha=1 keeps the
+    natural mix; alpha->0 flattens toward uniform — the standard lever for
+    up-weighting low-resource sources/languages in a training mixture.
+
+    Returns (source, n_docs, natural_frac, weight) with weights summing
+    to 1 (rounded 6dp for oracle portability). Plan: one hash agg over
+    sources + a 1-row total attached by broadcast cross join — the
+    source dimension is small by definition; nothing else shuffles."""
+    counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("__N"))
+    smoothed = counts.crossJoin(F.broadcast(total)).select(
+        source_col,
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("__N"), 6).alias("natural_frac"),
+        F.pow(F.col("n_docs") / F.col("__N"), F.lit(alpha)).alias("__p"),
+    )
+    z = smoothed.agg(F.sum("__p").alias("__Z"))
+    return smoothed.crossJoin(F.broadcast(z)).select(
+        source_col,
+        "n_docs",
+        "natural_frac",
+        F.round(F.col("__p") / F.col("__Z"), 6).alias("weight"),
+    )
+
+
 def term_scores(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -47,7 +47,7 @@ def test_repetition_stats(spark):
         (2, "x y z"),
         (3, "solo"),      # 1 token -> no bigram -> NULL frac
         (4, ""),          # empty -> 0 tokens/lines, frac NULL, dup 0
-        (5, "p p p p"),   # "p p" 3x of 4 tokens -> 6/4? no: 3*2/4 = 1.5?? capped? no cap: 1.5
+        (5, "p p p p"),   # "p p" occurs 3x (overlapping) -> 3*2/4 = 1.5
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r.asDict() for r in TS.repetition_stats(df).collect()}
@@ -157,3 +157,20 @@ def test_external_mwt_spaceafter_roundtrip(spark):
     assert out_cat == src + "\n" or out_cat == src  # trailing newline policy
     assert out_cat.rstrip("\n") == src.rstrip("\n")
     assert out_grp.rstrip("\n") == src.rstrip("\n")
+
+
+def test_source_sampling_weights(spark):
+    rows = [(i, "x", f"s{0 if i < 90 else 1}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r.asDict() for r in
+           TS.source_sampling_weights(df, alpha=0.5).collect()}
+    # p ∝ sqrt(share): 0.9 -> .9487, 0.1 -> .3162; normalized
+    import math
+    z = math.sqrt(0.9) + math.sqrt(0.1)
+    assert got["s0"]["natural_frac"] == 0.9
+    assert got["s0"]["weight"] == round(math.sqrt(0.9) / z, 6)
+    assert got["s1"]["weight"] == round(math.sqrt(0.1) / z, 6)
+    assert abs(got["s0"]["weight"] + got["s1"]["weight"] - 1.0) < 2e-6
+    # alpha=1 reproduces the natural mix exactly
+    nat = {r.source: r.weight for r in TS.source_sampling_weights(df, alpha=1.0).collect()}
+    assert nat == {"s0": 0.9, "s1": 0.1}
