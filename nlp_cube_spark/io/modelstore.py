@@ -170,8 +170,18 @@ def resolve(name: str, version: str = "latest", cache_dir: str | None = None) ->
     if not os.path.exists(path):
         raise FileNotFoundError(f"artifact missing: {path}")
     digest = _sha256(path)
-    if fetched and entry.get("sha256") not in (None, digest):
-        os.remove(path)  # never leave a poisoned cache; a retry re-fetches
+    remote = "://" in entry["path"] or bool(parts)
+    if remote and entry.get("sha256") not in (None, digest):
+        # evict ANY mismatching cached copy, not just one fetched this
+        # call — a stale cache after re-registration (new content, new
+        # pinned sha) would otherwise brick the entry forever, since
+        # os.path.exists(local) short-circuits the re-fetch
+        os.remove(path)
+        if not fetched:  # stale pre-existing cache: re-fetch once
+            _fetch_concat(parts or [entry["path"]], path)
+            digest = _sha256(path)
+            if digest != entry["sha256"]:
+                os.remove(path)
     if entry.get("sha256") is None:
         if path.endswith((".pt", ".pth")):
             # torch checkpoints are pickle-bearing: lazy trust-on-first-use

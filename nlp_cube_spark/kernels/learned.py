@@ -162,7 +162,7 @@ def get_scorer(name: str):
 # model once per python worker, never per task and never through the
 # closure. Supports torch state_dicts (.pt/.pth, import-gated — torch is
 # not in this container) and numpy .npz with the same tensor layout:
-#   upos_vocab: array of strings, position 0 = ROOT column label
+#   upos_vocab: array of strings, must contain 'ROOT' (looked up by name)
 #   arc_logits: float matrix [dep_upos_idx, head_upos_idx]
 
 _EXTERNAL_MODELS: dict[str, dict] = {}
@@ -203,8 +203,8 @@ def _load_external_arc_model(path: str) -> dict:
         raise ValueError(f"arc_logits {mat.shape} does not match vocab {len(vocab)}")
     if "ROOT" not in vocab:
         raise ValueError(
-            f"external arc model {os.path.basename(path)!r}: upos_vocab lacks "
-            "the documented position-0 'ROOT' label"
+            f"external arc model {os.path.basename(path)!r}: upos_vocab must "
+            "contain a 'ROOT' label (looked up by NAME, any position)"
         )
     return {"idx": {u: i for i, u in enumerate(vocab)}, "mat": mat}
 

@@ -27,15 +27,9 @@ PHONE_RE = "[+]?[0-9][0-9 -]{7,}[0-9]"
 
 
 def _gram_set(df: DataFrame, id_col: str | None, text_col: str, n: int) -> DataFrame:
-    toks = f"filter(split({text_col}, '\\\\s+'), t -> t <> '')"
-    grams = F.explode(
-        F.expr(
-            f"case when size({toks}) >= {n} then "
-            f"transform(sequence(1, size({toks}) - {n} + 1), "
-            f"i -> array_join(slice({toks}, i, {n}), ' ')) "
-            "else array() end"
-        )
-    ).alias("gram")
+    from .textstats import ngrams_sql  # THE n-gram definition (shared)
+
+    grams = F.explode(F.expr(ngrams_sql(text_col, n))).alias("gram")
     cols = ([F.col(id_col)] if id_col else []) + [grams]
     return df.select(*cols)
 

@@ -38,13 +38,24 @@ def grouped_quantiles(
     """Exact interpolated quantiles of `value_col` per group.
 
     Returns long format: group_cols + (q double, value double, n long),
-    one row per (group, q).  n is the group's row count.
+    one row per (group, q).  n is the group's NON-NULL value count (NULLs
+    are excluded like Spark's percentile / DuckDB's quantile_cont); a
+    group whose values are all NULL produces no output rows (the exact
+    aggregate would instead emit a NULL-valued row for it).
     """
     if not qs or any(not (0.0 <= q <= 1.0) for q in qs):
         raise ValueError(f"quantiles must lie in [0, 1]: {qs}")
-    counts = df.groupBy(
-        *group_cols, F.col(value_col).cast("double").alias("__v")
-    ).agg(F.count(F.lit(1)).alias("__c"))
+    reserved = {"q", "value", "n", "__v", "__c", "__cum", "__n", "__klo", "__frac"}
+    clash = reserved & set(group_cols)
+    if clash:
+        raise ValueError(f"grouped_quantiles reserves column names {sorted(clash)}; rename inputs")
+    # NULL values are EXCLUDED, matching Spark percentile / DuckDB
+    # quantile_cont (a NULL must neither occupy a rank nor count in n)
+    counts = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, F.col(value_col).cast("double").alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
     w_cum = (
         Window.partitionBy(*group_cols)
         .orderBy("__v")

@@ -79,6 +79,20 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
     return docs.withColumn("fingerprint", F.md5(norm))
 
+def ngrams_sql(text_col: str, n: int) -> str:
+    """SQL expression: array of whitespace n-grams of `text_col` (empty
+    array below n tokens). THE one definition of an n-gram — shared by
+    repetition_stats and curate.decontaminate so the two can never
+    silently disagree; oracles replay it with string_split_regex."""
+    toks = f"filter(split({text_col}, '\\\\s+'), t -> t <> '')"
+    return (
+        f"case when size({toks}) >= {n} then "
+        f"transform(sequence(1, size({toks}) - {n} + 1), "
+        f"i -> array_join(slice({toks}, i, {n}), ' ')) "
+        "else array() end"
+    )
+
+
 def repetition_stats(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
 ) -> DataFrame:
@@ -101,23 +115,16 @@ def repetition_stats(
         raise ValueError("n must be >= 1")
     toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t <> '')"
     lines_expr = f"filter(split({text_col}, '\\n'), l -> l <> '')"
+    # base carries SCALARS only — keeping the token array here would drag
+    # every document's full text through the id-join shuffle below
     base = docs.select(
         F.col(id_col),
         F.expr(f"size({toks_expr})").alias("n_tokens"),
         F.expr(f"size({lines_expr})").alias("n_lines"),
         F.expr(f"size(array_distinct({lines_expr}))").alias("__n_dlines"),
-        F.expr(toks_expr).alias("__toks"),
     )
-    grams = base.select(
-        F.col(id_col),
-        F.explode(
-            F.expr(
-                f"case when size(__toks) >= {n} then "
-                f"transform(sequence(1, size(__toks) - {n} + 1), "
-                f"i -> array_join(slice(__toks, i, {n}), ' ')) "
-                "else array() end"
-            )
-        ).alias("gram"),
+    grams = docs.select(
+        F.col(id_col), F.explode(F.expr(ngrams_sql(text_col, n))).alias("gram")
     )
     top = (
         grams.groupBy(id_col, "gram")

@@ -196,31 +196,41 @@ def compact_store(spark: SparkSession, out_dir: str, upto_batch_id: int) -> dict
     stats = {}
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
-    for sub, prefix_col, key_col in (
-        ("hashes", "hash_prefix", "content_hash"),
-        ("signatures", "sig_prefix", "band_sig"),
-    ):
-        path = f"{out_dir}/{sub}"
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (
-            spark.read.parquet(path)
-            .where(F.col("batch_id") <= upto_batch_id)
-            .withColumn("batch_id", F.lit(upto_batch_id))
-            .repartition(prefix_col)
-            .sortWithinPartitions(key_col)
-            .write.partitionBy("batch_id", prefix_col)
-            .mode("overwrite")
-            .parquet(path)
-        )
-        hpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = hpath.getFileSystem(hconf)
-        removed = 0
-        for st in fs.listStatus(hpath):
-            name = st.getPath().getName()
-            if name.startswith("batch_id=") and int(name.split("=", 1)[1]) < upto_batch_id:
-                fs.delete(st.getPath(), True)
-                removed += 1
-        stats[sub] = {"batch_dirs_removed": removed}
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev_mode = spark.conf.get(mode_key, None)
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        for sub, prefix_col, key_col in (
+            ("hashes", "hash_prefix", "content_hash"),
+            ("signatures", "sig_prefix", "band_sig"),
+        ):
+            path = f"{out_dir}/{sub}"
+            (
+                spark.read.parquet(path)
+                .where(F.col("batch_id") <= upto_batch_id)
+                .withColumn("batch_id", F.lit(upto_batch_id))
+                .repartition(prefix_col)
+                .sortWithinPartitions(key_col)
+                .write.partitionBy("batch_id", prefix_col)
+                .mode("overwrite")
+                .parquet(path)
+            )
+            hpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = hpath.getFileSystem(hconf)
+            removed = 0
+            for st in fs.listStatus(hpath):
+                name = st.getPath().getName()
+                if name.startswith("batch_id=") and int(name.split("=", 1)[1]) < upto_batch_id:
+                    fs.delete(st.getPath(), True)
+                    removed += 1
+            stats[sub] = {"batch_dirs_removed": removed}
+    finally:
+        # a maintenance util must not leak dynamic-overwrite semantics
+        # into the caller's long-lived session
+        if prev_mode is None:
+            spark.conf.unset(mode_key)
+        else:
+            spark.conf.set(mode_key, prev_mode)
     return stats
 
 

@@ -140,6 +140,27 @@ def test_remote_fetch_split_archive_parts(tmp_path):
         MS._CATALOG.pop("demo_parts", None)
 
 
+def test_remote_stale_cache_self_heals(tmp_path):
+    """Re-registering new content + new pinned sha at the same
+    name/version must NOT be bricked by the stale cached copy
+    (code-review r5): the mismatching cache is evicted and re-fetched
+    in the same resolve() call."""
+    src = tmp_path / "w.json"
+    src.write_text('{"v": 1}')
+    cache = tmp_path / "cache"
+    MS.register("demo_stale", "1.0", src.as_uri(), sha256=MS._sha256(str(src)))
+    try:
+        local1 = MS.resolve("demo_stale", "1.0", cache_dir=str(cache))
+        assert json.load(open(local1)) == {"v": 1}
+        # artifact updated at the source; catalog re-registered with new sha
+        src.write_text('{"v": 2}')
+        MS.register("demo_stale", "1.0", src.as_uri(), sha256=MS._sha256(str(src)))
+        local2 = MS.resolve("demo_stale", "1.0", cache_dir=str(cache))
+        assert json.load(open(local2)) == {"v": 2}
+    finally:
+        MS._CATALOG.pop("demo_stale", None)
+
+
 def test_remote_fetch_tamper_cleans_cache(tmp_path):
     """A fetched artifact that fails verification must NOT stay in the
     cache (a poisoned cache would satisfy every later resolve)."""

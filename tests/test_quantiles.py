@@ -43,6 +43,22 @@ def test_matches_exact_percentile(spark):
 def test_rejects_out_of_range_quantile(spark):
     with pytest.raises(ValueError):
         grouped_quantiles(_df(spark), ["grp"], "val", [0.5, 1.5])
+    with pytest.raises(ValueError, match="reserves"):
+        grouped_quantiles(_df(spark).withColumnRenamed("grp", "q"), ["q"], "val", [0.5])
+
+
+def test_null_values_excluded_like_exact_percentile(spark):
+    """NULLs must neither occupy ranks nor count in n (code-review r5):
+    percentile([NULL, 10, 20], 0.5) = 15, not 10."""
+    df = spark.createDataFrame(
+        [("g", None), ("g", 10), ("g", 20), ("h", None)],
+        "grp string, val int",
+    )
+    rows = grouped_quantiles(df, ["grp"], "val", [0.5]).collect()
+    got = {(r.grp, r.q): (r.value, r.n) for r in rows}
+    assert got == {("g", 0.5): (15.0, 2)}  # all-NULL group h emits nothing
+    want = df.where("grp = 'g'").selectExpr("percentile(val, 0.5) p").collect()[0].p
+    assert got[("g", 0.5)][0] == want
 
 
 def test_plan_has_no_percentile_buffer(spark):

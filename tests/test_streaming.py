@@ -175,7 +175,11 @@ def test_dedup_store_compaction_preserves_history_and_pruning(spark, dirs):
     ids = [int(d.split("=", 1)[1]) for d in batch_dirs("signatures")]
     assert len(ids) == 3  # one layout level per (non-empty) batch
     top = max(ids)  # availableNow interleaves empty state-flush batch ids
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    mode_before = spark.conf.get(mode_key, None)
     stats = SD.compact_store(spark, dirs["out"], upto_batch_id=top)
+    # the maintenance util must not leak dynamic-overwrite into the session
+    assert spark.conf.get(mode_key, None) == mode_before
     assert stats["signatures"]["batch_dirs_removed"] == 2
     assert batch_dirs("signatures") == [f"batch_id={top}"]
     assert batch_dirs("hashes") == [f"batch_id={top}"]
