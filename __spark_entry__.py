@@ -865,6 +865,22 @@ def q_source_mix(spark, sf_dir):
     return source_mix(_t(spark, sf_dir, "documents"))
 
 
+def q_kg_entity_triangles(spark, sf_dir):
+    """Per-entity triangle counts over the undirected KG entity graph
+    (operators/graphstats.triangle_count — wedge join + closing-edge
+    join, each triangle enumerated once). Certifies the same
+    kernels->triples->graph-analytics stack as kg_entity_pagerank
+    through a second, join-shaped algorithm."""
+    from nlp_cube_spark.operators import annotate as A
+    from nlp_cube_spark.operators.graphstats import triangle_count
+
+    trip = A.fused_triples(_docs_as_pages(spark, sf_dir)).localCheckpoint()
+    edges = trip.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    return triangle_count(edges).select(
+        F.col("node").alias("entity"), "triangles"
+    )
+
+
 def q_source_sampling_weights(spark, sf_dir):
     """Temperature-smoothed source mixing weights, alpha=0.3 (textstats.
     source_sampling_weights): one source-dim hash agg + two broadcast
@@ -929,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # replayed locally against its DuckDB oracle in tests/test_entry_queries.py.
 _QUERIES = {
         # --- newest / never driver-checked first (round-5 window rotation) ---
+        "kg_entity_triangles": q_kg_entity_triangles,
         "source_sampling_weights": q_source_sampling_weights,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_scrub_pii": q_doc_scrub_pii,
@@ -1640,6 +1657,26 @@ def oracle_sql() -> dict[str, str]:
           FROM tk
         """,
         "kg_entity_pagerank": _pagerank_duck(),
+        "kg_entity_triangles": f"""
+          WITH raw AS MATERIALIZED (
+            SELECT DISTINCT subj AS s, obj AS o FROM ({_KG_TRIPLES_DUCK})
+          ), e AS MATERIALIZED (
+            SELECT DISTINCT least(s, o) AS a, greatest(s, o) AS b
+            FROM raw WHERE s <> o
+          ), tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e e1 JOIN e e2 ON e1.b = e2.a
+                      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+          ), corners AS (
+            SELECT unnest([x, y, z]) AS node FROM tri
+          ), tc AS (
+            SELECT node, count(*) AS triangles FROM corners GROUP BY node
+          ), nodes AS (
+            SELECT s AS node FROM raw UNION SELECT o FROM raw
+          )
+          SELECT node AS entity, CAST(coalesce(triangles, 0) AS BIGINT) AS triangles
+          FROM nodes LEFT JOIN tc USING (node)
+        """,
         "doc_length_quantiles": """
           SELECT lang,
                  round(quantile_cont(length(text), 0.5), 4) AS p50,

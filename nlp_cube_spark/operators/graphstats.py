@@ -86,6 +86,43 @@ def pagerank(
         )
     return ranks.select("node", "rank")
 
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts over the UNDIRECTED simple graph induced
+    by `edges` (direction dropped, self-loops and duplicate/reversed
+    edges collapsed) — GraphFrames' triangleCount semantics.
+
+    Plan: canonical a<b edge set -> wedge join (x<y<z, so each triangle
+    is enumerated exactly once) -> closing-edge join -> explode the 3
+    corners -> one hash agg. Two equi-joins on node keys; at web scale
+    compose with operators/salting for power-law hubs (the classic
+    refinement — pivoting each triangle on its lowest-DEGREE vertex —
+    plugs in by replacing the a<b canonical order with a degree order).
+    Returns (node, triangles) for EVERY node incident to an edge."""
+    e = (
+        edges.select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates()
+        .localCheckpoint(eager=False)  # referenced 3x below
+    )
+    wedge = e.select(F.col("a").alias("x"), F.col("b").alias("y")).join(
+        e.select(F.col("a").alias("y"), F.col("b").alias("z")), "y"
+    )
+    tri = wedge.join(e.select(F.col("a").alias("x"), F.col("b").alias("z")), ["x", "z"])
+    corners = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .dropDuplicates()
+    )
+    return nodes.join(corners, "node", "left").select(
+        "node", F.coalesce("triangles", F.lit(0)).alias("triangles")
+    )
+
+
 class Graph:
     """GraphFrames-style facade over plain DataFrames (the north-star's
     "GraphFrames-style edge DataFrame" without the external package):
@@ -132,3 +169,6 @@ class Graph:
         from .canonicalize import connected_components
 
         return connected_components(self.edges, max_iter=max_iter)
+
+    def triangle_count(self) -> DataFrame:
+        return triangle_count(self.edges)

@@ -75,3 +75,28 @@ def test_graph_facade(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         Graph(spark.createDataFrame([(1, 2)], "a long, b long"))
+
+
+def test_triangle_count_hand_graph(spark):
+    """Known graph: K4 minus one edge has 2 triangles; duplicate,
+    reversed, and self-loop edges must not change counts."""
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("a", "c"),          # triangle abc
+            ("b", "d"), ("c", "d"),                      # triangle bcd
+            ("c", "b"),                                   # reversed dup
+            ("a", "b"),                                   # exact dup
+            ("d", "d"),                                   # self-loop
+            ("e", "f"),                                   # no triangle
+        ],
+        "src string, dst string",
+    )
+    from nlp_cube_spark.operators.graphstats import Graph, triangle_count
+
+    got = {r.node: r.triangles for r in triangle_count(edges).collect()}
+    assert got == {"a": 1, "b": 2, "c": 2, "d": 1, "e": 0, "f": 0}
+    # global triangle identity: sum of per-node counts == 3 * n_triangles
+    assert sum(got.values()) == 3 * 2
+    # facade parity
+    via_graph = {r.node: r.triangles for r in Graph(edges).triangle_count().collect()}
+    assert via_graph == got
