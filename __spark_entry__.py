@@ -865,6 +865,22 @@ def q_source_mix(spark, sf_dir):
     return source_mix(_t(spark, sf_dir, "documents"))
 
 
+def q_ann_kmeans_centroids(spark, sf_dir):
+    """Lloyd-refined IVF centroids (similarity.kmeans_refine, 2
+    iterations, 16 cells) emitted long-form (centroid_id, pos, val).
+    The oracle unrolls both Lloyd iterations as a CTE chain — assignment
+    argmax, per-dimension mean, 9dp rounding — so the whole iterative
+    training trajectory is hash-certified, like kg_entity_pagerank for
+    power iteration."""
+    from nlp_cube_spark.operators.similarity import kmeans_refine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_refine(emb, n_centroids=16, iters=2)
+    return cents.select(
+        "centroid_id", F.posexplode("c_emb").alias("pos", "val")
+    )
+
+
 def q_kg_entity_triangles(spark, sf_dir):
     """Per-entity triangle counts over the undirected KG entity graph
     (operators/graphstats.triangle_count — wedge join + closing-edge
@@ -945,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # replayed locally against its DuckDB oracle in tests/test_entry_queries.py.
 _QUERIES = {
         # --- newest / never driver-checked first (round-5 window rotation) ---
+        "ann_kmeans_centroids": q_ann_kmeans_centroids,
         "kg_entity_triangles": q_kg_entity_triangles,
         "source_sampling_weights": q_source_sampling_weights,
         "doc_decontaminate": q_doc_decontaminate,
@@ -1152,6 +1169,51 @@ SELECT 'https://ex.org/doc/' || doc_id AS url, CAST(0 AS INT) AS sent_id,
        subj, pred, obj, pattern
 FROM allt
 """
+
+
+def _kmeans_duck(iters: int = 2, n_c: int = 16, dp: int = 9) -> str:
+    """Unrolled Lloyd CTE chain mirroring similarity.kmeans_refine:
+    hash-seeded centroids, cosine-argmax assignment, per-dimension mean
+    rounded to dp before the next iteration."""
+    sql = f"""
+      WITH c0 AS MATERIALIZED (
+        SELECT row_number() OVER (ORDER BY _h) AS centroid_id,
+               CAST(embedding AS DOUBLE[]) AS c_emb
+        FROM (
+          SELECT vec_id, embedding,
+                 CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS VARCHAR) AS _h
+          FROM embeddings ORDER BY _h LIMIT {n_c}
+        )
+      )"""
+    for i in range(iters):
+        cos = _COS_DUCK.format(a="c.c_emb", b="v.embedding")
+        sql += f""",
+      a{i} AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+          SELECT v.vec_id, v.embedding, c.centroid_id,
+                 row_number() OVER (PARTITION BY v.vec_id
+                                    ORDER BY {cos} DESC, c.centroid_id) AS rn
+          FROM embeddings v, c{i} c
+        ) WHERE rn = 1
+      ),
+      m{i} AS (
+        SELECT centroid_id, pos, round(avg(CAST(val AS DOUBLE)), {dp}) AS m
+        FROM (SELECT centroid_id, unnest(embedding) AS val,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM a{i})
+        GROUP BY centroid_id, pos
+      ),
+      n{i} AS (SELECT centroid_id, list(m ORDER BY pos) AS new_emb
+               FROM m{i} GROUP BY centroid_id),
+      c{i + 1} AS MATERIALIZED (
+        SELECT c.centroid_id, coalesce(n.new_emb, c.c_emb) AS c_emb
+        FROM c{i} c LEFT JOIN n{i} n USING (centroid_id)
+      )"""
+    return sql + f"""
+      SELECT centroid_id,
+             CAST(generate_subscripts(c_emb, 1) - 1 AS INT) AS pos,
+             unnest(c_emb) AS val
+      FROM c{iters}"""
 
 
 def _pagerank_duck(iters: int = 3, d: float = 0.85) -> str:
@@ -1657,6 +1719,7 @@ def oracle_sql() -> dict[str, str]:
           FROM tk
         """,
         "kg_entity_pagerank": _pagerank_duck(),
+        "ann_kmeans_centroids": _kmeans_duck(),
         "kg_entity_triangles": f"""
           WITH raw AS MATERIALIZED (
             SELECT DISTINCT subj AS s, obj AS o FROM ({_KG_TRIPLES_DUCK})

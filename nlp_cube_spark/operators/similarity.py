@@ -72,6 +72,56 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
     ).select(id_col, vec_col, "centroid_id")
 
 
+def kmeans_refine(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 9,
+) -> DataFrame:
+    """Lloyd's k-means refinement of the deterministic seed centroids —
+    the training half of the IVF index (seed -> assign -> recenter,
+    `iters` times). Returns (centroid_id, c_emb: array<double>).
+
+    Per iteration: broadcast cosine argmax assignment (ivf_assign) ->
+    element-wise mean per cell via posexplode + one (cell, dim) hash agg
+    -> re-assembled with array_sort(collect_list(struct(pos, m))). The
+    corpus is scanned once per iteration and never shuffled wider than
+    (n_centroids x dim) rows. Means are rounded to `round_dp` BEFORE the
+    next assignment so the whole trajectory is bit-identical across
+    engines and summation orders (the same determinism discipline as
+    the rank rounding in term_scores); empty cells keep their previous
+    centroid (the standard Lloyd degenerate-cell rule). localCheckpoint
+    bounds the plan per iteration like pagerank."""
+    cents = (
+        deterministic_centroids(vectors, n_centroids, id_col, vec_col)
+        .select("centroid_id", F.col("c_emb").cast("array<double>").alias("c_emb"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(vectors, cents, id_col, vec_col)
+        means = (
+            assigned.select("centroid_id", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.round(F.avg(F.col("val").cast("double")), round_dp).alias("m"))
+        )
+        new = means.groupBy("centroid_id").agg(
+            F.expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)").alias(
+                "new_emb"
+            )
+        )
+        cents = (
+            cents.join(new, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("new_emb"), F.col("c_emb")).alias("c_emb"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return cents
+
+
 def hyperplane_sig_expr(vec_col: str, dim: int, n_planes: int) -> str:
     """SRP-LSH signature as a bit-string column expression.
 

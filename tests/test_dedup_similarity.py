@@ -257,3 +257,41 @@ def test_near_dup_clusters_13_digit_ids(spark):
     got = {r.doc_id: r.cluster_id for r in
            D.near_dup_clusters(docs, k=16, bands=2, threshold=0.9).collect()}
     assert got == {a1: a1, a2: a1, b1: b1, b2: b1}
+
+
+def test_kmeans_refine_improves_and_is_deterministic(spark):
+    """Lloyd refinement must (a) keep the cell count, (b) not DECREASE
+    the mean best-cosine of vectors to their assigned centroid vs the
+    hash-seeded centroids (the Lloyd objective, cosine flavour), and
+    (c) be bit-identical across reruns."""
+    from pyspark.sql import functions as F
+
+    from nlp_cube_spark.operators.similarity import (
+        COS_EXPR,
+        deterministic_centroids,
+        ivf_assign,
+        kmeans_refine,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def mean_best_cos(cents):
+        cos = F.expr(COS_EXPR.format(a="c_emb", b="embedding"))
+        scored = emb.join(F.broadcast(cents)).select(
+            "vec_id", cos.alias("_c")
+        ).groupBy("vec_id").agg(F.max("_c").alias("best"))
+        return scored.agg(F.avg("best")).collect()[0][0]
+
+    seed = deterministic_centroids(emb, 8)
+    refined = kmeans_refine(emb, n_centroids=8, iters=2)
+    assert refined.count() == 8
+    before, after = mean_best_cos(seed.select("centroid_id", F.col("c_emb").cast("array<double>").alias("c_emb"))), mean_best_cos(refined)
+    assert after >= before - 1e-9, (before, after)
+
+    again = kmeans_refine(emb, n_centroids=8, iters=2)
+    a = {(r.centroid_id, tuple(r.c_emb)) for r in refined.collect()}
+    b = {(r.centroid_id, tuple(r.c_emb)) for r in again.collect()}
+    assert a == b
+    # refinement actually moved the centroids off the seed vectors
+    s = {tuple(float(x) for x in r.c_emb) for r in seed.collect()}
+    assert not any(tuple(c) in s for _, c in a)
