@@ -865,6 +865,15 @@ def q_source_mix(spark, sf_dir):
     return source_mix(_t(spark, sf_dir, "documents"))
 
 
+def q_doc_perplexity(spark, sf_dir):
+    """CCNet-style perplexity quality filter under the corpus's own
+    add-0.5-smoothed unigram LM (textstats.unigram_perplexity) — the
+    LM 'training' is one term hash agg; scoring is a term-keyed join."""
+    from nlp_cube_spark.operators.textstats import unigram_perplexity
+
+    return unigram_perplexity(_t(spark, sf_dir, "documents"))
+
+
 def q_ann_kmeans_centroids(spark, sf_dir):
     """Lloyd-refined IVF centroids (similarity.kmeans_refine, 2
     iterations, 16 cells) emitted long-form (centroid_id, pos, val).
@@ -961,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # replayed locally against its DuckDB oracle in tests/test_entry_queries.py.
 _QUERIES = {
         # --- newest / never driver-checked first (round-5 window rotation) ---
+        "doc_perplexity": q_doc_perplexity,
         "ann_kmeans_centroids": q_ann_kmeans_centroids,
         "kg_entity_triangles": q_kg_entity_triangles,
         "source_sampling_weights": q_source_sampling_weights,
@@ -1720,6 +1730,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_entity_pagerank": _pagerank_duck(),
         "ann_kmeans_centroids": _kmeans_duck(),
+        "doc_perplexity": """
+          WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS term
+            FROM documents
+          ), tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+          lm AS (SELECT term, sum(tf) AS c FROM tf GROUP BY term),
+          corpus AS (SELECT sum(c) AS N, count(*) AS V FROM lm),
+          scored AS (
+            SELECT tf.doc_id,
+                   -sum(tf.tf * ln((c + 0.5) / (N + 0.5 * V))) / sum(tf.tf) AS ce,
+                   sum(tf.tf) AS n_tokens
+            FROM tf JOIN lm USING (term) CROSS JOIN corpus
+            GROUP BY tf.doc_id
+          )
+          SELECT d.doc_id,
+                 CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+                 round(s.ce, 6) AS cross_entropy,
+                 round(exp(s.ce), 6) AS ppl
+          FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
         "kg_entity_triangles": f"""
           WITH raw AS MATERIALIZED (
             SELECT DISTINCT subj AS s, obj AS o FROM ({_KG_TRIPLES_DUCK})

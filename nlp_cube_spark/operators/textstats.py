@@ -180,6 +180,58 @@ def source_mix(
     )
 
 
+def unigram_perplexity(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: float = 0.5
+) -> DataFrame:
+    """Per-document perplexity under the corpus's own add-k-smoothed
+    unigram LM — the standard cheap stand-in for the KenLM-perplexity
+    quality filter (CCNet-style, public knowledge): documents whose
+    token distribution diverges from the corpus score high.
+
+    p(t) = (count(t) + k) / (N + k*V) over the whole corpus;
+    cross_entropy = mean over the doc's tokens of -ln p(t);
+    ppl = exp(cross_entropy), rounded 6dp.
+
+    Plan shape mirrors term_scores: one (doc, term) hash agg, one term
+    hash agg (the LM 'training'), a term-keyed shuffle join (the term
+    dimension is web-vocab-sized — deliberately NOT broadcast), corpus
+    scalars attached by broadcast cross join. Empty docs get NULL ppl."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "\\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    lm = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    corpus = lm.agg(
+        F.sum("c").alias("__N"), F.count(F.lit(1)).alias("__V")
+    )
+    logp = F.log(
+        (F.col("c") + k) / (F.col("__N") + k * F.col("__V"))
+    )
+    scored = (
+        tf.join(lm, "term")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy(id_col)
+        .agg(
+            (-F.sum(F.col("tf") * logp) / F.sum("tf")).alias("__ce"),
+            F.sum("tf").alias("n_tokens"),
+        )
+    )
+    out = scored.select(
+        id_col,
+        "n_tokens",
+        F.round("__ce", 6).alias("cross_entropy"),
+        F.round(F.exp("__ce"), 6).alias("ppl"),
+    )
+    # empty docs fall out of the token explode; restore them with NULLs
+    return docs.select(id_col).join(out, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        "cross_entropy",
+        "ppl",
+    )
+
+
 def source_sampling_weights(
     docs: DataFrame, source_col: str = "source", alpha: float = 0.3
 ) -> DataFrame:

@@ -174,3 +174,19 @@ def test_source_sampling_weights(spark):
     # alpha=1 reproduces the natural mix exactly
     nat = {r.source: r.weight for r in TS.source_sampling_weights(df, alpha=1.0).collect()}
     assert nat == {"s0": 0.9, "s1": 0.1}
+
+
+def test_unigram_perplexity(spark):
+    """Hand-checkable LM: corpus 'a a a b' -> p(a)=(3+.5)/(4+1), p(b)=(1+.5)/(4+1);
+    a uniform doc of the common token scores LOWER ppl than one of the rare."""
+    import math
+
+    rows = [(1, "a a a"), (2, "b"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in TS.unigram_perplexity(df, k=0.5).collect()}
+    pa, pb = 3.5 / 5, 1.5 / 5
+    assert got[1]["ppl"] == round(math.exp(-math.log(pa)), 6)
+    assert got[2]["ppl"] == round(math.exp(-math.log(pb)), 6)
+    assert got[1]["ppl"] < got[2]["ppl"]
+    assert got[1]["n_tokens"] == 3 and got[2]["cross_entropy"] == round(-math.log(pb), 6)
+    assert got[3]["n_tokens"] == 0 and got[3]["ppl"] is None
