@@ -100,3 +100,13 @@ def test_triangle_count_hand_graph(spark):
     # facade parity
     via_graph = {r.node: r.triangles for r in Graph(edges).triangle_count().collect()}
     assert via_graph == got
+
+
+def test_triangle_count_no_cartesian(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string"
+    )
+    from nlp_cube_spark.operators.graphstats import triangle_count
+
+    plan = triangle_count(edges)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
