@@ -847,6 +847,49 @@ def q_doc_length_quantiles_twopass(spark, sf_dir):
     )
 
 
+def q_doc_length_quantiles_approx(spark, sf_dir):
+    """Sketch quantiles (operators/quantiles.grouped_quantiles_approx:
+    percentile_approx, mergeable GK summary, O(accuracy) state/group) —
+    the scale path for continuous measures where distinct ~= rows and
+    the exact two-pass plan loses its bound. Oracled BY ERROR BOUND: the
+    output carries the exact quantile (replayed by DuckDB quantile_cont)
+    plus `rank_ok`, true iff the approx value's occupied rank interval
+    [cnt_lt+1, cnt_le] intersects the GK guarantee window
+    ceil(q*n) +- (n/accuracy + 1); the oracle asserts it as literal
+    TRUE, so an out-of-bound sketch hash-mismatches."""
+    from nlp_cube_spark.operators.quantiles import (
+        grouped_quantiles,
+        grouped_quantiles_approx,
+    )
+
+    ACC = 1000
+    qs = [0.5, 0.9, 0.99]
+    docs = _t(spark, sf_dir, "documents").select("lang", F.length("text").alias("len"))
+    ap = grouped_quantiles_approx(docs, ["lang"], "len", qs, accuracy=ACC)
+    counts = docs.groupBy("lang", "len").agg(F.count(F.lit(1)).alias("c"))
+    ranked = (
+        ap.join(counts, "lang")  # ap is groups x qs rows — tiny side
+        .groupBy("lang", "q", "approx", "n")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("len") < F.col("approx"), F.col("c"))), F.lit(0)
+            ).alias("cnt_lt"),
+            F.coalesce(
+                F.sum(F.when(F.col("len") <= F.col("approx"), F.col("c"))), F.lit(0)
+            ).alias("cnt_le"),
+        )
+    )
+    slack = F.col("n") / ACC + 1
+    target = F.ceil(F.col("q") * F.col("n"))
+    ok = ((F.col("cnt_lt") + 1) <= target + slack) & (F.col("cnt_le") >= target - slack)
+    ex = grouped_quantiles(docs, ["lang"], "len", qs).select(
+        "lang", "q", F.round("value", 4).alias("exact")
+    )
+    return ranked.join(ex, ["lang", "q"]).select(
+        "lang", F.col("q").cast("double").alias("q"), "exact", "n", ok.alias("rank_ok")
+    )
+
+
 def q_doc_repetition_stats(spark, sf_dir):
     """Gopher-style repetition filters per doc (operators/textstats.
     repetition_stats, n=2): duplicate-line fraction + most-frequent-bigram
@@ -969,7 +1012,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # relational queries (green since round 1) trail.  Every entry is still
 # replayed locally against its DuckDB oracle in tests/test_entry_queries.py.
 _QUERIES = {
-        # --- newest / never driver-checked first (round-5 window rotation) ---
+        # --- newest / never driver-checked first (round-6 window rotation) ---
+        "doc_length_quantiles_approx": q_doc_length_quantiles_approx,
         "doc_perplexity": q_doc_perplexity,
         "ann_kmeans_centroids": q_ann_kmeans_centroids,
         "kg_entity_triangles": q_kg_entity_triangles,
@@ -1862,6 +1906,22 @@ def oracle_sql() -> dict[str, str]:
                    AS exact_dup_frac,
                  round(avg(length(text)), 4) AS avg_chars
           FROM documents GROUP BY source
+        """,
+        "doc_length_quantiles_approx": """
+          WITH l AS (SELECT lang, length(text) AS len FROM documents),
+          e AS (
+            SELECT lang,
+                   round(quantile_cont(len, 0.5), 4) AS p50,
+                   round(quantile_cont(len, 0.9), 4) AS p90,
+                   round(quantile_cont(len, 0.99), 4) AS p99,
+                   count(*) AS n
+            FROM l GROUP BY lang
+          )
+          SELECT lang, CAST(0.5 AS DOUBLE) AS q, p50 AS exact, n, TRUE AS rank_ok FROM e
+          UNION ALL
+          SELECT lang, CAST(0.9 AS DOUBLE), p90, n, TRUE FROM e
+          UNION ALL
+          SELECT lang, CAST(0.99 AS DOUBLE), p99, n, TRUE FROM e
         """,
         "doc_length_quantiles_twopass": """
           SELECT lang,

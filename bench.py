@@ -6,7 +6,10 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": <sf>, "docs_per_sec": ..., "triples_per_sec": ...}
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default 32).
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_RUNS (default 3) — min-of-N per query; this VM has
+     noisy neighbors and min-of-2 proved too weak to separate
+     contention from regression (VERDICT r5 "What's wrong" #1).
 """
 
 from __future__ import annotations
@@ -60,11 +63,12 @@ def main() -> None:
     warm = E._docs_as_pages(spark, sf_dir).limit(int(cpus) * 16).repartition(int(cpus) * 2)
     materialize(_A.fused_triples(warm))
 
+    runs = max(1, int(os.environ.get("BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     qs = E.queries()
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):  # min-of-2: this VM has noisy neighbors
+        for _ in range(runs):  # min-of-N: this VM has noisy neighbors
             t0 = time.time()
             materialize(qs[name](spark, sf_dir))
             best = min(best, time.time() - t0)
@@ -77,7 +81,7 @@ def main() -> None:
     pages = E._docs_as_pages(spark, sf_dir)
     n_docs = pages.count()
     pipeline_sec = float("inf")
-    for _ in range(2):  # min-of-2, same rationale as the queries
+    for _ in range(runs):  # min-of-N, same rationale as the queries
         out = tempfile.mkdtemp(prefix="bench_kg_")
         t0 = time.time()
         m = P.build_graph(spark, pages, aliases_df(spark), out, n_buckets=int(cpus), resume=False)

@@ -101,24 +101,44 @@ def register(
     }
 
 
-def _fetch_concat(uris: list[str], dest: str) -> None:
+#: Network stall / runaway-download guards for _fetch_concat. The sha
+#: check only runs after the full download, so the size cap is the only
+#: thing bounding a misbehaving endpoint that streams forever.
+FETCH_TIMEOUT_SEC = 60
+FETCH_MAX_BYTES = 8 << 30  # 8 GiB — generous for any split-archive model
+
+
+def _fetch_concat(uris: list[str], dest: str, max_bytes: int = FETCH_MAX_BYTES) -> None:
     """Stream one or more URIs into a single local file (split archives
     concatenate in order — reference ModelStore download shape). urllib
     handles file:// (testable offline) and http(s):// with the same code;
     the write is tmp-then-rename so a crashed fetch never half-populates
-    the cache."""
+    the cache. A per-connection timeout and a total size cap keep a
+    stalled or runaway remote from hanging resolve() on the driver."""
     from urllib.request import urlopen
 
     os.makedirs(os.path.dirname(dest), exist_ok=True)
     tmp = dest + ".part"
-    with open(tmp, "wb") as f:
-        for uri in uris:
-            with urlopen(uri) as r:
-                while True:
-                    chunk = r.read(1 << 20)
-                    if not chunk:
-                        break
-                    f.write(chunk)
+    total = 0
+    try:
+        with open(tmp, "wb") as f:
+            for uri in uris:
+                with urlopen(uri, timeout=FETCH_TIMEOUT_SEC) as r:
+                    while True:
+                        chunk = r.read(1 << 20)
+                        if not chunk:
+                            break
+                        total += len(chunk)
+                        if total > max_bytes:
+                            raise ValueError(
+                                f"fetch exceeded max_bytes={max_bytes} "
+                                f"({total} bytes so far from {uri})"
+                            )
+                        f.write(chunk)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        raise
     os.replace(tmp, dest)
 
 

@@ -26,6 +26,15 @@ EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
 PHONE_RE = "[+]?[0-9][0-9 -]{7,}[0-9]"
 
 
+def _check_reserved(df: DataFrame, reserved: set[str], op: str) -> None:
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"{op}: input already has column(s) {sorted(clash)} reserved "
+            "for the output — rename them first"
+        )
+
+
 def _gram_set(df: DataFrame, id_col: str | None, text_col: str, n: int) -> DataFrame:
     from .textstats import ngrams_sql  # THE n-gram definition (shared)
 
@@ -49,6 +58,7 @@ def decontaminate(
     Plan: benchmark distinct grams (small, broadcast) -> training grams
     explode -> broadcast hash join -> distinct contaminated ids -> left
     join back. The training corpus is never shuffled on gram."""
+    _check_reserved(docs, {"gram", "contaminated"}, "decontaminate")
     bench = _gram_set(benchmark, None, bench_text_col, n).dropDuplicates()
     hits = (
         _gram_set(docs, id_col, text_col, n)
@@ -68,6 +78,7 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Order matters and is part of the contract: emails are replaced
     FIRST (an address like user123@host.com contains digit runs), then
     phones are counted/replaced on the email-scrubbed text."""
+    _check_reserved(docs, {"n_emails", "n_phones", "scrubbed"}, "scrub_pii")
     after_email_sql = f"regexp_replace({text_col}, '{EMAIL_RE}', '<EMAIL>')"
     return docs.select(
         "*",

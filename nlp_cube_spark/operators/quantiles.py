@@ -22,9 +22,10 @@ module provides the *exact* answer with a bounded plan:
 
 Largest single task is O(distinct values of the hottest group), never
 O(rows of the hottest group).  If the measure is continuous with ~no
-duplicate values, distinct ~= rows and you should flip to
-`F.percentile_approx` (mergeable t-digest-style sketch) instead; this
-module is the exact form for grid-valued measures.
+duplicate values, distinct ~= rows — flip to `grouped_quantiles_approx`
+below (percentile_approx: a mergeable Greenwald-Khanna sketch, state
+O(accuracy) per group regardless of rows); this module's exact form is
+for grid-valued measures.
 """
 
 from __future__ import annotations
@@ -82,3 +83,58 @@ def grouped_quantiles(
         (v_lo + fr * (F.coalesce(v_hi, v_lo) - v_lo)).alias("value"),
         F.first("__n").alias("n"),
     )
+
+
+def grouped_quantiles_approx(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    qs: list[float],
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Sketch quantiles: the scale path for CONTINUOUS measures where
+    distinct ~= rows and the exact two-pass form loses its bound.
+
+    One `percentile_approx` aggregation (Spark's Greenwald-Khanna
+    summary: mergeable across partitions, O(accuracy) state per group —
+    no per-group value buffer, no distinct-value window). The GK
+    guarantee is a RANK error: the returned value's rank is within
+    n/accuracy of q*n. That is the contract callers should verify —
+    |approx - exact| in value space is unbounded on heavy-tailed data,
+    but exact_quantile(q - eps) <= approx <= exact_quantile(q + eps)
+    with eps = 2/accuracy always holds (2x slack absorbs the
+    floor/interpolation difference between rank-space and the type-7
+    definition). The driver query `doc_length_quantiles_approx` asserts
+    exactly that envelope against the exact two-pass values, so the
+    DuckDB oracle replays the check as literal booleans.
+
+    Returns long format: group_cols + (q double, approx double, n long),
+    matching grouped_quantiles' shape (NULL values excluded, all-NULL
+    groups emit nothing)."""
+    if not qs or any(not (0.0 <= q <= 1.0) for q in qs):
+        raise ValueError(f"quantiles must lie in [0, 1]: {qs}")
+    if accuracy < 1:
+        raise ValueError(f"accuracy must be >= 1: {accuracy}")
+    reserved = {"q", "approx", "n", "__qs", "__vals"}
+    clash = reserved & set(group_cols)
+    if clash:
+        raise ValueError(
+            f"grouped_quantiles_approx reserves column names {sorted(clash)}; rename inputs"
+        )
+    qlits = F.array(*[F.lit(float(q)) for q in qs])
+    agg = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.percentile_approx(
+                F.col(value_col).cast("double"), qlits, F.lit(accuracy)
+            ).alias("__vals"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    pairs = F.arrays_zip(qlits.alias("q"), F.col("__vals").alias("approx"))
+    return agg.select(
+        *group_cols,
+        F.explode(pairs).alias("__p"),
+        "n",
+    ).select(*group_cols, F.col("__p.q").alias("q"), F.col("__p.approx").alias("approx"), "n")

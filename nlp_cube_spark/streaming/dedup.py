@@ -173,7 +173,12 @@ def _read_pruned(
     return df
 
 
-def compact_store(spark: SparkSession, out_dir: str, upto_batch_id: int) -> dict:
+def compact_store(
+    spark: SparkSession,
+    out_dir: str,
+    upto_batch_id: int,
+    _crash_point: str | None = None,
+) -> dict:
     """Fold the per-batch partition growth of both prunable stores.
 
     The sink writes up to 256 new (batch_id, prefix) directories per
@@ -188,23 +193,56 @@ def compact_store(spark: SparkSession, out_dir: str, upto_batch_id: int) -> dict
     checkpoint commit, so any replayed k > upto_batch_id still sees the
     whole folded history through the `batch_id < k` read predicate —
     never fold batches at or beyond the checkpoint frontier. Run with the
-    stream STOPPED (io/tables.compact_partitions contract). Crash-safe:
-    dying between rewrite and delete leaves duplicate history rows, which
-    the dedup logic tolerates (exact history is dropDuplicates'd, band
-    matches collapse per url); rerun to finish.
+    stream STOPPED (io/tables.compact_partitions contract).
+
+    Crash-safe via a staging dir, never read-and-overwrite-in-place:
+      phase 1: fold into `{store}._compacting/batch_id=<upto>` + write a
+               `_FOLD_COMPLETE` marker stamped with upto_batch_id;
+      phase 2: delete superseded `batch_id<=upto` dirs from the live
+               store, move the staged dir in, drop the staging dir.
+    Die in phase 1 -> live store untouched, rerun restarts the fold.
+    Die in phase 2 -> the marker proves the staged fold is complete, so a
+    rerun skips the fold and finishes the swap (rerun-to-finish). A
+    marker stamped with a DIFFERENT upto_batch_id is stale and the fold
+    restarts from the live store.
+
+    `_crash_point` is fault injection for the crash-contract tests only:
+    'after_fold' | 'after_deletes' | 'after_rename' raise mid-protocol
+    (on the FIRST store) so tests can verify rerun-to-finish.
     """
+
+    def _crash(point: str) -> None:
+        if _crash_point == point:
+            raise RuntimeError(f"injected crash at {point}")
+
     stats = {}
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
-    mode_key = "spark.sql.sources.partitionOverwriteMode"
-    prev_mode = spark.conf.get(mode_key, None)
-    spark.conf.set(mode_key, "dynamic")
-    try:
-        for sub, prefix_col, key_col in (
-            ("hashes", "hash_prefix", "content_hash"),
-            ("signatures", "sig_prefix", "band_sig"),
-        ):
-            path = f"{out_dir}/{sub}"
+    for sub, prefix_col, key_col in (
+        ("hashes", "hash_prefix", "content_hash"),
+        ("signatures", "sig_prefix", "band_sig"),
+    ):
+        path = f"{out_dir}/{sub}"
+        staging = f"{path}._compacting"
+        marker = f"{staging}/_FOLD_COMPLETE"
+        fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
+        P = jvm.org.apache.hadoop.fs.Path
+
+        def _marker_batch() -> int | None:
+            if not fs.exists(P(marker)):
+                return None
+            stream = fs.open(P(marker))
+            try:
+                data = bytes(stream.readAllBytes()).decode()
+            finally:
+                stream.close()
+            return int(data.strip() or -1)
+
+        # phase 1: fold to staging (skipped when a complete fold for this
+        # exact frontier already exists — we crashed mid-swap last time)
+        if _marker_batch() != upto_batch_id:
+            if fs.exists(P(staging)):
+                fs.delete(P(staging), True)  # stale/partial prior attempt
             (
                 spark.read.parquet(path)
                 .where(F.col("batch_id") <= upto_batch_id)
@@ -213,24 +251,38 @@ def compact_store(spark: SparkSession, out_dir: str, upto_batch_id: int) -> dict
                 .sortWithinPartitions(key_col)
                 .write.partitionBy("batch_id", prefix_col)
                 .mode("overwrite")
-                .parquet(path)
+                .parquet(staging)
             )
-            hpath = jvm.org.apache.hadoop.fs.Path(path)
-            fs = hpath.getFileSystem(hconf)
-            removed = 0
-            for st in fs.listStatus(hpath):
-                name = st.getPath().getName()
-                if name.startswith("batch_id=") and int(name.split("=", 1)[1]) < upto_batch_id:
-                    fs.delete(st.getPath(), True)
+            out = fs.create(P(marker), True)
+            try:
+                out.write(str(upto_batch_id).encode())
+            finally:
+                out.close()
+        _crash("after_fold")
+
+        # phase 2: swap. Deletes target only rows whose content the staged
+        # fold provably contains (batch_id <= upto, marker verified). The
+        # live batch_id=upto dir is superseded only WHILE the staged fold
+        # still holds its replacement — after the move it IS the fold (a
+        # rerun that crashed post-move must not delete it).
+        removed = 0
+        staged_dir = P(f"{staging}/batch_id={upto_batch_id}")
+        staged_present = bool(fs.exists(staged_dir))
+        for st in fs.listStatus(P(path)):
+            name = st.getPath().getName()
+            if not name.startswith("batch_id="):
+                continue
+            bid = int(name.split("=", 1)[1])
+            if bid < upto_batch_id or (bid == upto_batch_id and staged_present):
+                fs.delete(st.getPath(), True)
+                if bid < upto_batch_id:  # the ==upto dir is replaced, not folded away
                     removed += 1
-            stats[sub] = {"batch_dirs_removed": removed}
-    finally:
-        # a maintenance util must not leak dynamic-overwrite semantics
-        # into the caller's long-lived session
-        if prev_mode is None:
-            spark.conf.unset(mode_key)
-        else:
-            spark.conf.set(mode_key, prev_mode)
+        _crash("after_deletes")
+        if staged_present:
+            fs.rename(staged_dir, P(f"{path}/batch_id={upto_batch_id}"))
+        _crash("after_rename")
+        fs.delete(P(staging), True)
+        stats[sub] = {"batch_dirs_removed": removed}
     return stats
 
 

@@ -110,3 +110,57 @@ def test_triangle_count_no_cartesian(spark):
 
     plan = triangle_count(edges)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triangle_degree_order_equals_id_order(spark):
+    """The degree-pivot refinement is a pure plan change: per-node counts
+    are identical under both edge orders on a graph with shared corners,
+    hubs, and degree ties."""
+    import random
+
+    from nlp_cube_spark.operators.graphstats import triangle_count
+
+    rng = random.Random(7)
+    nodes = [f"n{i:02d}" for i in range(18)]
+    pairs = {tuple(sorted(rng.sample(nodes, 2))) for _ in range(60)}
+    edges = spark.createDataFrame(sorted(pairs), "src string, dst string")
+    a = {r.node: r.triangles for r in triangle_count(edges, degree_ordered=True).collect()}
+    b = {r.node: r.triangles for r in triangle_count(edges, degree_ordered=False).collect()}
+    assert a == b and sum(a.values()) % 3 == 0 and sum(a.values()) > 0
+
+
+def test_degree_pivot_star_hub_anchors_no_wedges(spark):
+    """On a star the hub has degree D; id-ordering (hub id minimal)
+    anchors C(D,2) wedges at the hub, degree-ordering anchors ZERO —
+    every edge points leaf->hub, so no node has two out-edges. This is
+    the O(deg^2) hub blowup the (degree, id) order removes."""
+    from nlp_cube_spark.operators.graphstats import (
+        _directed_simple_edges,
+        _wedges,
+        triangle_count,
+    )
+
+    n = 100
+    edges = spark.createDataFrame(
+        [("hub", f"leaf{i:03d}") for i in range(n)], "src string, dst string"
+    )
+    by_id = _wedges(_directed_simple_edges(edges, "src", "dst", degree_ordered=False))
+    by_deg = _wedges(_directed_simple_edges(edges, "src", "dst", degree_ordered=True))
+    assert by_id.count() == n * (n - 1) // 2
+    assert by_deg.count() == 0
+    got = {r.triangles for r in triangle_count(edges).collect()}
+    assert got == {0}
+
+
+def test_triangle_count_null_edges_dropped(spark):
+    """A NULL-endpoint edge is dropped entirely: it must neither collapse
+    to a self-loop nor surface a NULL node row (ADVICE r5)."""
+    from nlp_cube_spark.operators.graphstats import triangle_count
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), (None, "a"), ("b", None)],
+        "src string, dst string",
+    )
+    rows = triangle_count(edges).collect()
+    assert all(r.node is not None for r in rows)
+    assert {r.node: r.triangles for r in rows} == {"a": 1, "b": 1, "c": 1}

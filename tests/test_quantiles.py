@@ -70,3 +70,56 @@ def test_plan_has_no_percentile_buffer(spark):
     assert "percentile" not in plan.lower()
     exec_plan = qd._jdf.queryExecution().executedPlan().toString()
     assert "HashAggregate" in exec_plan and "Window" in exec_plan
+
+
+def test_approx_exact_at_grid_positions(spark):
+    """With accuracy >= n the GK sketch holds every value, so quantiles
+    at integral ranks return exactly the exact answer; shape matches
+    grouped_quantiles (long format, per-group n)."""
+    from nlp_cube_spark.operators.quantiles import (
+        grouped_quantiles,
+        grouped_quantiles_approx,
+    )
+
+    rows = [("g", float(v)) for v in range(101)] + [("h", 5.0), ("h", 7.0), ("h", 9.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    qs = [0.0, 0.5, 1.0]
+    ap = {
+        (r.grp, r.q): (r.approx, r.n)
+        for r in grouped_quantiles_approx(df, ["grp"], "v", qs, accuracy=10000).collect()
+    }
+    ex = {
+        (r.grp, r.q): (r.value, r.n)
+        for r in grouped_quantiles(df, ["grp"], "v", qs).collect()
+    }
+    assert ap == ex
+    assert ap[("g", 0.5)] == (50.0, 101)
+
+
+def test_approx_rank_guarantee_at_low_accuracy(spark):
+    """At accuracy << n the sketch compresses; the returned value must be
+    an actual data value whose rank is within n/accuracy of the target."""
+    from nlp_cube_spark.operators.quantiles import grouped_quantiles_approx
+
+    n, acc = 5000, 50
+    df = spark.createDataFrame([("g", float(v)) for v in range(n)], "grp string, v double")
+    for r in grouped_quantiles_approx(df, ["grp"], "v", [0.25, 0.75], accuracy=acc).collect():
+        assert r.approx == int(r.approx)  # an actual element, not interpolated
+        assert abs(r.approx - r.q * (n - 1)) <= n / acc + 1  # values ARE ranks here
+        assert r.n == n
+
+
+def test_approx_null_and_reserved_handling(spark):
+    from nlp_cube_spark.operators.quantiles import grouped_quantiles_approx
+
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", None), ("allnull", None)], "grp string, v double"
+    )
+    rows = grouped_quantiles_approx(df, ["grp"], "v", [0.5]).collect()
+    assert len(rows) == 1 and rows[0].grp == "g" and rows[0].n == 1  # NULLs excluded
+    with pytest.raises(ValueError):
+        grouped_quantiles_approx(df.withColumnRenamed("grp", "q"), ["q"], "v", [0.5])
+    with pytest.raises(ValueError):
+        grouped_quantiles_approx(df, ["grp"], "v", [1.5])
+    with pytest.raises(ValueError):
+        grouped_quantiles_approx(df, ["grp"], "v", [0.5], accuracy=0)

@@ -241,3 +241,85 @@ def test_idle_trigger_does_not_wipe_output(spark, dirs):
     q2 = ingest.start_triples_stream(spark, dirs["src"], dirs["out"], dirs["ckpt"])
     q2.awaitTermination(120)
     assert spark.read.parquet(f"{dirs['out']}/triples").count() == n1
+
+
+def test_compact_store_rerun_to_finish_after_crash(spark, dirs):
+    """Staging-dir compaction crash contract (r5 What's-wrong #4): dying
+    at ANY protocol point leaves a state a plain rerun finishes from,
+    and the live store is never the only copy of folded history."""
+    import datetime
+    import os
+
+    from nlp_cube_spark.streaming import dedup as SD
+
+    ts = datetime.datetime(2025, 1, 1)
+
+    def write(rows):
+        spark.createDataFrame(
+            [(u, ts, bytearray(b"<html/>"), t, "en") for u, t in rows], ingest.PAGES_DDL
+        ).coalesce(1).write.mode("append").parquet(dirs["src"])
+
+    def run():
+        q = SD.start_dedup_stream(
+            spark, dirs["src"], dirs["out"], dirs["ckpt"], sim_threshold=0.7
+        )
+        q.awaitTermination(180)
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8).strip()
+    write([("u1", base), ("u2", "unique text about query planners and joins")])
+    run()
+    write([("u3", "second unique body mentioning vectorized execution")])
+    run()
+
+    def batch_dirs(sub):
+        return sorted(
+            d for d in os.listdir(f"{dirs['out']}/{sub}") if d.startswith("batch_id=")
+        )
+
+    top = max(int(d.split("=", 1)[1]) for d in batch_dirs("hashes"))
+    n_hashes = spark.read.parquet(f"{dirs['out']}/hashes").count()
+    live_dirs_before = batch_dirs("hashes")
+
+    # crash 1: after the fold, before any live-store mutation
+    with pytest.raises(RuntimeError, match="after_fold"):
+        SD.compact_store(spark, dirs["out"], upto_batch_id=top, _crash_point="after_fold")
+    assert batch_dirs("hashes") == live_dirs_before  # live store untouched
+    assert os.path.exists(f"{dirs['out']}/hashes._compacting/_FOLD_COMPLETE")
+
+    # crash 2 (worst case): superseded live dirs already deleted, staged
+    # fold not yet moved in — the marker proves the staging dir holds
+    # everything, and a rerun must finish the swap without data loss
+    with pytest.raises(RuntimeError, match="after_deletes"):
+        SD.compact_store(
+            spark, dirs["out"], upto_batch_id=top, _crash_point="after_deletes"
+        )
+    assert batch_dirs("hashes") == []  # the scary state: live side empty
+
+    stats = SD.compact_store(spark, dirs["out"], upto_batch_id=top)
+    assert batch_dirs("hashes") == [f"batch_id={top}"]
+    assert batch_dirs("signatures") == [f"batch_id={top}"]
+    assert not os.path.exists(f"{dirs['out']}/hashes._compacting")
+    assert not os.path.exists(f"{dirs['out']}/signatures._compacting")
+    assert spark.read.parquet(f"{dirs['out']}/hashes").count() == n_hashes
+    # already-swapped store: rerun-only cleanup counted no folded dirs
+    assert stats["hashes"]["batch_dirs_removed"] == 0
+
+    # crash 3: after the move, before staging cleanup — a rerun must NOT
+    # delete the just-moved fold (it is no longer superseded)
+    write([("u4", "third unique body mentioning adaptive query replanning")])
+    run()
+    top2 = max(int(d.split("=", 1)[1]) for d in batch_dirs("hashes"))
+    n_hashes2 = spark.read.parquet(f"{dirs['out']}/hashes").count()
+    with pytest.raises(RuntimeError, match="after_rename"):
+        SD.compact_store(
+            spark, dirs["out"], upto_batch_id=top2, _crash_point="after_rename"
+        )
+    SD.compact_store(spark, dirs["out"], upto_batch_id=top2)
+    assert batch_dirs("hashes") == [f"batch_id={top2}"]
+    assert spark.read.parquet(f"{dirs['out']}/hashes").count() == n_hashes2
+
+    # history still drops duplicates of pre-compaction content
+    write([("u5", base), ("u6", "a genuinely new document body after crashes")])
+    run()
+    surv = {r.url for r in spark.read.parquet(f"{dirs['out']}/survivors").collect()}
+    assert surv == {"u1", "u2", "u3", "u4", "u6"}
