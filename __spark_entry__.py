@@ -541,6 +541,20 @@ def q_kg_words_learned(spark, sf_dir):
     return words.select("url", "word_id", "form", "upos", "xpos", "feats")
 
 
+def q_kg_lemmas_transducer(spark, sf_dir):
+    """Driver-visible GENERATIVE lemmatizer (kernels/transducer.py:
+    suffix-rule induction with backoff — the open-vocabulary path that
+    COMPOSES edit programs for unseen forms, closing the classifier gap
+    vs the reference's char seq2seq, lemmatizer.py:78-171). Slots behind
+    the same dedup-then-broadcast-join stage as 'rules'/'learned'; the
+    trainer gates it to exact corpus parity, so the relational replay
+    hash-matches."""
+    from nlp_cube_spark.operators import annotate as A
+
+    words = A.annotate(_docs_as_pages(spark, sf_dir), lemmatizer="transducer")
+    return words.select("url", "word_id", "form", "lemma", "upos")
+
+
 def q_kg_heads_learned(spark, sf_dir):
     """Driver-visible LEARNED parser: the pinned arc-factored perceptron
     scores every head candidate and MST (CLE) decodes, all inside the fused
@@ -1014,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _QUERIES = {
         # --- newest / never driver-checked first (round-6 window rotation) ---
         "doc_length_quantiles_approx": q_doc_length_quantiles_approx,
+        "kg_lemmas_transducer": q_kg_lemmas_transducer,
         "doc_perplexity": q_doc_perplexity,
         "ann_kmeans_centroids": q_ann_kmeans_centroids,
         "kg_entity_triangles": q_kg_entity_triangles,
@@ -2207,6 +2222,12 @@ def oracle_sql() -> dict[str, str]:
           SELECT deprel, CASE WHEN head_pos = 0 THEN 0 ELSE head_pos - pos END AS dist,
                  count(*) AS n
           FROM labeled GROUP BY 1, 2
+        """,
+        "kg_lemmas_transducer": f"""
+          {_KG_LABELED_DUCK}
+          SELECT 'https://ex.org/doc/' || doc_id AS url, pos AS word_id,
+                 tok AS form, tok AS lemma, upos
+          FROM labeled
         """,
         "kg_words": f"""
           {_KG_LABELED_DUCK}

@@ -69,6 +69,18 @@ _CATALOG: dict[str, dict[str, dict]] = {
             "sha256": "2b79a0930da74e1c5b44412bedaf8353238f10dfa56414335ea279d5d5b685d4",
         }
     },
+    "micro_lemma_transducer": {
+        "1.0": {
+            "path": os.path.join(_PKG_DIR, "kernels", "micro_lemma_transducer.json"),
+            "sha256": "21769cfc6eb2a7b885923fa2b699a5e56920653f1d06e261dcfa292c6b4ae713",
+        }
+    },
+    "micro_mwt_transducer": {
+        "1.0": {
+            "path": os.path.join(_PKG_DIR, "kernels", "micro_mwt_transducer.json"),
+            "sha256": "a6ea8da95fff6716d2f898d2f5e611203b6e2fe1d539fc3c0243a1f1d8b250f1",
+        }
+    },
     "micro_mwt": {
         "1.0": {
             "path": os.path.join(_PKG_DIR, "kernels", "micro_mwt_weights.json"),

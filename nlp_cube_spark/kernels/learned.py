@@ -548,17 +548,64 @@ def lemmatize(form: str, upos: str, lang: str) -> str:
     return apply_edit(form, cls)
 
 
+def canonical_edit(
+    form: str, gold: str, prefer: tuple = ("low", "cap", "orig")
+) -> str:
+    """edit_script normalized to a casing-insensitive representative:
+    'Paris'->'Paris' (PROPN) and 'PARIS'->'Paris' yield '0||orig' vs
+    '0||cap' from edit_script — functionally identical on either form
+    but DISTINCT class strings, which would poison pattern consistency
+    in the transducer. Pick the first case class in `prefer` whose
+    application reproduces the gold, so all casings of a form map to
+    one class. Verbatim-identity tags (PUNCT/SYM/NUM, where the gold IS
+    the form at any casing) should pass prefer=('orig', 'low', 'cap')
+    so mixed-case forms share the 'orig' class with lowercase ones."""
+    n_s, app, _case = edit_script(form, gold).split("|", 2)
+    for case in prefer:
+        cls = f"{n_s}|{app}|{case}"
+        if apply_edit(form, cls) == gold:
+            return cls
+    return edit_script(form, gold)
+
+
+@lru_cache(maxsize=1)
+def _lemma_transducer() -> dict:
+    return _load_artifact("micro_lemma_transducer", "micro_lemma_transducer.json")
+
+
+def transduce_lemma(form: str, upos: str, lang: str) -> str:
+    """Generative lemmatizer: longest-suffix-rule induction with backoff
+    (kernels/transducer.py) — COMPOSES edit programs for unseen forms
+    instead of choosing among memorized classes (the reference seq2seq's
+    open-vocab property, lemmatizer.py:78-171, via the classic suffix-
+    transducer reduction). Same pure (form, upos, lang) -> lemma
+    contract as lemma_rules/lemmatize, so it slots behind the identical
+    dedup-then-broadcast-join stage. A (upos, lang) group absent from
+    the artifact falls back to the en group (lemma semantics are
+    lang-independent outside trained langs), then to lowercase identity."""
+    from . import transducer as T
+
+    tabs = _lemma_transducer()
+    tab = tabs.get(f"{upos}|{lang}") or tabs.get(f"{upos}|en")
+    if tab is None:
+        return apply_edit(form, "0||low")
+    return apply_edit(form, T.lookup(tab, T.lemma_patterns(form)))
+
+
 def get_lemmatizer(name: str):
-    """'rules' | 'learned' | 'external:<basename>' (a shipped tensor
-    artifact, see external_lemmatizer) — same registry convention as
-    get_scorer, completing the three neural-stage seams (SURVEY §2a
-    #13/#14/#17)."""
+    """'rules' | 'learned' | 'transducer' | 'external:<basename>' (a
+    shipped tensor artifact, see external_lemmatizer) — same registry
+    convention as get_scorer, completing the three neural-stage seams
+    (SURVEY §2a #13/#14/#17). 'transducer' is the generative open-vocab
+    path (suffix-rule induction, transduce_lemma)."""
     if name == "rules":
         from . import lemma_rules
 
         return lemma_rules.lemmatize
     if name == "learned":
         return lemmatize
+    if name == "transducer":
+        return transduce_lemma
     if name.startswith("external:"):
         return external_lemmatizer(name.split(":", 1)[1])
     raise ValueError(f"unknown lemmatizer: {name!r}")
@@ -661,6 +708,26 @@ def expand_mwt(form: str, lang: str) -> list[str]:
     return apply_mwt_program(form, cls)
 
 
+@lru_cache(maxsize=1)
+def _mwt_transducer() -> dict:
+    return _load_artifact("micro_mwt_transducer", "micro_mwt_transducer.json")
+
+
+def transduce_mwt(form: str, lang: str) -> list[str]:
+    """Generative MWT expander via suffix-rule induction (reference
+    compound.py:183-245 semantics through kernels/transducer.py): the
+    dictionary ships as whole-word rules, contraction SHAPES as suffix
+    rules (so unseen surface forms sharing a trained contraction shape
+    expand), and everything else backs off to the verbatim-identity
+    program 's0+'. A language absent from the artifact is identity."""
+    from . import transducer as T
+
+    tab = _mwt_transducer().get(lang)
+    if tab is None:
+        return [form]
+    return apply_mwt_program(form, T.lookup(tab, T.mwt_patterns(form)))
+
+
 def get_mwt_expander(name: str):
     if name == "dict":
         from . import segment_rules
@@ -668,6 +735,8 @@ def get_mwt_expander(name: str):
         return segment_rules.expand_mwt
     if name == "learned":
         return expand_mwt
+    if name == "transducer":
+        return transduce_mwt
     raise ValueError(f"unknown MWT expander: {name!r}")
 
 
@@ -700,24 +769,34 @@ def vocab_coverage(
     n = len(keys)
     if not n:
         return {"n_keys": 0, "lemma_exact_frac": 1.0, "lemma_rules_agree_frac": 1.0,
-                "mwt_exact_frac": 1.0, "mwt_rules_agree_frac": 1.0}
+                "mwt_exact_frac": 1.0, "mwt_rules_agree_frac": 1.0,
+                "lemma_transducer_agree_frac": 1.0, "mwt_transducer_agree_frac": 1.0}
     lemma_exact = lemma_agree = mwt_exact = mwt_agree = 0
+    lemma_trans = mwt_trans = 0
     for form, upos, lang in keys:
         low = form.lower()
+        gold_lemma = lemma_rules.lemmatize(form, upos, lang)
+        gold_mwt = segment_rules.expand_mwt(form, lang)
         if lemma_train_keys is not None and (form, upos, lang) in lemma_train_keys:
             lemma_exact += 1
-        if lemmatize(form, upos, lang) == lemma_rules.lemmatize(form, upos, lang):
+        if lemmatize(form, upos, lang) == gold_lemma:
             lemma_agree += 1
+        if transduce_lemma(form, upos, lang) == gold_lemma:
+            lemma_trans += 1
         if mwt_train_forms is not None and (lang, low) in mwt_train_forms:
             mwt_exact += 1
-        if expand_mwt(form, lang) == segment_rules.expand_mwt(form, lang):
+        if expand_mwt(form, lang) == gold_mwt:
             mwt_agree += 1
+        if transduce_mwt(form, lang) == gold_mwt:
+            mwt_trans += 1
     return {
         "n_keys": n,
         "lemma_exact_frac": lemma_exact / n if lemma_train_keys is not None else None,
         "lemma_rules_agree_frac": lemma_agree / n,
+        "lemma_transducer_agree_frac": lemma_trans / n,
         "mwt_exact_frac": mwt_exact / n if mwt_train_forms is not None else None,
         "mwt_rules_agree_frac": mwt_agree / n,
+        "mwt_transducer_agree_frac": mwt_trans / n,
     }
 
 

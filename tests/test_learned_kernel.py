@@ -363,3 +363,129 @@ def test_vocab_coverage_on_open_vocabulary_corpus(spark):
     # '-ss' shape at an untrained length) is the documented boundary.
     assert cov["lemma_rules_agree_frac"] >= 0.98
     assert cov["mwt_rules_agree_frac"] >= 0.99
+    # the GENERATIVE transducer path (r6): full agreement — suffix-rule
+    # induction composes the edit programs the classifier could only
+    # memorize, so the open-vocab gap ('across' NOUN in r5) is closed
+    assert cov["lemma_transducer_agree_frac"] == 1.0
+    assert cov["mwt_transducer_agree_frac"] == 1.0
+
+
+# disjoint from OPEN_SENTS (and from the trainers' batteries): the
+# "new disjoint corpus" half of the r5 verdict's done-criterion
+OPEN_SENTS_2 = [
+    "Quarterly audits revealed misconfigured replicas hoarding snapshots.",
+    "Gateways throttled noisy tenants while routers balanced regions.",
+    "Annotators labelled utterances and reviewers corrected disagreements.",
+    "Freshness probes detected staleness whenever upstream feeds lagged.",
+    "Garbage collectors compacted arenas between allocation bursts.",
+    "Tokenizers normalized ligatures before embedding layers consumed them.",
+    "Dashboards aggregated counters, histograms, and gauges hourly.",
+    "Retries amplified congestion until backoffs spread the arrivals.",
+    "Licensing restricted redistribution of derived lexicons abroad.",
+    "Couriers delivered parcels across boroughs despite closures.",
+]
+
+
+def test_transducer_full_agreement_on_disjoint_open_corpus(spark):
+    """Lemma transducer agreement 1.0 on a SECOND open corpus disjoint
+    from OPEN_SENTS and every trainer battery; keys come through the
+    real fused pipeline so tokenization/tagging of unseen text is
+    exercised too."""
+    docs = spark.createDataFrame(
+        [(f"https://open2.example/{i}", s, "en") for i, s in enumerate(OPEN_SENTS_2)],
+        "url string, text string, lang string",
+    )
+    words = A.fused_words(docs)
+    keys = [(r.form, r.upos, r.lang) for r in
+            words.select("form", "upos", "lang").dropDuplicates().collect()]
+    assert len(keys) >= 60
+    cov = learned.vocab_coverage(keys)
+    assert cov["lemma_transducer_agree_frac"] == 1.0
+    assert cov["mwt_transducer_agree_frac"] == 1.0
+
+
+def test_transducer_closes_r5_residual_and_composes_unseen_programs():
+    """The r5 documented boundary: 'across' NOUN (an -ss shape at an
+    untrained length) misclassified under the perceptron; the induced
+    suffix rules must get it — plus novel inflections whose exact edit
+    programs were never seen as training CLASSES, only composed from
+    suffix evidence."""
+    from nlp_cube_spark.kernels import lemma_rules
+
+    assert learned.transduce_lemma("across", "NOUN", "en") == "across"
+    # novel forms at assorted lengths/shapes: exact lemma_rules parity
+    for form, upos in [
+        ("acrosses", "NOUN"), ("bivouacking", "VERB"), ("quizzes", "NOUN"),
+        ("Xylophones", "NOUN"), ("REPLAYED", "VERB"), ("smallnesses", "NOUN"),
+        ("Zanzibar", "PROPN"), ("qwrtzed", "VERB"), ("moss", "NOUN"),
+        ("gas", "NOUN"), ("dies", "VERB"), ("bed", "VERB"), ("sing", "VERB"),
+    ]:
+        for lang in ("en", "es", "zh"):
+            got = learned.transduce_lemma(form, upos, lang)
+            want = lemma_rules.lemmatize(form, upos, lang)
+            assert got == want, (form, upos, lang, got, want)
+    # es/pt verb-infinitive restoration on unseen stems
+    assert learned.transduce_lemma("zumba", "VERB", "es") == "zumbar"
+    assert learned.transduce_lemma("bebe", "VERB", "pt") == "beber"
+
+
+def test_transducer_property_parity_with_rules():
+    """Randomized battery (fresh seed, disjoint from the trainer's 13/99):
+    the induced rules must equal lemma_rules on arbitrary letter forms —
+    the transducer's open-vocabulary guarantee, sampled afresh every run
+    would flake, so the seed is fixed but distinct."""
+    import random
+
+    from nlp_cube_spark.kernels import lemma_rules
+
+    rng = random.Random(20260817)
+    upos_pool = ["NOUN", "VERB", "PROPN", "AUX", "ADV", "PUNCT", "NUM", "X"]
+    for _ in range(3000):
+        n = rng.randint(1, 13)
+        form = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(n))
+        style = rng.random()
+        if style < 0.2:
+            form = form.capitalize()
+        elif style < 0.3:
+            form = form.upper()
+        upos = rng.choice(upos_pool)
+        lang = rng.choice(["en", "de", "es", "fr", "pt", "zh"])
+        got = learned.transduce_lemma(form, upos, lang)
+        want = lemma_rules.lemmatize(form, upos, lang)
+        assert got == want, (form, upos, lang, got, want)
+
+
+def test_mwt_transducer_dictionary_heldout_and_identity():
+    """Whole dictionary verbatim; held-out contractions expand via shape
+    sharing (the generative property the dict lacks); ordinary unseen
+    words pass through VERBATIM (casing preserved)."""
+    from nlp_cube_spark.kernels.segment_rules import MWT_LEXICON
+
+    for lang, entries in MWT_LEXICON.items():
+        for surface, words in entries.items():
+            assert learned.transduce_mwt(surface, lang) == words, (lang, surface)
+    # held-out generalizations (same contract as the learned expander)
+    assert learned.transduce_mwt("das", "pt") == ["de", "as"]
+    assert learned.transduce_mwt("nas", "pt") == ["em", "as"]
+    for form in ("Table", "window", "QUERY", "zzzqqq"):
+        assert learned.transduce_mwt(form, "en") == [form]
+        assert learned.transduce_mwt(form, "zh") == [form]
+
+
+def test_transducer_through_engine_matches_rules_lemmas(spark):
+    """Engine seam proof: annotate(lemmatizer='transducer') must produce
+    byte-identical words tables to the rules path on fixture pages (the
+    transducer's corpus-parity gate, exercised through the real Spark
+    dedup-broadcast-join stage), and the MWT seam must accept
+    'transducer' through the fused kernel."""
+    pages = pages_df(spark, 12, seed=HELDOUT_SEED)
+    a = A.annotate(pages).select("url", "sent_id", "word_id", "form", "lemma")
+    b = A.annotate(pages, lemmatizer="transducer").select(
+        "url", "sent_id", "word_id", "form", "lemma"
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    w = A.fused_words(pages, mwt="transducer")
+    w2 = A.fused_words(pages)
+    assert [tuple(r) for r in w.orderBy("url", "sent_id", "word_id").collect()] == [
+        tuple(r) for r in w2.orderBy("url", "sent_id", "word_id").collect()
+    ]
