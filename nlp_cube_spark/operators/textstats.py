@@ -83,13 +83,22 @@ def ngrams_sql(text_col: str, n: int) -> str:
     """SQL expression: array of whitespace n-grams of `text_col` (empty
     array below n tokens). THE one definition of an n-gram — shared by
     repetition_stats and curate.decontaminate so the two can never
-    silently disagree; oracles replay it with string_split_regex."""
-    toks = f"filter(split({text_col}, '\\\\s+'), t -> t <> '')"
+    silently disagree; oracles replay it with string_split_regex.
+
+    Formulation: whitespace-normalize once, then ONE lookahead regex —
+    each match anchors at a token start (the consumed \\S+ advances the
+    scan a whole token) while the (?=(...)) group captures the n tokens
+    ahead, so overlapping grams fall out of a single codegen'd JVM regex
+    pass. The previous transform(sequence)+slice+array_join HOF chain is
+    interpreted, never codegen'd; measured at n=13 over 100k sf0.1 docs
+    (scripts/bench_ngram_paths.py): HOF 7.34s vs regex 3.09s vs
+    split+posexplode+lead-window 2.80s — the window form is marginally
+    fastest locally but adds a token-volume shuffle+sort per doc, which
+    at 100 TB is the wrong trade; regex keeps the stage shuffle-free."""
+    norm = f"regexp_replace(trim({text_col}), '\\\\s+', ' ')"
+    tail = " \\\\S+" * (n - 1)
     return (
-        f"case when size({toks}) >= {n} then "
-        f"transform(sequence(1, size({toks}) - {n} + 1), "
-        f"i -> array_join(slice({toks}, i, {n}), ' ')) "
-        "else array() end"
+        f"coalesce(regexp_extract_all({norm}, '(?=(\\\\S+{tail}))\\\\S+', 1), array())"
     )
 
 
@@ -113,15 +122,17 @@ def repetition_stats(
     costs O(its tokens) spread over the shuffle like any other rows."""
     if n < 1:
         raise ValueError("n must be >= 1")
-    toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t <> '')"
-    lines_expr = f"filter(split({text_col}, '\\n'), l -> l <> '')"
+    # lambda-free counterparts of size(filter(split(...))) — regexp_count
+    # and array_remove stay inside whole-stage codegen (same HOF tax the
+    # ngrams_sql docstring documents)
+    lines_nonempty = f"array_remove(split({text_col}, '\\n'), '')"
     # base carries SCALARS only — keeping the token array here would drag
     # every document's full text through the id-join shuffle below
     base = docs.select(
         F.col(id_col),
-        F.expr(f"size({toks_expr})").alias("n_tokens"),
-        F.expr(f"size({lines_expr})").alias("n_lines"),
-        F.expr(f"size(array_distinct({lines_expr}))").alias("__n_dlines"),
+        F.expr(f"regexp_count({text_col}, '\\\\S+')").alias("n_tokens"),
+        F.expr(f"size({lines_nonempty})").alias("n_lines"),
+        F.expr(f"size(array_distinct({lines_nonempty}))").alias("__n_dlines"),
     )
     grams = docs.select(
         F.col(id_col), F.explode(F.expr(ngrams_sql(text_col, n))).alias("gram")
