@@ -122,6 +122,142 @@ def kmeans_refine(
     return cents
 
 
+L2_EXPR = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (cast(x as double) - cast(y as double))"
+    " * (cast(x as double) - cast(y as double))), 0D, (acc, v) -> acc + v)"
+)
+
+
+def _subvectors(m: int, vec_col: str) -> F.Column:
+    """ARRAY of m (sub_id, sub_emb) structs — contiguous equal slices of
+    `vec_col` (dim is read per-row via size(), so callers never pass it;
+    dim % m must be 0 or the tail dims silently drop — standard PQ
+    precondition)."""
+    d = f"(size({vec_col}) div {m})"
+    return F.expr(
+        f"transform(sequence(0, {m - 1}), j -> struct(j as sub_id, "
+        f"transform(slice({vec_col}, j * {d} + 1, {d}), x -> cast(x as double)) as sub_emb))"
+    )
+
+
+def pq_codebooks(
+    vectors: DataFrame, m: int = 4, ksub: int = 8, iters: int = 1,
+    id_col: str = "vec_id", vec_col: str = "embedding", round_dp: int = 9,
+) -> DataFrame:
+    """Product-quantization codebooks (Jégou et al. 2011, public
+    knowledge): split every vector into m contiguous subvectors, train an
+    independent ksub-centroid codebook per subspace — returns
+    (sub_id, centroid_id, c_emb: array<double>).
+
+    All m subspaces train in ONE Lloyd chain per iteration: the exploded
+    (id, sub_id, sub_emb) table joins a BROADCAST codebook dimension,
+    argmin-L2 assignment reduces map-side via max_by (never a window
+    sort over the corpus), and the recenter agg is (m x ksub x subdim)
+    rows. Seeds are the ksub hash-smallest vectors' subvectors (the
+    deterministic_centroids discipline — same seed ids serve every
+    subspace). Means round to `round_dp` before the next assignment so
+    the training trajectory is engine-portable, and empty cells keep
+    their previous centroid (kmeans_refine's degenerate-cell rule)."""
+    seed_rows = (
+        vectors.select(id_col, vec_col)
+        .withColumn("_h", F.expr(f"conv(substr(md5(cast({id_col} as string)), 1, 15), 16, 10)"))
+        .orderBy("_h")
+        .limit(ksub)
+        .withColumn("centroid_id", F.expr("row_number() over (order by _h)"))
+    )
+    cents = (
+        seed_rows.select("centroid_id", F.explode(_subvectors(m, vec_col)).alias("s"))
+        .select("s.sub_id", "centroid_id", F.col("s.sub_emb").alias("c_emb"))
+        .localCheckpoint(eager=False)
+    )
+    subs = vectors.select(
+        F.col(id_col), F.explode(_subvectors(m, vec_col)).alias("s")
+    ).select(id_col, "s.sub_id", "s.sub_emb")
+    dist = F.expr(L2_EXPR.format(a="c_emb", b="sub_emb"))
+    for _ in range(iters):
+        scored = subs.join(F.broadcast(cents), "sub_id").select(
+            id_col, "sub_id", "sub_emb", "centroid_id", dist.alias("_d")
+        )
+        rank_key = F.struct((-F.col("_d")).alias("neg_d"), (-F.col("centroid_id")).alias("neg_cid"))
+        assigned = scored.groupBy(id_col, "sub_id").agg(
+            F.max_by("centroid_id", rank_key).alias("centroid_id"),
+            F.first("sub_emb").alias("sub_emb"),
+        )
+        means = (
+            assigned.select("sub_id", "centroid_id", F.posexplode("sub_emb").alias("pos", "val"))
+            .groupBy("sub_id", "centroid_id", "pos")
+            .agg(F.round(F.avg("val"), round_dp).alias("mval"))
+        )
+        new = means.groupBy("sub_id", "centroid_id").agg(
+            F.expr("transform(array_sort(collect_list(struct(pos, mval))), x -> x.mval)").alias(
+                "new_emb"
+            )
+        )
+        cents = (
+            cents.join(new, ["sub_id", "centroid_id"], "left")
+            .select(
+                "sub_id",
+                "centroid_id",
+                F.coalesce("new_emb", "c_emb").alias("c_emb"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return cents
+
+
+def pq_encode(
+    vectors: DataFrame, codebooks: DataFrame, m: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, sub_id, code): each subvector's argmin-L2 codebook entry —
+    the m-byte-per-vector compressed representation. Broadcast codebook
+    join + map-side max_by, exactly the ivf_assign shape."""
+    subs = vectors.select(
+        F.col(id_col), F.explode(_subvectors(m, vec_col)).alias("s")
+    ).select(id_col, "s.sub_id", "s.sub_emb")
+    dist = F.expr(L2_EXPR.format(a="c_emb", b="sub_emb"))
+    scored = subs.join(F.broadcast(codebooks), "sub_id").select(
+        id_col, "sub_id", "centroid_id", dist.alias("_d")
+    )
+    rank_key = F.struct((-F.col("_d")).alias("neg_d"), (-F.col("centroid_id")).alias("neg_cid"))
+    return scored.groupBy(id_col, "sub_id").agg(
+        F.max_by("centroid_id", rank_key).alias("code")
+    )
+
+
+def pq_topk(
+    vectors: DataFrame, queries: DataFrame, k: int = 5, m: int = 4, ksub: int = 8,
+    iters: int = 1, id_col: str = "vec_id", q_id_col: str = "q_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ approximate top-k by asymmetric distance (ADC): per query,
+    an (m x ksub)-entry distance table against the codebooks; each
+    database vector's approximate distance = sum over its m codes of the
+    table entries — the scan never touches raw vectors again, only the
+    m-byte codes. Returns (q_id, vec_id, approx_dist, rank).
+
+    100 TB shape: codebooks and distance tables are broadcast dimensions
+    (m*ksub*queries rows); the scoring stage is a hash agg over
+    (codes x queries) rows carrying one double each. Distance-table
+    entries round to 9dp and the final sum to 6dp before ranking (ties
+    break on vec_id) — same cross-engine determinism discipline as
+    kmeans_refine, with the same documented straddle caveat."""
+    books = pq_codebooks(vectors, m=m, ksub=ksub, iters=iters, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(vectors, books, m=m, id_col=id_col, vec_col=vec_col)
+    qsubs = queries.select(
+        F.col(q_id_col), F.explode(_subvectors(m, vec_col)).alias("s")
+    ).select(q_id_col, "s.sub_id", F.col("s.sub_emb").alias("q_sub"))
+    dist = F.expr(L2_EXPR.format(a="c_emb", b="q_sub"))
+    dtab = qsubs.join(F.broadcast(books), "sub_id").select(
+        q_id_col, "sub_id", F.col("centroid_id").alias("code"), F.round(dist, 9).alias("_d")
+    )
+    scored = codes.join(F.broadcast(dtab), ["sub_id", "code"]).groupBy(
+        q_id_col, id_col
+    ).agg(F.round(F.sum("_d"), 6).alias("approx_dist"))
+    w = Window.partitionBy(q_id_col).orderBy(F.asc("approx_dist"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def hyperplane_sig_expr(vec_col: str, dim: int, n_planes: int) -> str:
     """SRP-LSH signature as a bit-string column expression.
 

