@@ -839,6 +839,23 @@ def q_kg_entity_pagerank(spark, sf_dir):
     )
 
 
+def q_kg_entity_communities(spark, sf_dir):
+    """Deterministic synchronous label propagation (graphstats.
+    label_propagation, 3 fixed rounds, most-frequent-neighbour label,
+    min tie-break) over the fused KG entity graph. The oracle unrolls
+    all three voting rounds as a CTE chain — like kg_entity_pagerank
+    for power iteration — so the whole iterative trajectory is
+    hash-certified."""
+    from nlp_cube_spark.operators import annotate as A
+    from nlp_cube_spark.operators.graphstats import label_propagation
+
+    trip = A.fused_triples(_docs_as_pages(spark, sf_dir))
+    edges = trip.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    return label_propagation(edges, iters=3).select(
+        F.col("node").alias("entity"), F.col("label").alias("community")
+    )
+
+
 def q_doc_length_quantiles(spark, sf_dir):
     """Exact interpolated quantiles (p50/p90/p99) of document char length
     per language: Spark's exact `percentile` (sort-based within the
@@ -1049,6 +1066,7 @@ _QUERIES = {
         "doc_length_quantiles_approx": q_doc_length_quantiles_approx,
         "kg_lemmas_transducer": q_kg_lemmas_transducer,
         "ann_pq_topk": q_ann_pq_topk,
+        "kg_entity_communities": q_kg_entity_communities,
         # --- aged tail (last driver-checked r4), rotated forward ---
         "near_dup_clusters": q_near_dup_clusters,
         "exact_dups": q_exact_dups,
@@ -1386,6 +1404,31 @@ def _pq_duck(m: int = 4, d: int = 16, ksub: int = 8, k: int = 5, dp: int = 9) ->
         FROM scored
       ) WHERE rank <= {k}
     """
+
+
+def _lpa_duck(iters: int = 3) -> str:
+    """Unrolled synchronous label-propagation CTE chain over the
+    relational triple replay — mirrors graphstats.label_propagation's
+    exact vote/argmax/min-tie-break per round."""
+    sql = f"""
+      WITH und AS MATERIALIZED (
+        SELECT DISTINCT subj AS a, obj AS b FROM ({_KG_TRIPLES_DUCK})
+        WHERE subj <> obj AND subj IS NOT NULL AND obj IS NOT NULL
+      ),
+      e AS MATERIALIZED (SELECT a, b FROM und UNION SELECT b, a FROM und),
+      l0 AS (SELECT DISTINCT a AS node, a AS label FROM e)"""
+    for i in range(iters):
+        sql += f""",
+      v{i} AS (SELECT e.b AS node, l.label, count(*) AS c
+               FROM e JOIN l{i} l ON e.a = l.node GROUP BY e.b, l.label),
+      t{i} AS (SELECT node, max(c) AS cmax FROM v{i} GROUP BY node),
+      l{i + 1} AS MATERIALIZED (
+        SELECT v.node, min(v.label) AS label
+        FROM v{i} v JOIN t{i} t ON v.node = t.node AND v.c = t.cmax
+        GROUP BY v.node
+      )"""
+    return sql + f"""
+      SELECT node AS entity, label AS community FROM l{iters}"""
 
 
 def _pagerank_duck(iters: int = 3, d: float = 0.85) -> str:
@@ -1893,6 +1936,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_pagerank": _pagerank_duck(),
         "ann_kmeans_centroids": _kmeans_duck(),
         "ann_pq_topk": _pq_duck(),
+        "kg_entity_communities": _lpa_duck(),
         "doc_perplexity": """
           WITH toks AS (
             SELECT doc_id,

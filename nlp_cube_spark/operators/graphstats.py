@@ -185,6 +185,67 @@ def triangle_count(
     )
 
 
+def label_propagation(
+    edges: DataFrame, src: str = "src", dst: str = "dst", iters: int = 3
+) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    UNDIRECTED simple graph (Raghavan et al. 2007, public knowledge),
+    made deterministic the same way GraphFrames' LPA is: every node
+    starts as its own label; each round a node adopts the most frequent
+    label among its neighbours (ties -> smallest label; isolated
+    self-loop-only nodes keep their label). The iteration count is FIXED
+    so the output is a pure function of the graph — oracle-replayable by
+    an unrolled CTE chain like pagerank, rather than convergence-tested.
+    Returns (node, label).
+
+    100 TB shape: one (edge x label) join + one (dst, label) hash agg +
+    one per-node argmax per round — all uniform-key shuffles, labels are
+    a node-dimension table, and each round localCheckpoints so the plan
+    stays round-sized (pagerank's discipline). Skewed hubs salt like any
+    other hot key (operators/salting)."""
+    und = (
+        edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+    )
+    e = (
+        und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .dropDuplicates()
+        .localCheckpoint(eager=False)  # both directions: neighbour = any endpoint
+    )
+    labels = (
+        e.select(F.col("a").alias("node"))
+        .dropDuplicates()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(iters):
+        votes = (
+            e.join(labels, e["a"] == labels["node"])
+            .select(F.col("b").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # most frequent neighbour label, ties to the SMALLEST label:
+        # max_by on (count, reversed-label) — label is a string, so the
+        # tie-break key is monotone-decreasing via a struct comparison
+        # trick: max over (c, -rank) is not expressible for strings, so
+        # rank labels per node with a min over candidates of max count
+        top = votes.groupBy("node").agg(F.max("c").alias("cmax"))
+        new = (
+            votes.join(top, "node")
+            .where(F.col("c") == F.col("cmax"))
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        labels = (
+            labels.select("node").join(new, "node", "left")
+            .select("node", F.coalesce("label", F.col("node")).alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    return labels
+
+
 class Graph:
     """GraphFrames-style facade over plain DataFrames (the north-star's
     "GraphFrames-style edge DataFrame" without the external package):
@@ -234,3 +295,6 @@ class Graph:
 
     def triangle_count(self, degree_ordered: bool = True) -> DataFrame:
         return triangle_count(self.edges, degree_ordered=degree_ordered)
+
+    def label_propagation(self, iters: int = 3) -> DataFrame:
+        return label_propagation(self.edges, iters=iters)

@@ -164,3 +164,42 @@ def test_triangle_count_null_edges_dropped(spark):
     rows = triangle_count(edges).collect()
     assert all(r.node is not None for r in rows)
     assert {r.node: r.triangles for r in rows} == {"a": 1, "b": 1, "c": 1}
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two triangles joined by one bridge edge: LPA collapses each
+    clique to one community; the deterministic min tie-break makes the
+    result reproducible. Duplicate/reversed/self-loop edges and NULLs
+    must not change anything."""
+    from nlp_cube_spark.operators.graphstats import Graph, label_propagation
+
+    edges = spark.createDataFrame(
+        [
+            ("a1", "a2"), ("a2", "a3"), ("a1", "a3"),    # clique A
+            ("b1", "b2"), ("b2", "b3"), ("b1", "b3"),    # clique B
+            ("a3", "b1"),                                 # bridge
+            ("a2", "a1"), ("a1", "a1"), (None, "a2"),     # noise
+        ],
+        "src string, dst string",
+    )
+    got = {r.node: r.label for r in label_propagation(edges, iters=3).collect()}
+    assert set(got) == {"a1", "a2", "a3", "b1", "b2", "b3"}
+    assert len({got["a1"], got["a2"], got["a3"]}) == 1
+    assert len({got["b1"], got["b2"], got["b3"]}) == 1
+    # determinism incl. through the facade
+    again = {r.node: r.label for r in Graph(edges).label_propagation(iters=3).collect()}
+    assert again == got
+
+
+def test_label_propagation_star_converges_to_hub_rule(spark):
+    """A star: after round 1 every leaf holds the hub's label (their only
+    neighbour) and the hub holds the min leaf label; fixed iterations
+    keep the sync-LPA oscillation deterministic."""
+    from nlp_cube_spark.operators.graphstats import label_propagation
+
+    edges = spark.createDataFrame(
+        [("hub", f"leaf{i}") for i in range(5)], "src string, dst string"
+    )
+    one = {r.node: r.label for r in label_propagation(edges, iters=1).collect()}
+    assert all(one[f"leaf{i}"] == "hub" for i in range(5))
+    assert one["hub"] == "leaf0"
