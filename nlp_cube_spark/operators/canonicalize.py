@@ -22,20 +22,25 @@ iteration cap (max_iter) bounds pathological diameters.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 
 def connected_components(edges: DataFrame, max_iter: int = 15) -> DataFrame:
     """edges (src STRING, dst STRING) -> (node STRING, component STRING).
 
     component = lexicographic min node reachable; undirected.
-    """
+
+    ONE job per round: the convergence check rides the checkpoint job as
+    an Observation instead of a second count() job (measured: the loop
+    runs on a vocab-sized dimension, so per-round cost is dominated by
+    job scheduling, not data — two tiny jobs per round doubled the
+    canonicalize phase of kg_build_graph)."""
     sym = edges.select("src", "dst").union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     sym = sym.where(F.col("src").isNotNull() & F.col("dst").isNotNull()).dropDuplicates().localCheckpoint()
     nodes = sym.select(F.col("src").alias("node")).dropDuplicates()
     labels = nodes.withColumn("component", F.col("node"))
 
-    for _ in range(max_iter):
+    for i in range(max_iter):
         # hop step: min label over neighbors + self
         nbr = (
             sym.join(labels, sym["src"] == labels["node"])
@@ -50,19 +55,30 @@ def connected_components(edges: DataFrame, max_iter: int = 15) -> DataFrame:
         # O(diameter) min-propagation into O(log diameter) rounds (the
         # small-star/large-star contraction idea)
         parent = hop.select(F.col("node").alias("_p"), F.col("component").alias("_pc"))
-        new_labels = (
+        old = labels.select("node", F.col("component").alias("_old"))
+        merged = (
             hop.join(parent, hop["component"] == parent["_p"], "left")
             .select("node", F.least(F.col("component"), F.coalesce("_pc", "component")).alias("component"))
-            .localCheckpoint()
+            .join(old, "node")  # node-keyed like everything else here
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+        obs = Observation(f"cc_changed_{i}")
+        new_labels = (
+            merged.observe(
+                obs,
+                F.sum(
+                    F.when(F.col("component") != F.col("_old"), 1).otherwise(0)
+                ).alias("n"),
+            )
+            .select("node", "component")
+            .localCheckpoint()  # eager: materializes AND fills the observation
         )
         labels = new_labels
+        try:
+            changed = int(obs.get["n"] or 0)
+        except Exception:
+            # AQE empty-relation pruning drops CollectMetrics on an empty
+            # plan (CLAUDE.md) — an empty label table is converged
+            changed = 0
         if changed == 0:
             break
     return labels
