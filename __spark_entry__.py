@@ -839,6 +839,28 @@ def q_kg_entity_pagerank(spark, sf_dir):
     )
 
 
+def q_doc_paragraph_dedup(spark, sf_dir):
+    """Paragraph-level boilerplate dedup (operators/dedup.
+    paragraph_dedup): the documents table wrapped in deterministic
+    nav/footer/source boilerplate lines — the RefinedWeb scenario
+    document-level dedup cannot see. The winner rule (first corpus
+    occurrence by (doc_id, position)) and full reassembled text are
+    hash-verified against the DuckDB replay."""
+    from nlp_cube_spark.operators.dedup import paragraph_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("HOME | ABOUT | CONTACT"),
+            F.col("text"),
+            F.lit("COPYRIGHT 2025 EXAMPLE CORP"),
+            F.concat(F.lit("SOURCE: "), F.col("source")),
+        ).alias("text"),
+    )
+    return paragraph_dedup(docs)
+
+
 def q_kg_entity_communities(spark, sf_dir):
     """Deterministic synchronous label propagation (graphstats.
     label_propagation, 3 fixed rounds, most-frequent-neighbour label,
@@ -1067,6 +1089,7 @@ _QUERIES = {
         "kg_lemmas_transducer": q_kg_lemmas_transducer,
         "ann_pq_topk": q_ann_pq_topk,
         "kg_entity_communities": q_kg_entity_communities,
+        "doc_paragraph_dedup": q_doc_paragraph_dedup,
         # --- aged tail (last driver-checked r4), rotated forward ---
         "near_dup_clusters": q_near_dup_clusters,
         "exact_dups": q_exact_dups,
@@ -1937,6 +1960,38 @@ def oracle_sql() -> dict[str, str]:
         "ann_kmeans_centroids": _kmeans_duck(),
         "ann_pq_topk": _pq_duck(),
         "kg_entity_communities": _lpa_duck(),
+        "doc_paragraph_dedup": """
+          WITH base AS (
+            SELECT doc_id,
+                   'HOME | ABOUT | CONTACT' || chr(10) || text || chr(10) ||
+                   'COPYRIGHT 2025 EXAMPLE CORP' || chr(10) || 'SOURCE: ' || source AS text
+            FROM documents
+          ),
+          lines AS (
+            SELECT doc_id, idx, para FROM (
+              SELECT doc_id,
+                     generate_subscripts(string_split(text, chr(10)), 1) AS idx,
+                     unnest(string_split(text, chr(10))) AS para
+              FROM base
+            ) WHERE para <> ''
+          ),
+          ranked AS (
+            SELECT doc_id, idx, para,
+                   row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+            FROM lines
+          ),
+          kept AS (SELECT doc_id, idx, para FROM ranked WHERE rn = 1),
+          tot AS (SELECT doc_id, count(*) AS n_paragraphs FROM lines GROUP BY doc_id),
+          reb AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY idx) AS text,
+                         count(*) AS n_kept
+                  FROM kept GROUP BY doc_id)
+          SELECT d.doc_id,
+                 coalesce(reb.text, '') AS text,
+                 CAST(coalesce(tot.n_paragraphs, 0) AS BIGINT) AS n_paragraphs,
+                 CAST(coalesce(tot.n_paragraphs, 0) - coalesce(reb.n_kept, 0) AS BIGINT)
+                   AS n_removed
+          FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id)
+        """,
         "doc_perplexity": """
           WITH toks AS (
             SELECT doc_id,

@@ -364,3 +364,57 @@ def near_dup_clusters(
         F.col("node").cast("bigint").alias(id_col),
         F.col("component").cast("bigint").alias("cluster_id"),
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Paragraph-level exact dedup (RefinedWeb/FineWeb-style, public
+    knowledge): split documents on newlines, keep each distinct
+    non-empty paragraph only at its FIRST corpus occurrence (winner =
+    min (id, position) — deterministic), and reassemble the survivors
+    in original order. Kills cross-site boilerplate (navigation bars,
+    footers, cookie banners) that document-level dedup cannot see.
+
+    Returns id, text (deduped; '' when every paragraph was a repeat),
+    n_paragraphs (non-empty, pre-dedup), n_removed.
+
+    100 TB shape: one md5-keyed hash shuffle elects winners (uniform —
+    a boilerplate line repeated 10^9 times collapses map-side in the
+    min() partial agg), the keep-join reuses that partitioning, and the
+    per-doc reassembly groups a document's OWN lines (bounded by doc
+    size, the same contract as any per-doc collect)."""
+    lines = (
+        docs.select(F.col(id_col), F.posexplode(F.split(text_col, "\n")).alias("idx", "para"))
+        .where(F.col("para") != "")
+    )
+    keyed = lines.withColumn("_h", F.md5("para"))
+    winners = keyed.groupBy("_h").agg(
+        F.min(F.struct(F.col(id_col).alias("wid"), F.col("idx").alias("widx"))).alias("w")
+    ).select("_h", F.col("w.wid").alias("wid"), F.col("w.widx").alias("widx"))
+    kept = keyed.join(
+        winners,
+        (keyed["_h"] == winners["_h"])
+        & (keyed[id_col] == winners["wid"])
+        & (keyed["idx"] == winners["widx"]),
+    ).select(keyed[id_col], keyed["idx"], keyed["para"])
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paragraphs"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n", F.expr("transform(array_sort(collect_list(struct(idx, para))), x -> x.para)")
+        ).alias("_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    return (
+        docs.select(id_col)
+        .join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("_text", F.lit("")).alias("text"),
+            F.coalesce("n_paragraphs", F.lit(0)).alias("n_paragraphs"),
+            (F.coalesce("n_paragraphs", F.lit(0)) - F.coalesce("_n_kept", F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
+    )

@@ -326,3 +326,28 @@ def test_pq_encode_and_topk_shape(spark):
     # determinism: a second independent run produces identical rows
     again = {tuple(r) for r in pq_topk(emb, q, k=5, m=4, ksub=8, iters=1).collect()}
     assert again == {tuple(r) for r in rows}
+
+
+def test_paragraph_dedup_boilerplate(spark):
+    """Shared boilerplate survives only at its first corpus occurrence
+    (winner = min (doc_id, idx)); unique paragraphs all survive in
+    order; a doc made entirely of repeats dedupes to empty text."""
+    from nlp_cube_spark.operators.dedup import paragraph_dedup
+
+    nav, foot = "HOME | ABOUT", "(c) corp"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{nav}\nalpha body one\n\n{foot}"),
+            (2, f"{nav}\nbeta body two\n{foot}"),
+            (3, f"{nav}\n{foot}"),          # pure boilerplate -> empty
+            (4, ""),                          # no paragraphs at all
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in paragraph_dedup(docs).collect()}
+    assert got[1].text == f"{nav}\nalpha body one\n{foot}"  # empty line dropped
+    assert got[1].n_paragraphs == 3 and got[1].n_removed == 0
+    assert got[2].text == "beta body two"
+    assert got[2].n_paragraphs == 3 and got[2].n_removed == 2
+    assert got[3].text == "" and got[3].n_removed == 2
+    assert got[4].text == "" and got[4].n_paragraphs == 0 and got[4].n_removed == 0
