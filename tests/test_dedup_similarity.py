@@ -351,3 +351,18 @@ def test_paragraph_dedup_boilerplate(spark):
     assert got[2].n_paragraphs == 3 and got[2].n_removed == 2
     assert got[3].text == "" and got[3].n_removed == 2
     assert got[4].text == "" and got[4].n_paragraphs == 0 and got[4].n_removed == 0
+
+
+def test_pq_plan_no_cartesian_and_broadcast_dims(spark):
+    """ADC scoring must join codes against BROADCAST distance tables and
+    never fall back to a cartesian/nested-loop plan."""
+    from nlp_cube_spark.operators.similarity import pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where("vec_id < 2").selectExpr("vec_id AS q_id", "embedding")
+    plan = (
+        pq_topk(emb, q, k=3, m=4, ksub=8, iters=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -203,3 +203,11 @@ def test_label_propagation_star_converges_to_hub_rule(spark):
     one = {r.node: r.label for r in label_propagation(edges, iters=1).collect()}
     assert all(one[f"leaf{i}"] == "hub" for i in range(5))
     assert one["hub"] == "leaf0"
+
+
+def test_lpa_plan_no_cartesian(spark):
+    from nlp_cube_spark.operators.graphstats import label_propagation
+
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    plan = label_propagation(edges, iters=2)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
