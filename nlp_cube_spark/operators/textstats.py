@@ -18,11 +18,14 @@ STOPWORDS = {
 
 
 def _sw_ratio(text_col: str, words: list[str]) -> str:
-    arr = ", ".join(f"'{w}'" for w in words)
-    return (
-        f"size(filter(filter(split(lower({text_col}), ' '), t -> t <> ''),"
-        f" t -> array_contains(array({arr}), t)))"
-    )
+    """Stopword-token count as ONE codegen'd regex pass: a token (maximal
+    non-space run) counts iff it equals a profile word — the alternation
+    is anchored by a consumed leading boundary and a zero-width trailing
+    lookahead, so adjacent hits ('a a a') all count (same trick as
+    ngrams_sql; the interpreted filter(filter(split)) lambda chain this
+    replaces cost two passes per language per doc)."""
+    alts = "|".join(words)
+    return f"regexp_count(lower({text_col}), '(^| )({alts})(?= |$)')"
 
 
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -43,7 +46,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     n_alpha = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
     n_space = F.length(F.regexp_replace(F.col(text_col), "[^ ]", ""))
     n_punct = F.length(F.regexp_replace(F.col(text_col), "[^.,;:!?]", ""))
-    n_tokens = F.expr(f"size(filter(split({text_col}, ' '), t -> t <> ''))")
+    n_tokens = F.expr(f"regexp_count({text_col}, '[^ ]+')")
     sw = F.expr(_sw_ratio(text_col, STOPWORDS["en"]))
     alpha_ratio = F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6)
     punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
