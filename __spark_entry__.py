@@ -1081,10 +1081,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # relational queries (green since round 1) trail.  Every entry is still
 # replayed locally against its DuckDB oracle in tests/test_entry_queries.py.
 _QUERIES = {
-        # --- round-6 window: 2 r6-new lead, then the 24 queries whose
-        # driver evidence is oldest (last checked r4), then the r5-checked
-        # trivials + KG rows — so no registered query's driver evidence
-        # ever ages more than two rounds ---
+        # --- round-6 window: 5 r6-new lead, then the 24 queries whose
+        # driver evidence is oldest (last checked r4), then 15 r5-checked
+        # trivials + 6 KG rows = exactly 50 — so no registered query's
+        # driver evidence ever ages more than two rounds ---
         "doc_length_quantiles_approx": q_doc_length_quantiles_approx,
         "kg_lemmas_transducer": q_kg_lemmas_transducer,
         "ann_pq_topk": q_ann_pq_topk,
@@ -1138,12 +1138,12 @@ _QUERIES = {
         "kg_heads_learned": q_kg_heads_learned,
         "kg_head_distribution": q_kg_head_distribution,
         "kg_deprel_distribution": q_kg_deprel_distribution,
-        "kg_upos_distribution": q_kg_upos_distribution,
-        "kg_tag_distribution": q_kg_tag_distribution,
-        "kg_predicate_counts": q_kg_predicate_counts,
         # ---------- window boundary (first 50 above) ----------
         # everything below was driver-green in r5 (CORRECTNESS_r05) and
         # stays locally oracled on every pytest run; rotates back in r7
+        "kg_upos_distribution": q_kg_upos_distribution,
+        "kg_tag_distribution": q_kg_tag_distribution,
+        "kg_predicate_counts": q_kg_predicate_counts,
         "doc_perplexity": q_doc_perplexity,
         "ann_kmeans_centroids": q_ann_kmeans_centroids,
         "kg_entity_triangles": q_kg_entity_triangles,
@@ -1434,21 +1434,28 @@ def _lpa_duck(iters: int = 3) -> str:
     relational triple replay — mirrors graphstats.label_propagation's
     exact vote/argmax/min-tie-break per round."""
     sql = f"""
-      WITH und AS MATERIALIZED (
-        SELECT DISTINCT subj AS a, obj AS b FROM ({_KG_TRIPLES_DUCK})
-        WHERE subj <> obj AND subj IS NOT NULL AND obj IS NOT NULL
+      WITH clean AS MATERIALIZED (
+        SELECT subj AS a, obj AS b FROM ({_KG_TRIPLES_DUCK})
+        WHERE subj IS NOT NULL AND obj IS NOT NULL
       ),
+      und AS (SELECT DISTINCT a, b FROM clean WHERE a <> b),
       e AS MATERIALIZED (SELECT a, b FROM und UNION SELECT b, a FROM und),
-      l0 AS (SELECT DISTINCT a AS node, a AS label FROM e)"""
+      l0 AS (
+        SELECT node, node AS label FROM (
+          SELECT a AS node FROM clean UNION SELECT b FROM clean
+        )
+      )"""
     for i in range(iters):
         sql += f""",
       v{i} AS (SELECT e.b AS node, l.label, count(*) AS c
                FROM e JOIN l{i} l ON e.a = l.node GROUP BY e.b, l.label),
       t{i} AS (SELECT node, max(c) AS cmax FROM v{i} GROUP BY node),
+      w{i} AS (SELECT v.node, min(v.label) AS label
+               FROM v{i} v JOIN t{i} t ON v.node = t.node AND v.c = t.cmax
+               GROUP BY v.node),
       l{i + 1} AS MATERIALIZED (
-        SELECT v.node, min(v.label) AS label
-        FROM v{i} v JOIN t{i} t ON v.node = t.node AND v.c = t.cmax
-        GROUP BY v.node
+        SELECT l.node, coalesce(w.label, l.node) AS label
+        FROM l{i} l LEFT JOIN w{i} w ON l.node = w.node
       )"""
     return sql + f"""
       SELECT node AS entity, label AS community FROM l{iters}"""

@@ -72,13 +72,21 @@ def connected_components(edges: DataFrame, max_iter: int = 15) -> DataFrame:
             .select("node", "component")
             .localCheckpoint()  # eager: materializes AND fills the observation
         )
-        labels = new_labels
         try:
             changed = int(obs.get["n"] or 0)
         except Exception:
             # AQE empty-relation pruning drops CollectMetrics on an empty
-            # plan (CLAUDE.md) — an empty label table is converged
-            changed = 0
+            # plan (CLAUDE.md) — but NEVER assume convergence on an
+            # arbitrary failure: an explicit comparison job is the
+            # fallback (it reads the already-checkpointed tables, so this
+            # path costs one small job only when the observation is lost)
+            changed = (
+                new_labels.join(old, "node")
+                .where(F.col("component") != F.col("_old"))
+                .limit(1)
+                .count()
+            )
+        labels = new_labels
         if changed == 0:
             break
     return labels

@@ -163,7 +163,12 @@ def triangle_count(
     (least/greatest would otherwise skip the NULL and collapse such an
     edge to a self-loop while its NULL node still appeared in the
     output)."""
-    edges = edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+    # lazy checkpoint: edges feeds the directed-edge derivation AND both
+    # node-listing branches — without it a mapInPandas upstream (fused
+    # triple kernel) re-runs once per reference (CLAUDE.md)
+    edges = edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull()).localCheckpoint(
+        eager=False
+    )
     d = _directed_simple_edges(edges, src, dst, degree_ordered).localCheckpoint(
         eager=False
     )  # referenced by the wedge join (2x) and the closing-edge join
@@ -192,33 +197,43 @@ def label_propagation(
     UNDIRECTED simple graph (Raghavan et al. 2007, public knowledge),
     made deterministic the same way GraphFrames' LPA is: every node
     starts as its own label; each round a node adopts the most frequent
-    label among its neighbours (ties -> smallest label; isolated
-    self-loop-only nodes keep their label). The iteration count is FIXED
-    so the output is a pure function of the graph — oracle-replayable by
-    an unrolled CTE chain like pagerank, rather than convergence-tested.
-    Returns (node, label).
+    label among its neighbours (ties -> smallest label; a node whose
+    only edges are self-loops has no neighbours to out-vote it and keeps
+    its own label). The iteration count is FIXED so the output is a pure
+    function of the graph — oracle-replayable by an unrolled CTE chain
+    like pagerank, rather than convergence-tested. Returns (node, label)
+    for EVERY node with a non-NULL edge endpoint, self-loop-only nodes
+    included.
 
     100 TB shape: one (edge x label) join + one (dst, label) hash agg +
     one per-node argmax per round — all uniform-key shuffles, labels are
     a node-dimension table, and each round localCheckpoints so the plan
     stays round-sized (pagerank's discipline). Skewed hubs salt like any
     other hot key (operators/salting)."""
-    und = (
+    # lazy checkpoint BEFORE the multiple references below: clean feeds
+    # und plus both node-derivation branches, and Spark re-runs a shared
+    # mapInPandas subtree (e.g. the fused triple kernel) once per
+    # reference (CLAUDE.md)
+    clean = (
         edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull())
         .select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .where(F.col("a") != F.col("b"))
+        .localCheckpoint(eager=False)
     )
+    und = clean.where(F.col("a") != F.col("b"))
     e = (
         und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .dropDuplicates()
         .localCheckpoint(eager=False)  # both directions: neighbour = any endpoint
     )
-    labels = (
-        e.select(F.col("a").alias("node"))
+    # every non-NULL endpoint is a node — self-loop-only nodes carry no
+    # votes but must not vanish from the output
+    nodes = (
+        clean.select(F.col("a").alias("node"))
+        .unionByName(clean.select(F.col("b").alias("node")))
         .dropDuplicates()
-        .withColumn("label", F.col("node"))
         .localCheckpoint(eager=False)
     )
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint(eager=False)
     for _ in range(iters):
         votes = (
             e.join(labels, e["a"] == labels["node"])

@@ -40,17 +40,26 @@ def cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
-def deterministic_centroids(vectors: DataFrame, n_centroids: int = 16, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Pick C centroid vectors deterministically: the C vectors with the
-    smallest md5-derived hash of their id (uniform pseudo-random, stable
-    across runs and parallelism)."""
+def _seed_rows(vectors: DataFrame, n: int, id_col: str, vec_col: str) -> DataFrame:
+    """The n vectors with the smallest md5-derived hash of their id,
+    numbered centroid_id = 1..n in hash order (uniform pseudo-random,
+    stable across runs and parallelism). THE one definition of seed
+    selection — deterministic_centroids and pq_codebooks both build on
+    it, and the DuckDB oracles replay it verbatim; two copies could
+    drift and silently break an oracle."""
     return (
         vectors.select(id_col, vec_col)
         .withColumn("_h", F.expr(f"conv(substr(md5(cast({id_col} as string)), 1, 15), 16, 10)"))
         .orderBy("_h")
-        .limit(n_centroids)
-        .withColumn("centroid_id", F.expr(f"row_number() over (order by _h)"))
-        .select("centroid_id", F.col(vec_col).alias("c_emb"))
+        .limit(n)
+        .withColumn("centroid_id", F.expr("row_number() over (order by _h)"))
+    )
+
+
+def deterministic_centroids(vectors: DataFrame, n_centroids: int = 16, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Pick C centroid vectors deterministically (see _seed_rows)."""
+    return _seed_rows(vectors, n_centroids, id_col, vec_col).select(
+        "centroid_id", F.col(vec_col).alias("c_emb")
     )
 
 
@@ -158,13 +167,7 @@ def pq_codebooks(
     subspace). Means round to `round_dp` before the next assignment so
     the training trajectory is engine-portable, and empty cells keep
     their previous centroid (kmeans_refine's degenerate-cell rule)."""
-    seed_rows = (
-        vectors.select(id_col, vec_col)
-        .withColumn("_h", F.expr(f"conv(substr(md5(cast({id_col} as string)), 1, 15), 16, 10)"))
-        .orderBy("_h")
-        .limit(ksub)
-        .withColumn("centroid_id", F.expr("row_number() over (order by _h)"))
-    )
+    seed_rows = _seed_rows(vectors, ksub, id_col, vec_col)
     cents = (
         seed_rows.select("centroid_id", F.explode(_subvectors(m, vec_col)).alias("s"))
         .select("s.sub_id", "centroid_id", F.col("s.sub_emb").alias("c_emb"))

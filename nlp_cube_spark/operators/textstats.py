@@ -25,7 +25,10 @@ def _sw_ratio(text_col: str, words: list[str]) -> str:
     ngrams_sql; the interpreted filter(filter(split)) lambda chain this
     replaces cost two passes per language per doc)."""
     alts = "|".join(words)
-    return f"regexp_count(lower({text_col}), '(^| )({alts})(?= |$)')"
+    # \\z (absolute end), NOT $: Java's $ also matches before a FINAL
+    # newline, which would count 'the\\n' where the split-token oracle
+    # replay sees the token 'the\\n' and does not
+    return f"regexp_count(lower({text_col}), '(^| )({alts})(?= |\\\\z)')"
 
 
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:

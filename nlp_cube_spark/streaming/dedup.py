@@ -201,10 +201,15 @@ def compact_store(
       phase 2: delete superseded `batch_id<=upto` dirs from the live
                store, move the staged dir in, drop the staging dir.
     Die in phase 1 -> live store untouched, rerun restarts the fold.
-    Die in phase 2 -> the marker proves the staged fold is complete, so a
-    rerun skips the fold and finishes the swap (rerun-to-finish). A
-    marker stamped with a DIFFERENT upto_batch_id is stale and the fold
-    restarts from the live store.
+    Die in phase 2 -> the marker proves the staged fold is complete, so
+    a rerun finishes the swap (rerun-to-finish) — INCLUDING a rerun at a
+    NEWER frontier: a complete stale fold (marker stamped with an older
+    upto) may be the only copy of its history once the phase-2 deletes
+    started, so it is swapped in first, never discarded; only then does
+    the fresh fold run. A marker-less partial staging dir is discarded
+    (the live store is still intact in that state). After ANY crashed
+    compaction, rerun compact_store before restarting the stream — the
+    stream's pruned history reads must not run against a gutted store.
 
     `_crash_point` is fault injection for the crash-contract tests only:
     'after_fold' | 'after_deletes' | 'after_rename' raise mid-protocol
@@ -238,11 +243,50 @@ def compact_store(
                 stream.close()
             return int(data.strip() or -1)
 
+        def _swap(batch: int) -> int:
+            """Phase 2 for a COMPLETE (marker-verified) fold at `batch`:
+            delete the live dirs whose rows the fold provably contains,
+            move the fold in, drop the staging dir. Idempotent — a rerun
+            that crashed post-move must not delete the moved fold, hence
+            the staged_present guard on the == batch dir."""
+            removed = 0
+            staged_dir = P(f"{staging}/batch_id={batch}")
+            staged_present = bool(fs.exists(staged_dir))
+            for st in fs.listStatus(P(path)):
+                name = st.getPath().getName()
+                if not name.startswith("batch_id="):
+                    continue
+                bid = int(name.split("=", 1)[1])
+                if bid < batch or (bid == batch and staged_present):
+                    fs.delete(st.getPath(), True)
+                    if bid < batch:  # the == batch dir is replaced, not folded away
+                        removed += 1
+            _crash("after_deletes")
+            if staged_present:
+                # Hadoop FileSystem.rename reports failure by RETURNING
+                # false — deleting staging after a silent failure would
+                # destroy the only copy of the folded history
+                if not fs.rename(staged_dir, P(f"{path}/batch_id={batch}")):
+                    raise IOError(
+                        f"compact_store: rename of staged fold failed for "
+                        f"{path} batch_id={batch}; staging left in place"
+                    )
+            _crash("after_rename")
+            fs.delete(P(staging), True)
+            return removed
+
+        # a complete fold from a crashed run at an OLDER frontier must be
+        # swapped in, never discarded: once its phase-2 deletes started,
+        # the staged data is the only copy of batches <= its marker
+        stale = _marker_batch()
+        if stale is not None and stale != upto_batch_id:
+            _swap(stale)
+
         # phase 1: fold to staging (skipped when a complete fold for this
         # exact frontier already exists — we crashed mid-swap last time)
         if _marker_batch() != upto_batch_id:
             if fs.exists(P(staging)):
-                fs.delete(P(staging), True)  # stale/partial prior attempt
+                fs.delete(P(staging), True)  # marker-less partial attempt
             (
                 spark.read.parquet(path)
                 .where(F.col("batch_id") <= upto_batch_id)
@@ -260,29 +304,7 @@ def compact_store(
                 out.close()
         _crash("after_fold")
 
-        # phase 2: swap. Deletes target only rows whose content the staged
-        # fold provably contains (batch_id <= upto, marker verified). The
-        # live batch_id=upto dir is superseded only WHILE the staged fold
-        # still holds its replacement — after the move it IS the fold (a
-        # rerun that crashed post-move must not delete it).
-        removed = 0
-        staged_dir = P(f"{staging}/batch_id={upto_batch_id}")
-        staged_present = bool(fs.exists(staged_dir))
-        for st in fs.listStatus(P(path)):
-            name = st.getPath().getName()
-            if not name.startswith("batch_id="):
-                continue
-            bid = int(name.split("=", 1)[1])
-            if bid < upto_batch_id or (bid == upto_batch_id and staged_present):
-                fs.delete(st.getPath(), True)
-                if bid < upto_batch_id:  # the ==upto dir is replaced, not folded away
-                    removed += 1
-        _crash("after_deletes")
-        if staged_present:
-            fs.rename(staged_dir, P(f"{path}/batch_id={upto_batch_id}"))
-        _crash("after_rename")
-        fs.delete(P(staging), True)
-        stats[sub] = {"batch_dirs_removed": removed}
+        stats[sub] = {"batch_dirs_removed": _swap(upto_batch_id)}
     return stats
 
 

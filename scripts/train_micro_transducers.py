@@ -232,6 +232,13 @@ def main() -> None:
     print(f"  identity-random: {len(idrand) - id_wrong}/{len(idrand)}")
     mwt_bad += id_wrong
 
+    # GATE BEFORE WRITING: overwriting the shipped JSONs on a failed run
+    # would leave checksum-mismatched artifacts that brick every
+    # _load_artifact call until manually reverted
+    if bad or mwt_bad:
+        print("  WARNING: imperfect parity — artifacts NOT written")
+        sys.exit(1)
+
     for name, tables in (
         ("micro_lemma_transducer.json", lem_tables),
         ("micro_mwt_transducer.json", mwt_tables),
@@ -243,10 +250,6 @@ def main() -> None:
         n_rules = sum(len(t["rules"]) for t in tables.values())
         print(f"  wrote {out_path} ({n_rules} rules)")
         print(f"  sha256 {digest}  <- update io/modelstore._CATALOG")
-
-    if bad or mwt_bad:
-        print("  WARNING: imperfect parity — do not ship these artifacts")
-        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -323,3 +323,32 @@ def test_compact_store_rerun_to_finish_after_crash(spark, dirs):
     run()
     surv = {r.url for r in spark.read.parquet(f"{dirs['out']}/survivors").collect()}
     assert surv == {"u1", "u2", "u3", "u4", "u6"}
+
+    # crash 4 (r6 review data-loss finding): compact at an OLDER
+    # frontier K (later batches already exist), crash mid-swap — the
+    # staged fold is now the only copy of <= K history — then a rerun
+    # compacts at the NEWER frontier K'. The stale fold must be swapped
+    # in first, never discarded.
+    write([("u7", "fourth unique body mentioning columnar shuffles")])
+    run()
+    dirs_now = sorted(int(d.split("=", 1)[1]) for d in batch_dirs("hashes"))
+    k_old, k_new = min(dirs_now), max(dirs_now)  # oldest fold .. u7's batch
+    assert k_old < k_new
+    n3 = spark.read.parquet(f"{dirs['out']}/hashes").count()
+    with pytest.raises(RuntimeError, match="after_deletes"):
+        SD.compact_store(
+            spark, dirs["out"], upto_batch_id=k_old, _crash_point="after_deletes"
+        )
+    # gutted <= k_old; every newer batch dir survives on the live side
+    survivors_live = sorted(int(d.split("=", 1)[1]) for d in batch_dirs("hashes"))
+    assert survivors_live == [i for i in dirs_now if i > k_old]
+    SD.compact_store(spark, dirs["out"], upto_batch_id=k_new)
+    assert batch_dirs("hashes") == [f"batch_id={k_new}"]
+    assert spark.read.parquet(f"{dirs['out']}/hashes").count() == n3
+    import os as _os
+    assert not _os.path.exists(f"{dirs['out']}/hashes._compacting")
+    # the twice-folded pre-crash history still drops duplicates
+    write([("u8", base), ("u9", "a fifth genuinely new document body")])
+    run()
+    surv = {r.url for r in spark.read.parquet(f"{dirs['out']}/survivors").collect()}
+    assert "u8" not in surv and "u9" in surv
