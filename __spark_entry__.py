@@ -861,6 +861,49 @@ def q_doc_paragraph_dedup(spark, sf_dir):
     return paragraph_dedup(docs)
 
 
+def q_training_corpus_curation(spark, sf_dir):
+    """The composed curation pipeline (plans/dataprep.curate_corpus):
+    paragraph-boilerplate dedup -> PII scrub -> benchmark
+    decontamination (on scrubbed text) -> Gopher repetition stats ->
+    quality + keep verdict, ALL stages chained and replayed end-to-end
+    by one DuckDB CTE — the composition analogue of training_data_prep
+    for the curation half. Input = documents wrapped in deterministic
+    boilerplate + injected PII; benchmark = the doc_id %% 50 sample."""
+    from nlp_cube_spark.plans.dataprep import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("HOME | ABOUT | CONTACT"),
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com now")),
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.col("doc_id") % 11 == 0,
+                    F.concat(F.lit(" call +1 555-01"), F.col("doc_id"), F.lit(" today")),
+                ).otherwise(F.lit("")),
+            ),
+            F.lit("COPYRIGHT 2025 EXAMPLE CORP"),
+            F.concat(F.lit("SOURCE: "), F.col("source")),
+        ).alias("text"),
+    )
+    bench = docs.where("doc_id % 50 = 0").select("text")
+    out = curate_corpus(
+        wrapped, bench, decontaminate_n=5, min_quality=0.6,
+        max_dup_line_frac=0.5, max_top_ngram_frac=0.5,
+    )
+    return out.select(
+        "doc_id", F.md5("text").alias("text_md5"), "n_removed", "n_emails",
+        "n_phones", "contaminated", "dup_line_frac", "top_ngram_frac",
+        "quality", "kept",
+    )
+
+
 def q_kg_entity_communities(spark, sf_dir):
     """Deterministic synchronous label propagation (graphstats.
     label_propagation, 3 fixed rounds, most-frequent-neighbour label,
@@ -1081,15 +1124,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # relational queries (green since round 1) trail.  Every entry is still
 # replayed locally against its DuckDB oracle in tests/test_entry_queries.py.
 _QUERIES = {
-        # --- round-6 window: 5 r6-new lead, then the 24 queries whose
+        # --- round-6 window: 6 r6-new lead, then the 24 queries whose
         # driver evidence is oldest (last checked r4), then 15 r5-checked
-        # trivials + 6 KG rows = exactly 50 — so no registered query's
+        # trivials + 5 KG rows = exactly 50 — so no registered query's
         # driver evidence ever ages more than two rounds ---
         "doc_length_quantiles_approx": q_doc_length_quantiles_approx,
         "kg_lemmas_transducer": q_kg_lemmas_transducer,
         "ann_pq_topk": q_ann_pq_topk,
         "kg_entity_communities": q_kg_entity_communities,
         "doc_paragraph_dedup": q_doc_paragraph_dedup,
+        "training_corpus_curation": q_training_corpus_curation,
         # --- aged tail (last driver-checked r4), rotated forward ---
         "near_dup_clusters": q_near_dup_clusters,
         "exact_dups": q_exact_dups,
@@ -1137,10 +1181,10 @@ _QUERIES = {
         "kg_words_learned": q_kg_words_learned,
         "kg_heads_learned": q_kg_heads_learned,
         "kg_head_distribution": q_kg_head_distribution,
-        "kg_deprel_distribution": q_kg_deprel_distribution,
         # ---------- window boundary (first 50 above) ----------
         # everything below was driver-green in r5 (CORRECTNESS_r05) and
         # stays locally oracled on every pytest run; rotates back in r7
+        "kg_deprel_distribution": q_kg_deprel_distribution,
         "kg_upos_distribution": q_kg_upos_distribution,
         "kg_tag_distribution": q_kg_tag_distribution,
         "kg_predicate_counts": q_kg_predicate_counts,
@@ -1967,6 +2011,121 @@ def oracle_sql() -> dict[str, str]:
         "ann_kmeans_centroids": _kmeans_duck(),
         "ann_pq_topk": _pq_duck(),
         "kg_entity_communities": _lpa_duck(),
+        "training_corpus_curation": """
+          WITH wrapped AS MATERIALIZED (
+            SELECT doc_id,
+                   'HOME | ABOUT | CONTACT' || chr(10) ||
+                   (text
+                    || CASE WHEN doc_id % 7 = 0
+                       THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+                    || CASE WHEN doc_id % 11 = 0
+                       THEN ' call +1 555-01' || doc_id || ' today' ELSE '' END)
+                   || chr(10) || 'COPYRIGHT 2025 EXAMPLE CORP'
+                   || chr(10) || 'SOURCE: ' || source AS text
+            FROM documents
+          ),
+          lines AS (
+            SELECT doc_id, idx, para FROM (
+              SELECT doc_id,
+                     generate_subscripts(string_split(text, chr(10)), 1) AS idx,
+                     unnest(string_split(text, chr(10))) AS para
+              FROM wrapped
+            ) WHERE para <> ''
+          ),
+          ranked AS (
+            SELECT doc_id, idx, para,
+                   row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+            FROM lines
+          ),
+          kept_l AS (SELECT doc_id, idx, para FROM ranked WHERE rn = 1),
+          tot AS (SELECT doc_id, count(*) AS n_paragraphs FROM lines GROUP BY doc_id),
+          reb AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY idx) AS text,
+                         count(*) AS n_kept
+                  FROM kept_l GROUP BY doc_id),
+          pd AS MATERIALIZED (
+            SELECT d.doc_id, coalesce(reb.text, '') AS text,
+                   CAST(coalesce(tot.n_paragraphs, 0) - coalesce(reb.n_kept, 0) AS BIGINT)
+                     AS n_removed
+            FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id)
+          ),
+          s1 AS (
+            SELECT doc_id, n_removed,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS n_emails,
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t1
+            FROM pd
+          ),
+          sc AS MATERIALIZED (
+            SELECT doc_id, n_removed,
+                   CAST(n_emails AS INT) AS n_emails,
+                   CAST(len(regexp_extract_all(t1, '[+]?[0-9][0-9 -]{7,}[0-9]')) AS INT)
+                     AS n_phones,
+                   regexp_replace(t1, '[+]?[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g')
+                     AS scrubbed
+            FROM s1
+          ),
+          t5 AS MATERIALIZED (
+            SELECT doc_id,
+                   list_filter(string_split_regex(scrubbed, '\\s+'), x -> x <> '') AS tk,
+                   list_filter(string_split(scrubbed, chr(10)), x -> x <> '') AS lns
+            FROM sc
+          ),
+          g5 AS (SELECT doc_id, array_to_string(tk[i:i+4], ' ') AS gram
+                 FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i FROM t5)),
+          bg AS (
+            SELECT DISTINCT array_to_string(btk[i:i+4], ' ') AS gram FROM (
+              SELECT btk, unnest(range(1, len(btk) - 3)) AS i FROM (
+                SELECT list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS btk
+                FROM documents WHERE doc_id % 50 = 0))
+          ),
+          hits AS (SELECT DISTINCT g5.doc_id FROM g5 JOIN bg USING (gram)),
+          g2 AS (SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS gram
+                 FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM t5)),
+          gc AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+          gm AS (SELECT doc_id, max(c) AS top_c FROM gc GROUP BY 1),
+          qual AS (
+            SELECT doc_id,
+                   len(list_filter(string_split(scrubbed, ' '), t -> t <> '')) AS n_tokens_sp,
+                   round(length(regexp_replace(scrubbed, '[^A-Za-z]', '', 'g'))
+                         / greatest(length(scrubbed), 1), 6) AS alpha_ratio,
+                   round(len(list_filter(list_filter(string_split(lower(scrubbed), ' '),
+                             t -> t <> ''),
+                             t -> list_contains(['the','a','an','is','of','and','to','in','that','it'], t)))
+                         / greatest(len(list_filter(string_split(scrubbed, ' '), t -> t <> '')), 1), 6)
+                     AS stopword_ratio,
+                   round((length(scrubbed)
+                          - length(regexp_replace(scrubbed, '[^ ]', '', 'g')))
+                         / greatest(len(list_filter(string_split(scrubbed, ' '), t -> t <> '')), 1), 6)
+                     AS mean_token_len
+            FROM sc
+          ),
+          scored AS (
+            SELECT sc.doc_id, md5(sc.scrubbed) AS text_md5, sc.n_removed,
+                   sc.n_emails, sc.n_phones,
+                   (h.doc_id IS NOT NULL) AS contaminated,
+                   round(coalesce(1 - len(list_distinct(t5.lns))
+                         / nullif(CAST(len(t5.lns) AS DOUBLE), 0), 0), 6) AS dup_line_frac,
+                   round(gm.top_c * 2 / nullif(CAST(len(t5.tk) AS DOUBLE), 0), 6)
+                     AS top_ngram_frac,
+                   round(q.alpha_ratio * 0.5 + q.stopword_ratio * 0.3
+                         + (CASE WHEN q.mean_token_len BETWEEN 3 AND 10
+                            THEN 0.2 ELSE 0.0 END), 6) AS quality,
+                   q.n_tokens_sp
+            FROM sc
+            JOIN t5 USING (doc_id)
+            JOIN qual q USING (doc_id)
+            LEFT JOIN gm USING (doc_id)
+            LEFT JOIN hits h USING (doc_id)
+          )
+          SELECT doc_id, text_md5, n_removed, n_emails, n_phones, contaminated,
+                 dup_line_frac, top_ngram_frac, quality,
+                 (quality >= 0.6 AND NOT contaminated AND dup_line_frac <= 0.5
+                  AND coalesce(top_ngram_frac <= 0.5, TRUE)
+                  AND n_tokens_sp > 0) AS kept
+          FROM scored
+        """,
         "doc_paragraph_dedup": """
           WITH base AS (
             SELECT doc_id,

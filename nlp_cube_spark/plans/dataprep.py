@@ -102,3 +102,77 @@ def prep_training_data(
         )
         packed = part if packed is None else packed.unionByName(part)
     return packed.select("doc_id", "split", "shard", size_col)
+
+
+def curate_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    decontaminate_n: int = 13,
+    min_quality: float = 0.5,
+    max_dup_line_frac: float = 0.3,
+    max_top_ngram_frac: float = 0.5,
+) -> DataFrame:
+    """The curation half of an LLM data pipeline, composed end-to-end
+    (prep_training_data handles dedup/split/pack downstream of this):
+
+        documents
+          -> paragraph-level boilerplate dedup  (dedup.paragraph_dedup)
+          -> PII scrubbing                      (curate.scrub_pii)
+          -> benchmark decontamination          (curate.decontaminate,
+                                                 on the SCRUBBED text)
+          -> Gopher repetition stats            (textstats.repetition_stats)
+          -> quality scoring + keep verdict     (textstats.quality_score)
+
+    Returns one row per input doc: id, text (cleaned + scrubbed),
+    n_removed (paragraphs), n_emails, n_phones, contaminated,
+    dup_line_frac, top_ngram_frac, quality, kept.
+
+    Plan shape: paragraph dedup is the only multi-shuffle stage; the
+    scrubbed frame is lazily checkpointed because FOUR downstream
+    branches reference it (decontamination grams, repetition grams,
+    quality exprs, the final projection) — unmaterialized, the whole
+    upstream chain would re-run per branch. Everything after the
+    checkpoint is either a broadcast join (benchmark grams), a uniform
+    hash agg (repetition), or pure per-row expressions."""
+    from ..operators.curate import decontaminate, scrub_pii
+    from ..operators.dedup import paragraph_dedup
+    from ..operators.textstats import repetition_stats
+
+    pd = paragraph_dedup(docs, id_col=id_col, text_col=text_col)
+    sc = scrub_pii(
+        pd.select(id_col, "text", "n_removed"), text_col="text"
+    ).localCheckpoint(eager=False)
+
+    contaminated = decontaminate(
+        sc.select(id_col, "scrubbed"),
+        benchmark,
+        id_col=id_col,
+        text_col="scrubbed",
+        n=decontaminate_n,
+    ).select(id_col, "contaminated")
+    rep = repetition_stats(
+        sc.select(id_col, "scrubbed"), id_col=id_col, text_col="scrubbed"
+    ).select(id_col, "dup_line_frac", "top_ngram_frac")
+    q = quality_score(sc.select(id_col, "scrubbed"), text_col="scrubbed").select(
+        id_col, "n_tokens", "quality"
+    )
+
+    out = (
+        sc.select(id_col, F.col("scrubbed").alias("text"), "n_removed", "n_emails", "n_phones")
+        .join(contaminated, id_col)
+        .join(rep, id_col)
+        .join(q, id_col)
+    )
+    kept = (
+        (F.col("quality") >= min_quality)
+        & ~F.col("contaminated")
+        & (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.coalesce(F.col("top_ngram_frac") <= max_top_ngram_frac, F.lit(True)))
+        & (F.col("n_tokens") > 0)
+    )
+    return out.select(
+        id_col, "text", "n_removed", "n_emails", "n_phones", "contaminated",
+        "dup_line_frac", "top_ngram_frac", "quality", kept.alias("kept"),
+    )
