@@ -102,7 +102,14 @@ def kmeans_refine(
     engines and summation orders (the same determinism discipline as
     the rank rounding in term_scores); empty cells keep their previous
     centroid (the standard Lloyd degenerate-cell rule). localCheckpoint
-    bounds the plan per iteration like pagerank."""
+    bounds the plan per iteration like pagerank.
+
+    Known flake surface (r5 ADVICE, accepted): rounding AFTER a
+    non-deterministically-ordered float sum does not strictly guarantee
+    cross-engine identity when the unrounded mean straddles a rounding
+    boundary. Never observed at fixture scale; if the ann_kmeans /
+    ann_pq hash oracles ever flake, the exact fix is a fixed-order sum
+    (collect_list sorted by vec_id + aggregate)."""
     cents = (
         deterministic_centroids(vectors, n_centroids, id_col, vec_col)
         .select("centroid_id", F.col("c_emb").cast("array<double>").alias("c_emb"))
