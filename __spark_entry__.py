@@ -1959,8 +1959,8 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1), 6) AS mean_token_len
             FROM documents)
           SELECT doc_id, n_tokens, alpha_ratio, stopword_ratio,
-                 round(alpha_ratio * 0.5 + stopword_ratio * 0.3
-                       + (CASE WHEN mean_token_len BETWEEN 3 AND 10 THEN 0.2 ELSE 0.0 END), 6) AS quality
+                 floor((alpha_ratio * 0.5 + stopword_ratio * 0.3
+                       + (CASE WHEN mean_token_len BETWEEN 3 AND 10 THEN 0.2 ELSE 0.0 END)) * 1e6 + 0.5) / 1e6 AS quality
           FROM base
         """,
         "stratified_sample": f"""
@@ -2109,9 +2109,9 @@ def oracle_sql() -> dict[str, str]:
                          / nullif(CAST(len(t5.lns) AS DOUBLE), 0), 0), 6) AS dup_line_frac,
                    round(gm.top_c * 2 / nullif(CAST(len(t5.tk) AS DOUBLE), 0), 6)
                      AS top_ngram_frac,
-                   round(q.alpha_ratio * 0.5 + q.stopword_ratio * 0.3
+                   floor((q.alpha_ratio * 0.5 + q.stopword_ratio * 0.3
                          + (CASE WHEN q.mean_token_len BETWEEN 3 AND 10
-                            THEN 0.2 ELSE 0.0 END), 6) AS quality,
+                            THEN 0.2 ELSE 0.0 END)) * 1e6 + 0.5) / 1e6 AS quality,
                    q.n_tokens_sp
             FROM sc
             JOIN t5 USING (doc_id)
@@ -2437,8 +2437,8 @@ def oracle_sql() -> dict[str, str]:
           ),
           keptq AS (
             SELECT doc_id, text, n_chars FROM qbase
-            WHERE round(alpha_ratio * 0.5 + stopword_ratio * 0.3
-                        + (CASE WHEN mean_token_len BETWEEN 3 AND 10 THEN 0.2 ELSE 0.0 END), 6) >= 0.62
+            WHERE floor((alpha_ratio * 0.5 + stopword_ratio * 0.3
+                        + (CASE WHEN mean_token_len BETWEEN 3 AND 10 THEN 0.2 ELSE 0.0 END)) * 1e6 + 0.5) / 1e6 >= 0.62
           ),
           keep_ids AS (SELECT min(doc_id) AS doc_id FROM keptq GROUP BY md5(text)),
           kept AS (SELECT k.* FROM keptq k JOIN keep_ids USING (doc_id)),

@@ -55,11 +55,18 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
     sw_ratio = F.round(sw / F.greatest(n_tokens, F.lit(1)), 6)
     mean_tok_len = F.round((n_chars - n_space) / F.greatest(n_tokens, F.lit(1)), 6)
-    score = F.round(
+    # floor-based 6dp rounding, NOT F.round: the composite is a weighted
+    # sum of already-6dp-rounded terms, which lands on decimal .5
+    # boundaries SYSTEMATICALLY (a*0.5 has 7 digits ending in 0/5), and
+    # there Spark's HALF_UP BigDecimal rounding and DuckDB's double
+    # round() can split by one ulp (observed: sf0.001 doc 407,
+    # 0.623374 vs 0.623375). floor(x*1e6 + 0.5)/1e6 is pure double
+    # arithmetic — bit-identical on any engine given identical inputs.
+    raw_score = (
         alpha_ratio * 0.5 + sw_ratio * 0.3
-        + F.when((mean_tok_len >= 3) & (mean_tok_len <= 10), 0.2).otherwise(0.0),
-        6,
+        + F.when((mean_tok_len >= 3) & (mean_tok_len <= 10), 0.2).otherwise(0.0)
     )
+    score = F.floor(raw_score * 1e6 + 0.5) / 1e6
     return docs.select(
         "*",
         n_tokens.alias("n_tokens"),

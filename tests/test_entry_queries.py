@@ -100,3 +100,42 @@ def test_query_vs_oracle(spark, con, name):
 def test_rows_only_queries_run(spark, name):
     sdf = E.queries()[name](spark, SF)
     assert sdf.count() >= 0 and len(sdf.columns) > 0
+
+
+# Cross-SF replay for the float-heaviest queries: a second corpus (fresh
+# seed/content) hunts engine-vs-oracle rounding straddles the sf0.01 data
+# happens to miss — exactly how the r6 quality-score HALF_UP/double-round
+# divergence was caught (one doc at sf0.001, none at sf0.01).
+FLOAT_SENSITIVE = [
+    "doc_quality",
+    "training_corpus_curation",
+    "doc_length_quantiles_twopass",
+    "doc_length_quantiles_approx",
+    "doc_perplexity",
+    "tfidf_top_terms",
+    "bm25_top_terms",
+    "ann_pq_topk",
+    "ann_kmeans_centroids",
+    "doc_repetition_stats",
+]
+
+SF2 = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con2():
+    c = duckdb.connect()
+    for t in E.TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF2}/{t}.parquet'")
+    return c
+
+
+@pytest.mark.parametrize("name", FLOAT_SENSITIVE)
+def test_query_vs_oracle_second_sf(spark, con2, name):
+    sdf = E.queries()[name](spark, SF2)
+    srows = [tuple(r) for r in sdf.collect()]
+    res = con2.sql(E.oracle_sql()[name])
+    drows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(res.columns)
+    assert len(srows) == len(drows), f"{name}: {len(srows)} vs {len(drows)}"
+    assert _multiset(srows, sdf.columns) == _multiset(drows, res.columns), name
