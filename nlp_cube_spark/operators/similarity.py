@@ -239,6 +239,7 @@ def pq_topk(
     vectors: DataFrame, queries: DataFrame, k: int = 5, m: int = 4, ksub: int = 8,
     iters: int = 1, id_col: str = "vec_id", q_id_col: str = "q_id",
     vec_col: str = "embedding",
+    codebooks: DataFrame | None = None, codes: DataFrame | None = None,
 ) -> DataFrame:
     """PQ approximate top-k by asymmetric distance (ADC): per query,
     an (m x ksub)-entry distance table against the codebooks; each
@@ -251,9 +252,19 @@ def pq_topk(
     (codes x queries) rows carrying one double each. Distance-table
     entries round to 9dp and the final sum to 6dp before ranking (ties
     break on vec_id) — same cross-engine determinism discipline as
-    kmeans_refine, with the same documented straddle caveat."""
-    books = pq_codebooks(vectors, m=m, ksub=ksub, iters=iters, id_col=id_col, vec_col=vec_col)
-    codes = pq_encode(vectors, books, m=m, id_col=id_col, vec_col=vec_col)
+    kmeans_refine, with the same documented straddle caveat.
+
+    Operationally the index trains ONCE and serves many query batches:
+    pass `codebooks` (from pq_codebooks, e.g. read back from parquet)
+    and optionally `codes` (from pq_encode) to skip retraining /
+    re-encoding; omitted, both are derived inline."""
+    books = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks(vectors, m=m, ksub=ksub, iters=iters, id_col=id_col, vec_col=vec_col)
+    )
+    if codes is None:
+        codes = pq_encode(vectors, books, m=m, id_col=id_col, vec_col=vec_col)
     qsubs = queries.select(
         F.col(q_id_col), F.explode(_subvectors(m, vec_col)).alias("s")
     ).select(q_id_col, "s.sub_id", F.col("s.sub_emb").alias("q_sub"))

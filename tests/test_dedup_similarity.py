@@ -326,6 +326,15 @@ def test_pq_encode_and_topk_shape(spark):
     # determinism: a second independent run produces identical rows
     again = {tuple(r) for r in pq_topk(emb, q, k=5, m=4, ksub=8, iters=1).collect()}
     assert again == {tuple(r) for r in rows}
+    # train-once reuse: searching with precomputed codebooks (and codes)
+    # matches the inline-trained result exactly
+    pre_books = {tuple(r) for r in pq_topk(emb, q, k=5, m=4, codebooks=books).collect()}
+    assert pre_books == {tuple(r) for r in rows}
+    pre_both = {
+        tuple(r)
+        for r in pq_topk(emb, q, k=5, m=4, codebooks=books, codes=codes).collect()
+    }
+    assert pre_both == {tuple(r) for r in rows}
 
 
 def test_paragraph_dedup_boilerplate(spark):
