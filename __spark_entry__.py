@@ -1107,6 +1107,37 @@ def q_doc_scrub_pii(spark, sf_dir):
     )
 
 
+_BPE_N_MERGES = 16
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (operators/bpe.train_bpe):
+    one corpus scan -> capped word-frequency dimension, then per merge a
+    pair agg over the dimension + 1-row broadcast argmax + overlap-safe
+    double-space merge apply.  Integer counts with deterministic
+    (freq DESC, lhs, rhs) tie-break make the whole merge trajectory
+    bit-identical across engines — the oracle replays all 16 iterations
+    as an unrolled CTE chain (_bpe_train_ctes)."""
+    from nlp_cube_spark.operators.bpe import train_bpe
+
+    merges, _ = train_bpe(
+        _t(spark, sf_dir, "documents"), n_merges=_BPE_N_MERGES
+    )
+    return merges
+
+
+def q_bpe_token_counts(spark, sf_dir):
+    """Per-document subword token counts under the corpus-trained BPE
+    model (operators/bpe.bpe_token_counts): dedup-then-join on the word
+    dimension carrying the training by-product segmentation; empty docs
+    keep 0/0."""
+    from nlp_cube_spark.operators.bpe import bpe_token_counts, train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    _, seg = train_bpe(docs, n_merges=_BPE_N_MERGES)
+    return bpe_token_counts(docs, seg)
+
+
 def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_shipped(spark)
@@ -1124,10 +1155,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # relational queries (green since round 1) trail.  Every entry is still
 # replayed locally against its DuckDB oracle in tests/test_entry_queries.py.
 _QUERIES = {
-        # --- round-6 window: 6 r6-new lead, then the 24 queries whose
+        # --- round-6 window: 8 r6-new lead, then the 24 queries whose
         # driver evidence is oldest (last checked r4), then 15 r5-checked
-        # trivials + 5 KG rows = exactly 50 — so no registered query's
+        # trivials + 3 KG rows = exactly 50 — so no registered query's
         # driver evidence ever ages more than two rounds ---
+        "bpe_merges": q_bpe_merges,
+        "bpe_token_counts": q_bpe_token_counts,
         "doc_length_quantiles_approx": q_doc_length_quantiles_approx,
         "kg_lemmas_transducer": q_kg_lemmas_transducer,
         "ann_pq_topk": q_ann_pq_topk,
@@ -1179,11 +1212,11 @@ _QUERIES = {
         "kg_triples": q_kg_triples,
         "kg_words": q_kg_words,
         "kg_words_learned": q_kg_words_learned,
-        "kg_heads_learned": q_kg_heads_learned,
-        "kg_head_distribution": q_kg_head_distribution,
         # ---------- window boundary (first 50 above) ----------
         # everything below was driver-green in r5 (CORRECTNESS_r05) and
         # stays locally oracled on every pytest run; rotates back in r7
+        "kg_heads_learned": q_kg_heads_learned,
+        "kg_head_distribution": q_kg_head_distribution,
         "kg_deprel_distribution": q_kg_deprel_distribution,
         "kg_upos_distribution": q_kg_upos_distribution,
         "kg_tag_distribution": q_kg_tag_distribution,
@@ -1342,6 +1375,78 @@ SELECT 'https://ex.org/doc/' || doc_id AS url, CAST(0 AS INT) AS sent_id,
        subj, pred, obj, pattern
 FROM allt
 """
+
+
+def _bpe_train_ctes(n: int) -> str:
+    """Unrolled BPE training CTE chain mirroring bpe.train_bpe: word-freq
+    dimension, char-split initial state, then per merge a pair agg
+    (lead window over unnested symbols), deterministic argmax, and the
+    same overlap-safe double-space merge apply.  Pure integer/string
+    ops — bit-identical to the Spark trajectory by construction."""
+    sql = """
+      WITH wf AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+              FROM documents)
+        GROUP BY word
+      ),
+      s0 AS MATERIALIZED (
+        SELECT word, freq, array_to_string(string_split(word, ''), ' ') AS sym FROM wf
+      )"""
+    for k in range(n):
+        sql += f""",
+      p{k} AS (
+        SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+          SELECT word, freq, s AS l,
+                 lead(s) OVER (PARTITION BY word ORDER BY pos) AS r
+          FROM (SELECT word, freq, unnest(string_split(sym, ' ')) AS s,
+                       generate_subscripts(string_split(sym, ' '), 1) AS pos
+                FROM s{k})
+        ) WHERE r IS NOT NULL GROUP BY l, r
+      ),
+      b{k} AS MATERIALIZED (
+        SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
+      ),
+      s{k + 1} AS MATERIALIZED (
+        SELECT word, freq,
+               CASE WHEN b.l IS NULL THEN s.sym ELSE
+                 trim(regexp_replace(
+                   replace(replace(' ' || s.sym || ' ', ' ', '  '),
+                           ' ' || b.l || '  ' || b.r || ' ',
+                           ' ' || b.l || b.r || ' '),
+                   ' +', ' ', 'g'))
+               END AS sym
+        FROM s{k} s LEFT JOIN b{k} b ON TRUE
+      )"""
+    return sql
+
+
+def _bpe_merges_duck(n: int) -> str:
+    parts = " UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS merge_rank, l AS lhs, r AS rhs,"
+        f" cnt AS pair_freq FROM b{k}"
+        for k in range(n)
+    )
+    return _bpe_train_ctes(n) + f" SELECT * FROM ({parts})"
+
+
+def _bpe_token_counts_duck(n: int) -> str:
+    return _bpe_train_ctes(n) + f""",
+      wtok AS (SELECT word,
+                      CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_subwords
+               FROM s{n}),
+      dw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS n
+             FROM (SELECT doc_id,
+                          unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+                   FROM documents)
+             GROUP BY doc_id, word)
+      SELECT d.doc_id,
+             CAST(coalesce(sum(dw.n), 0) AS BIGINT) AS n_words,
+             CAST(coalesce(sum(dw.n * wtok.n_subwords), 0) AS BIGINT) AS n_bpe_tokens
+      FROM documents d
+      LEFT JOIN dw ON d.doc_id = dw.doc_id
+      LEFT JOIN wtok ON dw.word = wtok.word
+      GROUP BY d.doc_id"""
 
 
 def _kmeans_duck(iters: int = 2, n_c: int = 16, dp: int = 9) -> str:
@@ -2011,6 +2116,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_kmeans_centroids": _kmeans_duck(),
         "ann_pq_topk": _pq_duck(),
         "kg_entity_communities": _lpa_duck(),
+        "bpe_merges": _bpe_merges_duck(_BPE_N_MERGES),
+        "bpe_token_counts": _bpe_token_counts_duck(_BPE_N_MERGES),
         "training_corpus_curation": """
           WITH wrapped AS MATERIALIZED (
             SELECT doc_id,
