@@ -1138,6 +1138,44 @@ def q_bpe_token_counts(spark, sf_dir):
     return bpe_token_counts(docs, seg)
 
 
+_SUBSTR_K, _SUBSTR_MINLEN, _SUBSTR_CAP = 8, 12, 64
+
+
+def q_exact_substr_spans(spark, sf_dir):
+    """Exact-substring dedup (operators/substrdedup, Lee et al. 2021
+    re-expressed shardable): hashed k-gram anchors from THE one n-gram
+    regex -> >=2-doc / <=cap gram filter -> anchor self-join -> diagonal
+    gaps-and-islands merge into maximal shared spans >= min_len tokens.
+    Pure integer/string ops — bit-identical across engines; the oracle
+    replays the whole chain including the 60-bit md5 gram hash."""
+    from nlp_cube_spark.operators.substrdedup import exact_substring_spans
+
+    return exact_substring_spans(
+        _t(spark, sf_dir, "documents"),
+        k=_SUBSTR_K,
+        min_len=_SUBSTR_MINLEN,
+        max_docs_per_gram=_SUBSTR_CAP,
+    )
+
+
+def q_doc_dup_coverage(spark, sf_dir):
+    """Per-document duplicate-span coverage (operators/substrdedup
+    .dup_span_coverage): the higher-doc_id side of each shared span is
+    the duplicate; its intervals are distinct-ed, union-merged via a
+    running-max-end window, and summed to dup_tokens / dup_fraction
+    (floor-rounded 6dp — the engine-portable form)."""
+    from nlp_cube_spark.operators.substrdedup import (
+        dup_span_coverage,
+        exact_substring_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = exact_substring_spans(
+        docs, k=_SUBSTR_K, min_len=_SUBSTR_MINLEN, max_docs_per_gram=_SUBSTR_CAP
+    )
+    return dup_span_coverage(docs, spans)
+
+
 def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_shipped(spark)
@@ -1155,10 +1193,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # relational queries (green since round 1) trail.  Every entry is still
 # replayed locally against its DuckDB oracle in tests/test_entry_queries.py.
 _QUERIES = {
-        # --- round-6 window: 8 r6-new lead, then the 24 queries whose
+        # --- round-6 window: 10 r6-new lead, then the 24 queries whose
         # driver evidence is oldest (last checked r4), then 15 r5-checked
-        # trivials + 3 KG rows = exactly 50 — so no registered query's
+        # trivials + 1 KG row = exactly 50 — so no registered query's
         # driver evidence ever ages more than two rounds ---
+        "exact_substr_spans": q_exact_substr_spans,
+        "doc_dup_coverage": q_doc_dup_coverage,
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
         "doc_length_quantiles_approx": q_doc_length_quantiles_approx,
@@ -1210,11 +1250,11 @@ _QUERIES = {
         "distinct_brand_type": q_distinct_brand_type,
         # --- KG pipeline (green r5) ---
         "kg_triples": q_kg_triples,
-        "kg_words": q_kg_words,
-        "kg_words_learned": q_kg_words_learned,
         # ---------- window boundary (first 50 above) ----------
         # everything below was driver-green in r5 (CORRECTNESS_r05) and
         # stays locally oracled on every pytest run; rotates back in r7
+        "kg_words": q_kg_words,
+        "kg_words_learned": q_kg_words_learned,
         "kg_heads_learned": q_kg_heads_learned,
         "kg_head_distribution": q_kg_head_distribution,
         "kg_deprel_distribution": q_kg_deprel_distribution,
@@ -1447,6 +1487,82 @@ def _bpe_token_counts_duck(n: int) -> str:
       LEFT JOIN dw ON d.doc_id = dw.doc_id
       LEFT JOIN wtok ON dw.word = wtok.word
       GROUP BY d.doc_id"""
+
+
+def _substr_span_ctes(k: int, min_len: int, cap: int) -> str:
+    """CTE chain replaying substrdedup.exact_substring_spans: tokens ->
+    hashed k-gram anchors (same 60-bit md5 hash as the engine, so even a
+    hash collision reproduces identically) -> 2..cap gram filter ->
+    anchor self-join -> diagonal gaps-and-islands -> spans >= min_len."""
+    return f"""
+      WITH toks AS MATERIALIZED (
+        SELECT doc_id,
+               list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),
+                           x -> x <> '') AS toks
+        FROM documents
+      ),
+      anch AS MATERIALIZED (
+        SELECT doc_id, pos - 1 AS pos,
+               ('0x' || substr(md5(array_to_string(toks[pos:pos+{k - 1}], ' ')), 1, 15))::BIGINT AS gh
+        FROM toks, unnest(range(1, len(toks) - {k - 2})) AS t(pos)
+      ),
+      keep AS (
+        SELECT gh FROM anch GROUP BY gh
+        HAVING count(DISTINCT doc_id) BETWEEN 2 AND {cap}
+      ),
+      sh AS (SELECT a.* FROM anch a JOIN keep USING (gh)),
+      pairs AS (
+        SELECT a.doc_id da, a.pos pa, b.doc_id db, b.pos pb
+        FROM sh a JOIN sh b ON a.gh = b.gh AND a.doc_id < b.doc_id
+      ),
+      isl AS (
+        SELECT da, db, pa - pb AS diag, pa, pb,
+               pa - row_number() OVER (PARTITION BY da, db, pa - pb ORDER BY pa) AS grp
+        FROM pairs
+      ),
+      spans AS MATERIALIZED (
+        SELECT da AS doc_a, db AS doc_b,
+               CAST(min(pa) AS BIGINT) AS a_start,
+               CAST(min(pb) AS BIGINT) AS b_start,
+               CAST(max(pa) - min(pa) + {k} AS BIGINT) AS span_len
+        FROM isl GROUP BY da, db, diag, grp
+        HAVING max(pa) - min(pa) + {k} >= {min_len}
+      )"""
+
+
+def _substr_spans_duck(k: int, min_len: int, cap: int) -> str:
+    return (
+        _substr_span_ctes(k, min_len, cap)
+        + " SELECT doc_a, doc_b, a_start, b_start, span_len FROM spans"
+    )
+
+
+def _dup_coverage_duck(k: int, min_len: int, cap: int) -> str:
+    """Replays substrdedup.dup_span_coverage on top of the span CTEs:
+    distinct duplicate-side intervals, running-max-end island merge,
+    per-doc sums, floor-rounded 6dp fraction."""
+    return _substr_span_ctes(k, min_len, cap) + """,
+      iv AS (SELECT DISTINCT doc_b AS id, b_start AS s, b_start + span_len AS e FROM spans),
+      fl AS (
+        SELECT id, s, e,
+               CASE WHEN s > coalesce(max(e) OVER (PARTITION BY id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                    THEN 1 ELSE 0 END AS nf
+        FROM iv
+      ),
+      fl2 AS (
+        SELECT id, s, e, sum(nf) OVER (PARTITION BY id ORDER BY s, e) AS island FROM fl
+      ),
+      per AS (
+        SELECT id, CAST(sum(cov) AS BIGINT) AS dup_tokens FROM (
+          SELECT id, island, max(e) - min(s) AS cov FROM fl2 GROUP BY id, island)
+        GROUP BY id
+      ),
+      ntk AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM toks)
+      SELECT ntk.doc_id, ntk.n_tokens,
+             CAST(coalesce(per.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+             floor(coalesce(per.dup_tokens, 0) / greatest(ntk.n_tokens, 1) * 1e6 + 0.5) / 1e6 AS dup_fraction
+      FROM ntk LEFT JOIN per ON ntk.doc_id = per.id"""
 
 
 def _kmeans_duck(iters: int = 2, n_c: int = 16, dp: int = 9) -> str:
@@ -2116,6 +2232,12 @@ def oracle_sql() -> dict[str, str]:
         "ann_kmeans_centroids": _kmeans_duck(),
         "ann_pq_topk": _pq_duck(),
         "kg_entity_communities": _lpa_duck(),
+        "exact_substr_spans": _substr_spans_duck(
+            _SUBSTR_K, _SUBSTR_MINLEN, _SUBSTR_CAP
+        ),
+        "doc_dup_coverage": _dup_coverage_duck(
+            _SUBSTR_K, _SUBSTR_MINLEN, _SUBSTR_CAP
+        ),
         "bpe_merges": _bpe_merges_duck(_BPE_N_MERGES),
         "bpe_token_counts": _bpe_token_counts_duck(_BPE_N_MERGES),
         "training_corpus_curation": """

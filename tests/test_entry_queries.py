@@ -117,6 +117,7 @@ FLOAT_SENSITIVE = [
     "ann_pq_topk",
     "ann_kmeans_centroids",
     "doc_repetition_stats",
+    "doc_dup_coverage",
 ]
 
 SF2 = "/root/testdata/sf0.001"
