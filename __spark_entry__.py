@@ -1176,6 +1176,21 @@ def q_doc_dup_coverage(spark, sf_dir):
     return dup_span_coverage(docs, spans)
 
 
+def q_dsir_log_weights(spark, sf_dir):
+    """DSIR importance-resampling weights (operators/curate.dsir_weights,
+    Xie et al. 2023): per-document log-likelihood ratio between a
+    target-domain hashed-n-gram LM (here: the alphabetically-first
+    source, selected by a 1-row broadcast min) and the raw-corpus LM.
+    The bucket space is fixed (4096), so both LMs broadcast; per-bucket
+    log-ratios are floor-rounded 9dp, sums 6dp."""
+    from nlp_cube_spark.operators.curate import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    msrc = docs.agg(F.min("source").alias("source"))
+    target = docs.join(F.broadcast(msrc), "source")
+    return dsir_weights(docs, target)
+
+
 def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_shipped(spark)
@@ -1193,10 +1208,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # relational queries (green since round 1) trail.  Every entry is still
 # replayed locally against its DuckDB oracle in tests/test_entry_queries.py.
 _QUERIES = {
-        # --- round-6 window: 10 r6-new lead, then the 24 queries whose
+        # --- round-6 window: 11 r6-new lead, then the 24 queries whose
         # driver evidence is oldest (last checked r4), then 15 r5-checked
-        # trivials + 1 KG row = exactly 50 — so no registered query's
+        # trivials = exactly 50 — so no registered query's
         # driver evidence ever ages more than two rounds ---
+        "dsir_log_weights": q_dsir_log_weights,
         "exact_substr_spans": q_exact_substr_spans,
         "doc_dup_coverage": q_doc_dup_coverage,
         "bpe_merges": q_bpe_merges,
@@ -1248,11 +1264,10 @@ _QUERIES = {
         "setops_brands": q_setops_brands,
         "string_folding": q_string_folding,
         "distinct_brand_type": q_distinct_brand_type,
-        # --- KG pipeline (green r5) ---
-        "kg_triples": q_kg_triples,
         # ---------- window boundary (first 50 above) ----------
         # everything below was driver-green in r5 (CORRECTNESS_r05) and
         # stays locally oracled on every pytest run; rotates back in r7
+        "kg_triples": q_kg_triples,
         "kg_words": q_kg_words,
         "kg_words_learned": q_kg_words_learned,
         "kg_heads_learned": q_kg_heads_learned,
@@ -2232,6 +2247,39 @@ def oracle_sql() -> dict[str, str]:
         "ann_kmeans_centroids": _kmeans_duck(),
         "ann_pq_topk": _pq_duck(),
         "kg_entity_communities": _lpa_duck(),
+        "dsir_log_weights": """
+          WITH toks AS (
+            SELECT doc_id, text,
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+            FROM documents
+          ),
+          feats AS (
+            SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS f FROM documents
+            UNION ALL
+            SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS f
+            FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM toks)
+          ),
+          fb AS (SELECT doc_id, ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096 AS b FROM feats),
+          tgt_ids AS (SELECT doc_id FROM documents
+                      WHERE source = (SELECT min(source) FROM documents)),
+          tc AS (SELECT b, count(*) AS c FROM fb JOIN tgt_ids USING (doc_id) GROUP BY b),
+          rc AS (SELECT b, count(*) AS c FROM fb GROUP BY b),
+          tN AS (SELECT sum(c) AS N FROM tc), rN AS (SELECT sum(c) AS N FROM rc),
+          db AS (SELECT doc_id, b, count(*) AS dc FROM fb GROUP BY doc_id, b),
+          scored AS (
+            -- ratio accumulated as INTEGER nano-units: exact,
+            -- summation-order-independent (mirrors dsir_weights)
+            SELECT db.doc_id, sum(dc) AS n_features,
+                   sum(dc * CAST(floor((ln((coalesce(tc.c, 0) + 0.5) / (tN.N + 0.5 * 4096))
+                                    - ln((rc.c + 0.5) / (rN.N + 0.5 * 4096))) * 1e9 + 0.5) AS BIGINT)) AS lw_nano
+            FROM db LEFT JOIN tc USING (b) JOIN rc USING (b) CROSS JOIN tN CROSS JOIN rN
+            GROUP BY db.doc_id
+          )
+          SELECT d.doc_id, CAST(coalesce(s.n_features, 0) AS BIGINT) AS n_features,
+                 floor(s.lw_nano / 1e9 * 1e6 + 0.5) / 1e6 AS log_weight,
+                 floor(s.lw_nano / 1e9 / s.n_features * 1e6 + 0.5) / 1e6 AS log_weight_per_feat
+          FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
         "exact_substr_spans": _substr_spans_duck(
             _SUBSTR_K, _SUBSTR_MINLEN, _SUBSTR_CAP
         ),

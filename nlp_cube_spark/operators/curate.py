@@ -92,3 +92,119 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
             f"regexp_replace({after_email_sql}, '{PHONE_RE}', '<PHONE>')"
         ).alias("scrubbed"),
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_text_col: str = "text",
+    n_buckets: int = 4096,
+    k: float = 0.5,
+) -> DataFrame:
+    """DSIR importance-resampling weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every raw-corpus document by how target-domain-like it is, as the
+    log-likelihood ratio between two hashed-n-gram bag models,
+
+        log w(x) = sum over x's features of  c_f(x) * (ln p_target(f)
+                                                       - ln p_raw(f)),
+
+    where features are unigrams + bigrams hashed into `n_buckets`
+    buckets and both models are add-k smoothed over the bucket space.
+    Documents with high log_weight are up-sampled when composing a
+    domain-targeted training mix.
+
+    Returns (id_col, n_features, log_weight, log_weight_per_feat);
+    documents with no features keep NULL weights (the ppl convention).
+
+    Plan shape: the bucket space is FIXED (n_buckets), so both LMs are
+    <= n_buckets rows — trained by one hash agg each and legitimately
+    BROADCAST (contrast unigram_perplexity, whose open-vocab term
+    dimension deliberately is not); the corpus streams through one
+    explode -> (doc, bucket) agg -> two broadcast joins -> one doc agg.
+    No corpus-sized shuffle key other than (doc, bucket).
+
+    Rounding discipline: the per-bucket log-ratio is floor-rounded at
+    9dp (engine ln() implementations agree to ~1 ulp; rounding makes
+    the summands cross-engine-identical) and then accumulated as
+    INTEGER nano-units (BIGINT sum of dc * ratio*1e9) — exact and
+    summation-order-independent, so the doc total cannot straddle a
+    rounding boundary on partition order the way a double sum can
+    (observed: one sf0.01 doc flipped 1e-6 between local[4] and
+    local[8] under the plain-double form).  Magnitudes stay far inside
+    2^53: |ratio|*1e9 <= ~2e10, dc is a per-doc bucket count.
+    """
+    from .dedup import _h60
+    from .textstats import ngrams_sql
+
+    def feats(df: DataFrame, tcol: str, *ids: str) -> DataFrame:
+        both = (
+            f"concat(regexp_extract_all({tcol}, '\\\\S+', 0), {ngrams_sql(tcol, 2)})"
+        )
+        return df.select(
+            *ids, F.explode(F.expr(both)).alias("_f")
+        ).select(*ids, F.expr(f"pmod({_h60('_f')}, {n_buckets})").alias("_b"))
+
+    def lm(counts: DataFrame) -> DataFrame:
+        # (bucket, ln p) with add-k smoothing over the FULL bucket space;
+        # the normalizer is a 1-row broadcast (the established pattern)
+        tot = counts.agg(F.sum("_c").alias("_N"))
+        return counts.crossJoin(F.broadcast(tot)).select(
+            "_b",
+            F.log(
+                (F.col("_c") + F.lit(k))
+                / (F.col("_N") + F.lit(k) * F.lit(float(n_buckets)))
+            ).alias("_lp"),
+            "_N",
+        )
+
+    t_lm = lm(
+        feats(target, target_text_col).groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
+    )
+    r_lm = lm(
+        feats(docs, text_col, id_col)
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    # absent buckets still carry the smoothed floor k/(N + k*m); attach
+    # each LM's N so the floor is computable after the LEFT join
+    t_n = t_lm.agg(F.max("_N").alias("_tN"))
+    doc_b = (
+        feats(docs, text_col, id_col)
+        .groupBy(id_col, "_b")
+        .agg(F.count(F.lit(1)).alias("_dc"))
+    )
+    lp_t = F.coalesce(
+        F.col("_lp"),
+        F.log(F.lit(k) / (F.col("_tN") + F.lit(k) * F.lit(float(n_buckets)))),
+    )
+    ratio_nano = F.floor((lp_t - F.col("_rlp")) * 1e9 + F.lit(0.5)).cast("bigint")
+    scored = (
+        doc_b.join(F.broadcast(t_lm.select("_b", "_lp")), "_b", "left")
+        .crossJoin(F.broadcast(t_n))
+        .join(
+            F.broadcast(r_lm.select("_b", F.col("_lp").alias("_rlp"))), "_b"
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("_dc").alias("n_features"),
+            F.sum(F.col("_dc") * ratio_nano).alias("_lw_nano"),
+        )
+    )
+    lw = F.col("_lw_nano") / 1e9
+    out = scored.select(
+        id_col,
+        "n_features",
+        (F.floor(lw * 1e6 + F.lit(0.5)) / 1e6).alias("log_weight"),
+        (
+            F.floor(lw / F.col("n_features") * 1e6 + F.lit(0.5)) / 1e6
+        ).alias("log_weight_per_feat"),
+    )
+    return docs.select(id_col).join(out, id_col, "left").select(
+        id_col,
+        F.coalesce("n_features", F.lit(0)).alias("n_features"),
+        "log_weight",
+        "log_weight_per_feat",
+    )

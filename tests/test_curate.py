@@ -51,3 +51,48 @@ def test_scrub_pii_counts_and_redacts(spark):
     one = spark.createDataFrame([(9, "user12345678@host.com")], "doc_id long, text string")
     r = scrub_pii(one).collect()[0]
     assert (r.n_emails, r.n_phones, r.scrubbed) == (1, 0, "<EMAIL>")
+
+
+def test_dsir_weights_prefer_target_domain(spark):
+    from nlp_cube_spark.operators.curate import dsir_weights
+
+    # two clearly separated vocabularies; target = legal-ish docs
+    legal = ["the court finds the party liable under the statute of the state"]
+    chat = ["lol ok brb gonna grab food u want some too haha ok cool"]
+    rows = [(i, legal[0]) for i in range(4)] + [(i + 4, chat[0]) for i in range(4)]
+    rows += [(99, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame([(0, legal[0])], "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in dsir_weights(docs, target).collect()}
+    # every legal doc outscores every chat doc
+    legal_w = [got[i]["log_weight_per_feat"] for i in range(4)]
+    chat_w = [got[i + 4]["log_weight_per_feat"] for i in range(4)]
+    assert min(legal_w) > max(chat_w)
+    # empty doc: zero features, NULL weights (the ppl convention)
+    assert got[99]["n_features"] == 0
+    assert got[99]["log_weight"] is None and got[99]["log_weight_per_feat"] is None
+    # all docs come back exactly once
+    assert set(got) == {0, 1, 2, 3, 4, 5, 6, 7, 99}
+
+
+def test_dsir_weights_deterministic_rerun(spark):
+    from nlp_cube_spark.operators.curate import dsir_weights
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from pyspark.sql import functions as F
+
+    msrc = docs.agg(F.min("source").alias("source"))
+    target = docs.join(F.broadcast(msrc), "source")
+    a = sorted(tuple(r) for r in dsir_weights(docs, target).collect())
+    b = sorted(tuple(r) for r in dsir_weights(docs, target).collect())
+    assert a == b
+
+
+def test_dsir_lms_broadcast(spark):
+    from nlp_cube_spark.operators.curate import dsir_weights
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    target = docs.limit(20)
+    plan = dsir_weights(docs, target)._jdf.queryExecution().executedPlan().toString()
+    # fixed bucket space -> LM joins are broadcast, never a sort-merge
+    assert "BroadcastHashJoin" in plan

@@ -118,6 +118,7 @@ FLOAT_SENSITIVE = [
     "ann_kmeans_centroids",
     "doc_repetition_stats",
     "doc_dup_coverage",
+    "dsir_log_weights",
 ]
 
 SF2 = "/root/testdata/sf0.001"
