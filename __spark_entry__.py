@@ -1191,6 +1191,60 @@ def q_dsir_log_weights(spark, sf_dir):
     return dsir_weights(docs, target)
 
 
+_LR_BUCKETS, _LR_ITERS, _LR_RATE = 1024, 4, 0.5
+
+
+def _lr_labeled_docs(spark, sf_dir):
+    """documents + 0/1 label: 1 when source is the alphabetically-first
+    source (the same broadcast-min device as dsir_log_weights) — the
+    GPT-3-style 'is this doc like the curated corpus' target."""
+    docs = _t(spark, sf_dir, "documents")
+    msrc = docs.agg(F.min("source").alias("source"))
+    return docs.join(
+        F.broadcast(msrc).withColumn("_is_t", F.lit(1)), "source", "left"
+    ).withColumn("label", F.coalesce("_is_t", F.lit(0)))
+
+
+def q_lr_quality_weights(spark, sf_dir):
+    """Distributed logistic-regression quality-classifier training
+    (operators/classifier.train_quality_lr, the GPT-3 appendix-A corpus
+    filter): 4 full-batch gradient iterations, each one broadcast join +
+    two aggs; weights/bias/sigmoid live as integer nano-units so the
+    whole trajectory is exact and summation-order-independent. The
+    oracle unrolls all 4 iterations as a DuckDB CTE chain."""
+    from nlp_cube_spark.operators.classifier import train_quality_lr
+
+    return train_quality_lr(
+        _lr_labeled_docs(spark, sf_dir),
+        "label",
+        n_buckets=_LR_BUCKETS,
+        iters=_LR_ITERS,
+        lr=_LR_RATE,
+    )
+
+
+def q_doc_lr_scores(spark, sf_dir):
+    """Per-document scores under the trained LR quality classifier
+    (operators/classifier.score_quality_lr): sigmoid margin over the
+    broadcast weight table, floor-rounded 6dp; featureless docs score
+    sigmoid(bias)."""
+    from nlp_cube_spark.operators.classifier import (
+        score_quality_lr,
+        train_quality_lr,
+    )
+
+    model = train_quality_lr(
+        _lr_labeled_docs(spark, sf_dir),
+        "label",
+        n_buckets=_LR_BUCKETS,
+        iters=_LR_ITERS,
+        lr=_LR_RATE,
+    )
+    return score_quality_lr(
+        _t(spark, sf_dir, "documents"), model, n_buckets=_LR_BUCKETS
+    )
+
+
 def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_shipped(spark)
@@ -1208,10 +1262,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # relational queries (green since round 1) trail.  Every entry is still
 # replayed locally against its DuckDB oracle in tests/test_entry_queries.py.
 _QUERIES = {
-        # --- round-6 window: 11 r6-new lead, then the 24 queries whose
-        # driver evidence is oldest (last checked r4), then 15 r5-checked
+        # --- round-6 window: 13 r6-new lead, then the 24 queries whose
+        # driver evidence is oldest (last checked r4), then 13 r5-checked
         # trivials = exactly 50 — so no registered query's
         # driver evidence ever ages more than two rounds ---
+        "lr_quality_weights": q_lr_quality_weights,
+        "doc_lr_scores": q_doc_lr_scores,
         "dsir_log_weights": q_dsir_log_weights,
         "exact_substr_spans": q_exact_substr_spans,
         "doc_dup_coverage": q_doc_dup_coverage,
@@ -1262,11 +1318,11 @@ _QUERIES = {
         "map_extract": q_map_extract,
         "events_json_props": q_events_json_props,
         "setops_brands": q_setops_brands,
-        "string_folding": q_string_folding,
-        "distinct_brand_type": q_distinct_brand_type,
         # ---------- window boundary (first 50 above) ----------
         # everything below was driver-green in r5 (CORRECTNESS_r05) and
         # stays locally oracled on every pytest run; rotates back in r7
+        "string_folding": q_string_folding,
+        "distinct_brand_type": q_distinct_brand_type,
         "kg_triples": q_kg_triples,
         "kg_words": q_kg_words,
         "kg_words_learned": q_kg_words_learned,
@@ -1578,6 +1634,63 @@ def _dup_coverage_duck(k: int, min_len: int, cap: int) -> str:
              CAST(coalesce(per.dup_tokens, 0) AS BIGINT) AS dup_tokens,
              floor(coalesce(per.dup_tokens, 0) / greatest(ntk.n_tokens, 1) * 1e6 + 0.5) / 1e6 AS dup_fraction
       FROM ntk LEFT JOIN per ON ntk.doc_id = per.id"""
+
+
+def _lr_train_ctes(iters: int, m: int, lr: float) -> str:
+    """Unrolled full-batch LR training CTE chain mirroring
+    classifier.train_quality_lr: hashed unigram counts, 0/1 labels from
+    the broadcast-min source, then per iteration margin -> sigmoid (9dp
+    nano-rounded) -> gradient -> integer nano-unit weight/bias update.
+    Every sum is a sum of exact integers, so the trajectory is
+    bit-identical to the Spark loop by construction."""
+    sql = f"""
+      WITH f AS MATERIALIZED (
+        SELECT doc_id, ('0x' || substr(md5(f), 1, 15))::BIGINT % {m} AS bucket,
+               CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS f FROM documents)
+        GROUP BY doc_id, bucket
+      ),
+      lab AS MATERIALIZED (
+        SELECT doc_id, CASE WHEN source = (SELECT min(source) FROM documents)
+                       THEN 1000000000 ELSE 0 END::BIGINT AS yn
+        FROM documents
+      ),
+      nd AS (SELECT count(*) AS n FROM lab),
+      w0 AS (SELECT DISTINCT bucket, CAST(0 AS BIGINT) AS wn FROM f),
+      b0 AS (SELECT CAST(0 AS BIGINT) AS bn)"""
+    for k in range(iters):
+        sql += f""",
+      z{k} AS (SELECT doc_id, sum(c * wn) AS zn FROM f JOIN w{k} USING (bucket) GROUP BY doc_id),
+      p{k} AS (
+        SELECT lab.doc_id, yn,
+               CAST(floor(1.0 / (1.0 + exp(-((coalesce(zn, 0) + bn) / 1e9))) * 1e9 + 0.5) AS BIGINT) AS pn
+        FROM lab LEFT JOIN z{k} USING (doc_id) CROSS JOIN b{k}
+      ),
+      g{k} AS (SELECT bucket, sum((pn - yn) * c) AS gn FROM f JOIN p{k} USING (doc_id) GROUP BY bucket),
+      w{k + 1} AS MATERIALIZED (
+        SELECT w.bucket, wn - CAST(coalesce(floor({lr} * gn / n + 0.5), 0) AS BIGINT) AS wn
+        FROM w{k} w LEFT JOIN g{k} g USING (bucket) CROSS JOIN nd
+      ),
+      b{k + 1} AS MATERIALIZED (
+        SELECT bn - CAST(floor({lr} * gn / n + 0.5) AS BIGINT) AS bn
+        FROM b{k} CROSS JOIN (SELECT sum(pn - yn) AS gn FROM p{k}) CROSS JOIN nd
+      )"""
+    return sql
+
+
+def _lr_weights_duck(iters: int, m: int, lr: float) -> str:
+    return _lr_train_ctes(iters, m, lr) + f"""
+      SELECT bucket, wn / 1e9 AS weight FROM w{iters}
+      UNION ALL SELECT -1, bn / 1e9 FROM b{iters}"""
+
+
+def _lr_scores_duck(iters: int, m: int, lr: float) -> str:
+    return _lr_train_ctes(iters, m, lr) + f""",
+      sm AS (SELECT doc_id, sum(c) AS n_features, sum(c * wn) AS zn
+             FROM f JOIN w{iters} USING (bucket) GROUP BY doc_id)
+      SELECT d.doc_id, CAST(coalesce(n_features, 0) AS BIGINT) AS n_features,
+             floor(1.0 / (1.0 + exp(-((coalesce(zn, 0) + bn) / 1e9))) * 1e6 + 0.5) / 1e6 AS score
+      FROM documents d LEFT JOIN sm USING (doc_id) CROSS JOIN b{iters}"""
 
 
 def _kmeans_duck(iters: int = 2, n_c: int = 16, dp: int = 9) -> str:
@@ -2247,6 +2360,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_kmeans_centroids": _kmeans_duck(),
         "ann_pq_topk": _pq_duck(),
         "kg_entity_communities": _lpa_duck(),
+        "lr_quality_weights": _lr_weights_duck(_LR_ITERS, _LR_BUCKETS, _LR_RATE),
+        "doc_lr_scores": _lr_scores_duck(_LR_ITERS, _LR_BUCKETS, _LR_RATE),
         "dsir_log_weights": """
           WITH toks AS (
             SELECT doc_id, text,

@@ -1,0 +1,219 @@
+"""Distributed quality-classifier training: batch logistic regression
+over hashed word features, the published recipe for corpus quality
+filtering (GPT-3 appendix A trains a logistic classifier to score
+CommonCrawl documents by similarity to a curated corpus; fastText-style
+hashed bag-of-words features).
+
+Spark-first shape — training IS aggregation:
+  - features: one explode -> (doc, bucket, count) hash agg; the bucket
+    space is FIXED (`n_buckets`), so the weight vector is a <=n_buckets
+    row dimension that legitimately BROADCASTS into every join.
+  - per iteration (full-batch gradient descent):
+      margin   z_d = sum_b c_db * w_b + bias        (one broadcast join
+                                                     + one doc agg)
+      p_d      = sigmoid(z_d)
+      gradient g_b = sum_d (p_d - y_d) * c_db       (one doc-keyed join
+                                                     + one bucket agg)
+      update   w_b <- w_b - lr * g_b / n_docs
+    The corpus is scanned once per gradient; nothing wider than
+    (doc, bucket) is ever shuffled; the weight table localCheckpoints
+    per iteration (the kmeans/pagerank plan-bounding pattern).
+
+Determinism discipline (stronger than round-after-sum): weights, bias,
+and sigmoid outputs live as INTEGER NANO-UNITS (value * 1e9 as BIGINT).
+Every gradient/margin sum is then a sum of exact integers — bit-
+identical across engines AND summation orders, the lesson from
+dsir_weights where a plain double sum straddled 1e-6 on partition
+order.  The only float step is sigmoid itself (exp agrees to ~1 ulp
+cross-engine; its 9dp rounding is the same accepted flake class as the
+kmeans means).  BIGINT headroom: |p - y| * c * n_docs nano-units must
+stay under 2^63 — at ~1e13-token web scale swap the two gradient sums
+to decimal(38,0) (DuckDB already sums to HUGEINT).
+
+The whole `iters`-step trajectory is replayed by the driver oracle as
+an unrolled DuckDB CTE chain (_lr_train_ctes in __spark_entry__), the
+same evidence style as BPE and k-means.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+NANO = 1_000_000_000
+
+
+def hashed_word_features(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """(id, bucket, count) hashed unigram counts — one explode + one
+    hash agg; the md5-based 60-bit hash keeps the DuckDB oracle
+    byte-compatible."""
+    from .dedup import _h60
+
+    return (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.expr(f"regexp_extract_all({text_col}, '\\\\S+', 0)")).alias(
+                "_f"
+            ),
+        )
+        .select(id_col, F.expr(f"pmod({_h60('_f')}, {n_buckets})").alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def train_quality_lr(
+    docs: DataFrame,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    iters: int = 4,
+    lr: float = 0.5,
+) -> DataFrame:
+    """Full-batch logistic regression; `label_col` must be 0/1.
+
+    Returns the trained model as a DataFrame: (bucket, weight) with one
+    row per feature bucket seen in the corpus plus bucket = -1 carrying
+    the bias (feature buckets are pmod-nonnegative, so -1 never
+    collides).  Weights are nano-unit-exact; the published `weight`
+    column is weight_nano / 1e9.
+    """
+    feats = hashed_word_features(docs, id_col, text_col, n_buckets).localCheckpoint(
+        eager=False
+    )
+    labels = docs.select(
+        F.col(id_col), (F.col(label_col).cast("bigint") * NANO).alias("_yn")
+    ).localCheckpoint(eager=False)
+    n_docs = labels.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+
+    w = (
+        feats.select("bucket")
+        .distinct()
+        .select("bucket", F.lit(0).cast("bigint").alias("_wn"))
+        .localCheckpoint(eager=False)
+    )
+    bias = F.broadcast(
+        labels.groupBy().agg(F.lit(0).cast("bigint").alias("_bn"))
+    ).localCheckpoint(eager=False)
+
+    for _ in range(iters):
+        margins = (
+            feats.join(F.broadcast(w), "bucket")
+            .groupBy(id_col)
+            .agg(F.sum(F.col("c") * F.col("_wn")).alias("_zn"))
+        )
+        # docs with no features still train the bias: z = 0 + bias
+        p = (
+            labels.join(margins, id_col, "left")
+            .crossJoin(F.broadcast(bias))
+            .select(
+                id_col,
+                "_yn",
+                F.floor(
+                    F.lit(1.0)
+                    / (
+                        F.lit(1.0)
+                        + F.exp(
+                            -(
+                                (F.coalesce(F.col("_zn"), F.lit(0)) + F.col("_bn"))
+                                / F.lit(float(NANO))
+                            )
+                        )
+                    )
+                    * NANO
+                    + F.lit(0.5)
+                )
+                .cast("bigint")
+                .alias("_pn"),
+            )
+        )
+        grad = (
+            feats.join(p, id_col)
+            .groupBy("bucket")
+            .agg(F.sum((F.col("_pn") - F.col("_yn")) * F.col("c")).alias("_gn"))
+        )
+        step = F.floor(
+            F.lit(lr) * F.col("_gn") / F.col("_n") + F.lit(0.5)
+        ).cast("bigint")
+        w = (
+            w.join(grad, "bucket", "left")
+            .crossJoin(F.broadcast(n_docs))
+            .select(
+                "bucket",
+                (F.col("_wn") - F.coalesce(step, F.lit(0))).alias("_wn"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        bgrad = p.groupBy().agg(F.sum(F.col("_pn") - F.col("_yn")).alias("_gn"))
+        bias = (
+            bias.crossJoin(F.broadcast(bgrad))
+            .crossJoin(F.broadcast(n_docs))
+            .select((F.col("_bn") - step).alias("_bn"))
+            .localCheckpoint(eager=False)
+        )
+
+    model = w.select("bucket", "_wn").unionByName(
+        bias.select(F.lit(-1).alias("bucket"), F.col("_bn").alias("_wn"))
+    )
+    return model.select(
+        "bucket", (F.col("_wn") / F.lit(float(NANO))).alias("weight")
+    )
+
+
+def score_quality_lr(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Score documents under a trained model: (id, n_features, score)
+    with score = sigmoid(z) floor-rounded 6dp; featureless docs score
+    sigmoid(bias)."""
+    feats = hashed_word_features(docs, id_col, text_col, n_buckets)
+    wn = model.select(
+        "bucket",
+        F.floor(F.col("weight") * NANO + F.lit(0.5)).cast("bigint").alias("_wn"),
+    )
+    bias = F.broadcast(wn.where(F.col("bucket") == -1).select(
+        F.col("_wn").alias("_bn")
+    ))
+    margins = (
+        feats.join(F.broadcast(wn.where(F.col("bucket") >= 0)), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_features"),
+            F.sum(F.col("c") * F.col("_wn")).alias("_zn"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(margins, id_col, "left")
+        .crossJoin(bias)
+        .select(
+            id_col,
+            F.coalesce("n_features", F.lit(0)).alias("n_features"),
+            (
+                F.floor(
+                    F.lit(1.0)
+                    / (
+                        F.lit(1.0)
+                        + F.exp(
+                            -(
+                                (F.coalesce(F.col("_zn"), F.lit(0)) + F.col("_bn"))
+                                / F.lit(float(NANO))
+                            )
+                        )
+                    )
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("score"),
+        )
+    )

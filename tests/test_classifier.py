@@ -1,0 +1,71 @@
+"""LR quality classifier (operators/classifier): learning signal on a
+separable fixture, featureless-doc handling, deterministic reruns, and
+the broadcast plan shape.  The full 4-iteration trajectory replay vs
+DuckDB runs in test_entry_queries (lr_quality_weights / doc_lr_scores,
+both also in the second-SF float battery)."""
+
+from pyspark.sql import functions as F
+
+from nlp_cube_spark.operators.classifier import (
+    score_quality_lr,
+    train_quality_lr,
+)
+
+GOOD = "the curated encyclopedia article discusses the treaty in measured prose"
+SPAM = "click here buy now cheap deals win big prizes free free free"
+
+
+def _fixture(spark):
+    rows = [(i, GOOD, 1) for i in range(6)] + [(i + 6, SPAM, 0) for i in range(6)]
+    rows += [(99, "", 0)]
+    return spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+
+def test_lr_learns_separable_vocab(spark):
+    docs = _fixture(spark)
+    model = train_quality_lr(docs, "label", n_buckets=256, iters=6, lr=1.0)
+    scored = {r.doc_id: r.score for r in score_quality_lr(docs, model, n_buckets=256).collect()}
+    good = [scored[i] for i in range(6)]
+    spam = [scored[i + 6] for i in range(6)]
+    # fully separable vocabularies: every curated doc outscores every spam doc
+    assert min(good) > max(spam)
+    assert min(good) > 0.5 > max(spam)
+
+
+def test_lr_featureless_doc_scores_bias(spark):
+    docs = _fixture(spark)
+    model = train_quality_lr(docs, "label", n_buckets=256, iters=2, lr=1.0)
+    got = {r.doc_id: r.asDict() for r in score_quality_lr(docs, model, n_buckets=256).collect()}
+    assert got[99]["n_features"] == 0
+    bias = {r.bucket: r.weight for r in model.collect()}[-1]
+    import math
+
+    want = math.floor(1.0 / (1.0 + math.exp(-bias)) * 1e6 + 0.5) / 1e6
+    assert got[99]["score"] == want
+
+
+def test_lr_deterministic_rerun(spark):
+    docs = _fixture(spark)
+    a = sorted(tuple(r) for r in train_quality_lr(docs, "label", n_buckets=256, iters=3).collect())
+    b = sorted(tuple(r) for r in train_quality_lr(docs, "label", n_buckets=256, iters=3).collect())
+    assert a == b
+
+
+def test_lr_model_rows_are_bounded_and_biased(spark):
+    docs = _fixture(spark)
+    model = train_quality_lr(docs, "label", n_buckets=256, iters=1).collect()
+    buckets = [r.bucket for r in model]
+    assert -1 in buckets                      # bias row present
+    assert len(buckets) == len(set(buckets))  # one row per bucket
+    assert all(b < 256 for b in buckets)
+
+
+def test_lr_scoring_joins_broadcast(spark):
+    docs = _fixture(spark)
+    model = train_quality_lr(docs, "label", n_buckets=256, iters=1)
+    plan = (
+        score_quality_lr(docs, model, n_buckets=256)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the fixed-bucket weight table must broadcast, never sort-merge
+    assert "BroadcastHashJoin" in plan

@@ -119,6 +119,8 @@ FLOAT_SENSITIVE = [
     "doc_repetition_stats",
     "doc_dup_coverage",
     "dsir_log_weights",
+    "lr_quality_weights",
+    "doc_lr_scores",
 ]
 
 SF2 = "/root/testdata/sf0.001"
