@@ -1245,6 +1245,36 @@ def q_doc_lr_scores(spark, sf_dir):
     )
 
 
+def q_embedding_semdedup(spark, sf_dir):
+    """SemDeDup (similarity.semdedup, Abbas et al. 2023): k-means cells
+    -> within-cell eps-similarity components -> keep the least
+    prototypical member per duplicate group. Random 64-d vectors have no
+    natural near-dups (max natural pairwise cos = 0.513 at sf0.01), so
+    the corpus is augmented with exact clones (vec_id+1e6, every 25th)
+    and single-dimension x1.5 perturbations (vec_id+2e6, every 50th,
+    cos in [0.98, 1.0] by construction) — every 50th vector therefore
+    forms a 3-member transitive group (original + clone + perturbed)."""
+    from nlp_cube_spark.operators.similarity import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clones = emb.where(F.col("vec_id") % 25 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1000000)
+    )
+    pert = emb.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + F.lit(2000000)).alias("vec_id"),
+        F.expr(
+            "concat(array(cast(cast(element_at(embedding, 1) as double) * 1.5D as float)),"
+            " slice(embedding, 2, size(embedding) - 1))"
+        ).alias("embedding"),
+    )
+    return semdedup(
+        emb.unionByName(clones).unionByName(pert),
+        n_clusters=16,
+        iters=2,
+        eps=0.95,
+    )
+
+
 def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_shipped(spark)
@@ -1262,10 +1292,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # relational queries (green since round 1) trail.  Every entry is still
 # replayed locally against its DuckDB oracle in tests/test_entry_queries.py.
 _QUERIES = {
-        # --- round-6 window: 13 r6-new lead, then the 24 queries whose
-        # driver evidence is oldest (last checked r4), then 13 r5-checked
+        # --- round-6 window: 14 r6-new lead, then the 24 queries whose
+        # driver evidence is oldest (last checked r4), then 12 r5-checked
         # trivials = exactly 50 — so no registered query's
         # driver evidence ever ages more than two rounds ---
+        "embedding_semdedup": q_embedding_semdedup,
         "lr_quality_weights": q_lr_quality_weights,
         "doc_lr_scores": q_doc_lr_scores,
         "dsir_log_weights": q_dsir_log_weights,
@@ -1317,8 +1348,8 @@ _QUERIES = {
         "orders_topk": q_orders_topk,
         "map_extract": q_map_extract,
         "events_json_props": q_events_json_props,
-        "setops_brands": q_setops_brands,
         # ---------- window boundary (first 50 above) ----------
+        "setops_brands": q_setops_brands,
         # everything below was driver-green in r5 (CORRECTNESS_r05) and
         # stays locally oracled on every pytest run; rotates back in r7
         "string_folding": q_string_folding,
@@ -1693,18 +1724,21 @@ def _lr_scores_duck(iters: int, m: int, lr: float) -> str:
       FROM documents d LEFT JOIN sm USING (doc_id) CROSS JOIN b{iters}"""
 
 
-def _kmeans_duck(iters: int = 2, n_c: int = 16, dp: int = 9) -> str:
+def _kmeans_ctes(iters: int = 2, n_c: int = 16, dp: int = 9, src: str = "embeddings") -> str:
     """Unrolled Lloyd CTE chain mirroring similarity.kmeans_refine:
     hash-seeded centroids, cosine-argmax assignment, per-dimension mean
-    rounded to dp before the next iteration."""
+    rounded to dp before the next iteration. Returns the chain WITHOUT
+    the leading WITH (ends at c{iters}) so callers can prepend
+    WITH / WITH RECURSIVE and append their own consumers (_kmeans_duck,
+    _semdedup_duck)."""
     sql = f"""
-      WITH c0 AS MATERIALIZED (
+      c0 AS MATERIALIZED (
         SELECT row_number() OVER (ORDER BY _h) AS centroid_id,
                CAST(embedding AS DOUBLE[]) AS c_emb
         FROM (
           SELECT vec_id, embedding,
                  CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS VARCHAR) AS _h
-          FROM embeddings ORDER BY _h LIMIT {n_c}
+          FROM {src} ORDER BY _h LIMIT {n_c}
         )
       )"""
     for i in range(iters):
@@ -1715,7 +1749,7 @@ def _kmeans_duck(iters: int = 2, n_c: int = 16, dp: int = 9) -> str:
           SELECT v.vec_id, v.embedding, c.centroid_id,
                  row_number() OVER (PARTITION BY v.vec_id
                                     ORDER BY {cos} DESC, c.centroid_id) AS rn
-          FROM embeddings v, c{i} c
+          FROM {src} v, c{i} c
         ) WHERE rn = 1
       ),
       m{i} AS (
@@ -1731,11 +1765,83 @@ def _kmeans_duck(iters: int = 2, n_c: int = 16, dp: int = 9) -> str:
         SELECT c.centroid_id, coalesce(n.new_emb, c.c_emb) AS c_emb
         FROM c{i} c LEFT JOIN n{i} n USING (centroid_id)
       )"""
-    return sql + f"""
+    return sql
+
+
+def _kmeans_duck(iters: int = 2, n_c: int = 16, dp: int = 9) -> str:
+    """Final centroid table of the unrolled Lloyd chain, one row per
+    (centroid, dimension)."""
+    return "WITH " + _kmeans_ctes(iters, n_c, dp) + f"""
       SELECT centroid_id,
              CAST(generate_subscripts(c_emb, 1) - 1 AS INT) AS pos,
              unnest(c_emb) AS val
       FROM c{iters}"""
+
+
+def _semdedup_duck(iters: int = 2, n_c: int = 16, eps: float = 0.95) -> str:
+    """Full SemDeDup replay mirroring similarity.semdedup over the
+    clone/perturbation-augmented corpus of q_embedding_semdedup:
+    unrolled Lloyd (same CTE chain as ann_kmeans_centroids, re-rooted
+    on the augmented table) -> final assignment -> rounded
+    centroid-similarity -> within-cell eps pairs -> recursive-CTE
+    min-label components -> lowest-centroid-sim keeper per group."""
+    csim = _COS_DUCK.format(a="c.c_emb", b="a.embedding")
+    pcos = _COS_DUCK.format(a="a.embedding", b="b.embedding")
+    acos = _COS_DUCK.format(a="c.c_emb", b="v.embedding")
+    return f"""
+      WITH RECURSIVE emb AS MATERIALIZED (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 25 = 0
+        UNION ALL
+        SELECT vec_id + 2000000,
+               list_concat([CAST(CAST(embedding[1] AS DOUBLE) * 1.5 AS FLOAT)],
+                           embedding[2:]) AS embedding
+        FROM embeddings WHERE vec_id % 50 = 0
+      ),
+      {_kmeans_ctes(iters, n_c, src="emb")},
+      asg AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+          SELECT v.vec_id, v.embedding, c.centroid_id,
+                 row_number() OVER (PARTITION BY v.vec_id
+                                    ORDER BY {acos} DESC, c.centroid_id) AS rn
+          FROM emb v, c{iters} c
+        ) WHERE rn = 1
+      ),
+      ws AS MATERIALIZED (
+        SELECT a.vec_id, a.embedding, a.centroid_id,
+               round({csim}, 6) AS centroid_sim
+        FROM asg a JOIN c{iters} c USING (centroid_id)
+      ),
+      pr AS (
+        SELECT a.vec_id AS ida, b.vec_id AS idb
+        FROM ws a JOIN ws b USING (centroid_id)
+        WHERE a.vec_id < b.vec_id AND round({pcos}, 6) >= {eps}
+      ),
+      sym AS (SELECT ida AS src, idb AS dst FROM pr
+              UNION SELECT idb, ida FROM pr),
+      walk(node, comp) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.node
+      ),
+      cmp AS (SELECT node AS vec_id, min(comp) AS component FROM walk GROUP BY node),
+      lab AS (
+        SELECT ws.vec_id, ws.centroid_id, ws.centroid_sim,
+               coalesce(cmp.component, ws.vec_id) AS component
+        FROM ws LEFT JOIN cmp USING (vec_id)
+      ),
+      kp AS (
+        SELECT component, vec_id AS keep_id FROM (
+          SELECT component, vec_id,
+                 row_number() OVER (PARTITION BY component
+                                    ORDER BY centroid_sim, vec_id) AS rn
+          FROM lab
+        ) WHERE rn = 1
+      )
+      SELECT l.vec_id, l.centroid_id, l.centroid_sim, l.component,
+             (l.vec_id = kp.keep_id) AS keep
+      FROM lab l JOIN kp USING (component)"""
 
 
 _L2_DUCK = """
@@ -2360,6 +2466,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_kmeans_centroids": _kmeans_duck(),
         "ann_pq_topk": _pq_duck(),
         "kg_entity_communities": _lpa_duck(),
+        "embedding_semdedup": _semdedup_duck(),
         "lr_quality_weights": _lr_weights_duck(_LR_ITERS, _LR_BUCKETS, _LR_RATE),
         "doc_lr_scores": _lr_scores_duck(_LR_ITERS, _LR_BUCKETS, _LR_RATE),
         "dsir_log_weights": """

@@ -363,3 +363,103 @@ def ivf_topk(
     )
     w = Window.partitionBy(q_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _pad19(c: str) -> F.Column:
+    """Zero-pad a non-negative bigint id to 19 digits so the string
+    min-label of canonicalize.connected_components equals the numeric
+    min (same device as dedup.near_dup_clusters: 19 = bigint max width
+    because Spark lpad TRUNCATES longer inputs; the negative-id raise
+    lives inside the used expression so Catalyst cannot prune it)."""
+    return (
+        F.when(F.col(c) < 0, F.raise_error(F.lit(f"semdedup: negative {c}")))
+        .otherwise(F.lpad(F.col(c).cast("string"), 19, "0"))
+    )
+
+
+def semdedup(
+    vectors: DataFrame,
+    n_clusters: int = 16,
+    iters: int = 2,
+    eps: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup — semantic deduplication via embedding clustering
+    (Abbas et al. 2023, arXiv:2303.09540; no counterpart in the
+    reference — LLM-data-pipeline scope).
+
+    k-means the corpus into `n_clusters` cells (kmeans_refine: the
+    deterministic hash-seeded Lloyd trainer the IVF index already
+    uses), then WITHIN each cell build the eps-similarity graph
+    (round(cos, 6) >= eps), take connected components, and per
+    duplicate group KEEP exactly one example — the paper's rule: the
+    member with the LOWEST cosine similarity to its cluster centroid
+    (the least prototypical, preserving diversity), ties to the
+    smallest id. Singletons keep themselves.
+
+    Returns (id_col, centroid_id, centroid_sim, component, keep):
+    `component` is the smallest member id of the duplicate group,
+    `keep` the paper's retention verdict; `semdedup(...).where("keep")`
+    is the deduplicated corpus.
+
+    Scale shape: NEVER all-pairs — the only self-join is keyed on
+    centroid_id, so the pair space is sum(c_i^2) over cell sizes, and
+    `n_clusters` is the knob that bounds it (the paper runs k = 50k on
+    LAION-440M; k should grow with the corpus so cells stay ~1e4). The
+    corpus is scanned once per Lloyd iteration + once for assignment;
+    components run on the eps-graph only (vastly smaller than the
+    corpus). Assignment+centroid_sim is localCheckpointed because three
+    consumers reference it (both join sides + the final labeling) and
+    Spark re-runs shared subtrees per reference (CLAUDE.md). At 100 TB
+    the within-cell pairwise can be composed with SRP banding
+    (cosine_near_dups) as a second blocking level; eps-graph edges are
+    what shuffle, not the corpus."""
+    from .canonicalize import connected_components
+
+    cents = kmeans_refine(vectors, n_clusters, iters, id_col, vec_col)
+    assigned = ivf_assign(vectors, cents, id_col, vec_col)
+    csim = F.expr(COS_EXPR.format(a="c_emb", b=vec_col))
+    withsim = (
+        assigned.join(F.broadcast(cents), "centroid_id")
+        .select(
+            id_col, vec_col, "centroid_id", F.round(csim, 6).alias("centroid_sim")
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = withsim.select(
+        F.col(id_col).alias("_ida"), F.col(vec_col).alias("_emba"), "centroid_id"
+    )
+    b = withsim.select(
+        F.col(id_col).alias("_idb"), F.col(vec_col).alias("_embb"), "centroid_id"
+    )
+    pcos = F.expr(COS_EXPR.format(a="_emba", b="_embb"))
+    pairs = (
+        a.join(b, "centroid_id")
+        .where(F.col("_ida") < F.col("_idb"))
+        .where(F.round(pcos, 6) >= eps)
+    )
+    comp = connected_components(
+        pairs.select(_pad19("_ida").alias("src"), _pad19("_idb").alias("dst"))
+    )
+    labeled = (
+        withsim.join(
+            comp.select(
+                F.col("node").cast("bigint").alias(id_col),
+                F.col("component").cast("bigint").alias("component"),
+            ),
+            id_col,
+            "left",
+        )
+        .withColumn("component", F.coalesce("component", F.col(id_col)))
+    )
+    keeper = labeled.groupBy("component").agg(
+        F.min_by(F.col(id_col), F.struct("centroid_sim", id_col)).alias("_keep_id")
+    )
+    return labeled.join(keeper, "component").select(
+        id_col,
+        "centroid_id",
+        "centroid_sim",
+        "component",
+        (F.col(id_col) == F.col("_keep_id")).alias("keep"),
+    )

@@ -375,3 +375,48 @@ def test_pq_plan_no_cartesian_and_broadcast_dims(spark):
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_semdedup_components_and_keeper(spark):
+    """Planted semantic-dup structure, one cell (n_clusters=1) so the
+    eps-graph semantics are exercised independent of hash seeding:
+    {1,2,3} a transitive near-dup group, {4,5} exact clones, 6 and 7
+    singletons. Exactly one keep per group = the (centroid_sim, id)
+    argmin (the paper's least-prototypical rule; clone tie -> min id)."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.01, 0.0, 0.0]),   # cos(1,2) ~ 0.99995
+        (3, [0.95, 0.05, 0.0, 0.0]),  # cos(1,3) ~ 0.9986 -> transitive with 2
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        (5, [0.0, 0.0, 1.0, 0.0]),    # exact clone of 4
+        (6, [0.0, 0.0, -1.0, 0.0]),   # cos(4,6) = -1 -> singleton
+        (7, [0.0, 1.0, 0.0, 0.0]),    # orthogonal -> singleton
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in S.semdedup(vecs, n_clusters=1, iters=1, eps=0.95).collect()}
+    assert len(out) == 7
+    assert {out[i].component for i in (1, 2, 3)} == {1}
+    assert out[4].component == 4 and out[5].component == 4
+    assert out[6].component == 6 and out[6].keep
+    assert out[7].component == 7 and out[7].keep
+    assert out[4].keep and not out[5].keep  # clone tie -> smaller id kept
+    by_comp = {}
+    for r in out.values():
+        by_comp.setdefault(r.component, []).append(r)
+    for members in by_comp.values():
+        keeps = [m for m in members if m.keep]
+        assert len(keeps) == 1
+        want = min(members, key=lambda m: (m.centroid_sim, m.vec_id))
+        assert keeps[0].vec_id == want.vec_id
+
+
+def test_semdedup_no_cartesian(spark):
+    """The only self-join is keyed on centroid_id: the plan must not
+    contain a shuffle CartesianProduct (broadcast nested-loop against
+    the C-row centroid dimension is the intended pattern)."""
+    vecs = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.expr("transform(sequence(0, 7), i -> cast(hash(id, i) % 100 as float))").alias("embedding"),
+    )
+    plan = S.semdedup(vecs, n_clusters=4, iters=1)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

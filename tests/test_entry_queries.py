@@ -121,6 +121,7 @@ FLOAT_SENSITIVE = [
     "dsir_log_weights",
     "lr_quality_weights",
     "doc_lr_scores",
+    "embedding_semdedup",
 ]
 
 SF2 = "/root/testdata/sf0.001"
