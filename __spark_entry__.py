@@ -1245,6 +1245,36 @@ def q_doc_lr_scores(spark, sf_dir):
     )
 
 
+def q_doc_bigram_lm(spark, sf_dir):
+    """Stupid Backoff bigram LM scoring (textstats.bigram_backoff_scores,
+    Brants et al. 2007): LM trained on the alphabetically-first source
+    (the broadcast-min device dsir/lr reuse), every document scored —
+    cross-source bigrams exercise the backoff path, in-LM bigrams the
+    hit path."""
+    from nlp_cube_spark.operators.textstats import bigram_backoff_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    msrc = docs.agg(F.min("source").alias("source"))
+    return bigram_backoff_scores(docs, docs.join(F.broadcast(msrc), "source"))
+
+
+def q_kg_entity_kcore(spark, sf_dir):
+    """2-core of the undirected KG entity graph (graphstats.k_core,
+    iterative peeling): the maximal subgraph of minimum degree >= 2,
+    with each surviving entity's in-core degree. The oracle unrolls the
+    same number of peel rounds as the operator's cap; peeling is
+    idempotent at the fixpoint, so early convergence on either side
+    cannot diverge."""
+    from nlp_cube_spark.operators import annotate as A
+    from nlp_cube_spark.operators.graphstats import k_core
+
+    trip = A.fused_triples(_docs_as_pages(spark, sf_dir)).localCheckpoint()
+    edges = trip.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    return k_core(edges, k=2, max_iter=8).select(
+        F.col("node").alias("entity"), "deg"
+    )
+
+
 def q_embedding_semdedup(spark, sf_dir):
     """SemDeDup (similarity.semdedup, Abbas et al. 2023): k-means cells
     -> within-cell eps-similarity components -> keep the least
@@ -1292,10 +1322,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # relational queries (green since round 1) trail.  Every entry is still
 # replayed locally against its DuckDB oracle in tests/test_entry_queries.py.
 _QUERIES = {
-        # --- round-6 window: 14 r6-new lead, then the 24 queries whose
-        # driver evidence is oldest (last checked r4), then 12 r5-checked
+        # --- round-6 window: 16 r6-new lead, then the 24 queries whose
+        # driver evidence is oldest (last checked r4), then 10 r5-checked
         # trivials = exactly 50 — so no registered query's
         # driver evidence ever ages more than two rounds ---
+        "doc_bigram_lm": q_doc_bigram_lm,
+        "kg_entity_kcore": q_kg_entity_kcore,
         "embedding_semdedup": q_embedding_semdedup,
         "lr_quality_weights": q_lr_quality_weights,
         "doc_lr_scores": q_doc_lr_scores,
@@ -1346,9 +1378,9 @@ _QUERIES = {
         "rollup_orders": q_rollup_orders,
         "cube_order_counts": q_cube_order_counts,
         "orders_topk": q_orders_topk,
+        # ---------- window boundary (first 50 above) ----------
         "map_extract": q_map_extract,
         "events_json_props": q_events_json_props,
-        # ---------- window boundary (first 50 above) ----------
         "setops_brands": q_setops_brands,
         # everything below was driver-green in r5 (CORRECTNESS_r05) and
         # stays locally oracled on every pytest run; rotates back in r7
@@ -1776,6 +1808,89 @@ def _kmeans_duck(iters: int = 2, n_c: int = 16, dp: int = 9) -> str:
              CAST(generate_subscripts(c_emb, 1) - 1 AS INT) AS pos,
              unnest(c_emb) AS val
       FROM c{iters}"""
+
+
+def _bigram_lm_duck(alpha: float = 0.4) -> str:
+    """Stupid Backoff replay mirroring textstats.bigram_backoff_scores:
+    LM (unigram + bigram counts) from the min-source subset, every doc's
+    distinct bigrams scored hit = cb/cu_prev, miss = alpha*(cu_cur+1)/(N+V),
+    tf-weighted mean log10 rounded 6dp."""
+    tk = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+    gs = "list_transform(list_zip(tk[1:len(tk)-1], tk[2:]), x -> x[1] || ' ' || x[2])"
+    return f"""
+      WITH lmdocs AS MATERIALIZED (
+        SELECT text FROM documents WHERE source = (SELECT min(source) FROM documents)
+      ),
+      uni AS MATERIALIZED (
+        SELECT term, count(*) AS cu
+        FROM (SELECT unnest({tk}) AS term FROM lmdocs)
+        GROUP BY term
+      ),
+      corpus AS (SELECT sum(cu) AS n, count(*) AS v FROM uni),
+      big AS MATERIALIZED (
+        SELECT gram, count(*) AS cb
+        FROM (SELECT unnest(gs) AS gram
+              FROM (SELECT {gs} AS gs FROM (SELECT {tk} AS tk FROM lmdocs)))
+        GROUP BY gram
+      ),
+      docbig AS (
+        SELECT doc_id, gram, count(*) AS tf
+        FROM (SELECT doc_id, unnest(gs) AS gram
+              FROM (SELECT doc_id, {gs} AS gs
+                    FROM (SELECT doc_id, {tk} AS tk FROM documents)))
+        GROUP BY doc_id, gram
+      ),
+      sc AS (
+        SELECT doc_id, sum(tf) AS n_bigrams,
+               round(sum(tf * CASE WHEN cb IS NOT NULL
+                                   THEN log10(cb / CAST(cu_prev AS DOUBLE))
+                                   ELSE log10({alpha} * (coalesce(cu_cur, 0) + 1)
+                                              / CAST(n + v AS DOUBLE)) END)
+                     / sum(tf), 6) AS lm_score
+        FROM (
+          SELECT db.doc_id, db.tf, b.cb, up.cu AS cu_prev, uc.cu AS cu_cur
+          FROM docbig db
+          LEFT JOIN big b USING (gram)
+          LEFT JOIN uni up ON up.term = split_part(db.gram, ' ', 1)
+          LEFT JOIN uni uc ON uc.term = split_part(db.gram, ' ', 2)
+        ), corpus
+        GROUP BY doc_id
+      )
+      SELECT d.doc_id, CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             sc.lm_score
+      FROM documents d LEFT JOIN sc USING (doc_id)"""
+
+
+def _kcore_duck(k: int = 2, rounds: int = 8) -> str:
+    """Unrolled peel rounds mirroring graphstats.k_core over the
+    relational triple oracle's entity graph: per round, degrees of the
+    canonical a<b edge set, survivors with deg >= k, edges restricted to
+    survivors. `rounds` must equal the operator's max_iter — peeling is
+    idempotent at the fixpoint, so early convergence cannot diverge."""
+    sql = f"""
+      WITH raw AS MATERIALIZED (
+        SELECT DISTINCT subj AS s, obj AS o FROM ({_KG_TRIPLES_DUCK})
+      ),
+      e0 AS MATERIALIZED (
+        SELECT DISTINCT least(s, o) AS a, greatest(s, o) AS b
+        FROM raw WHERE s <> o AND s IS NOT NULL AND o IS NOT NULL
+      )"""
+    for i in range(rounds):
+        sql += f""",
+      d{i} AS (SELECT node, count(*) AS deg
+               FROM (SELECT a AS node FROM e{i} UNION ALL SELECT b FROM e{i})
+               GROUP BY node),
+      r{i} AS (SELECT node FROM d{i} WHERE deg >= {k}),
+      e{i + 1} AS MATERIALIZED (
+        SELECT a, b FROM e{i}
+        WHERE a IN (SELECT node FROM r{i}) AND b IN (SELECT node FROM r{i})
+      )"""
+    return sql + f"""
+      SELECT node AS entity, deg FROM (
+        SELECT node, count(*) AS deg
+        FROM (SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
+        GROUP BY node
+      ) WHERE deg >= {k}"""
 
 
 def _semdedup_duck(iters: int = 2, n_c: int = 16, eps: float = 0.95) -> str:
@@ -2466,6 +2581,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_kmeans_centroids": _kmeans_duck(),
         "ann_pq_topk": _pq_duck(),
         "kg_entity_communities": _lpa_duck(),
+        "doc_bigram_lm": _bigram_lm_duck(),
+        "kg_entity_kcore": _kcore_duck(),
         "embedding_semdedup": _semdedup_duck(),
         "lr_quality_weights": _lr_weights_duck(_LR_ITERS, _LR_BUCKETS, _LR_RATE),
         "doc_lr_scores": _lr_scores_duck(_LR_ITERS, _LR_BUCKETS, _LR_RATE),

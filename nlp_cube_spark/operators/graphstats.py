@@ -313,3 +313,78 @@ class Graph:
 
     def label_propagation(self, iters: int = 3) -> DataFrame:
         return label_propagation(self.edges, iters=iters)
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 8,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman 1983; the
+    standard KG-pruning pass for dropping tendrils before community /
+    centrality analysis — no counterpart in the reference).
+
+    Undirected simple graph (NULLs and self-loops dropped, edges
+    canonicalized a<b and deduped, same normalization as
+    triangle_count). Each round removes every node whose current degree
+    is < k together with its edges, until a fixpoint or `max_iter`.
+    Returns (node, deg): the surviving subgraph's nodes with their
+    in-core degrees — the maximal subgraph of minimum degree >= k.
+
+    Scale shape: one degree agg (node-keyed shuffle with map-side
+    combine — a hub's rows partial-aggregate before the exchange, the
+    connected_components skew argument) + two semi-joins per round;
+    edges localCheckpoint per round so plans stay round-sized. Peeling
+    is IDEMPOTENT at the fixpoint, so a DuckDB oracle unrolling exactly
+    `max_iter` rounds replays the result whether convergence came early
+    or not. The convergence check rides the checkpoint job as an
+    Observation (one job per round, canonicalize.connected_components
+    discipline); the peel count per round is data-dependent, but rounds
+    needed = longest chain of cascading removals (the star graph peels
+    in 2; real web KGs in a handful)."""
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .where(F.col("s").isNotNull() & F.col("d").isNotNull() & (F.col("s") != F.col("d")))
+        .select(F.least("s", "d").alias("a"), F.greatest("s", "d").alias("b"))
+        .dropDuplicates()
+        .localCheckpoint(eager=False)
+    )
+    from pyspark.sql import Observation
+
+    for i in range(max_iter):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .union(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("node").localCheckpoint(eager=False)
+        obs = Observation(f"kcore_removed_{i}_{id(e)}")
+        pruned = (
+            e.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .observe(obs, F.count(F.lit(1)).alias("n_edges"))
+            .localCheckpoint()  # eager: materializes AND fills the observation
+        )
+        try:
+            n_before = e.count() if i == 0 else n_after  # noqa: F821
+            n_after = int(obs.get["n_edges"] or 0)
+        except Exception:
+            # AQE empty-relation pruning can drop CollectMetrics
+            # (CLAUDE.md) — fall back to an explicit count, never assume
+            n_before = e.count()
+            n_after = pruned.count()
+        converged = n_after == n_before
+        e = pruned
+        if converged:
+            break
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return deg.where(F.col("deg") >= k)

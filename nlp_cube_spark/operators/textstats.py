@@ -340,3 +340,73 @@ def term_scores(
             .where(F.col("rank") <= top_k)
         )
     return out
+
+
+def bigram_backoff_scores(
+    docs: DataFrame,
+    lm_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Per-document mean log10 Stupid Backoff bigram score (Brants et
+    al. 2007 §4, the web-scale LM scheme that deliberately skips
+    normalization — public knowledge; no counterpart in the reference).
+
+    Train on `lm_docs` (default: `docs` itself — then backoff never
+    fires), score every doc's bigram transitions:
+
+      S(cur | prev) = cb(prev,cur) / cu(prev)      bigram in the LM
+                    = alpha * (cu(cur)+1) / (N+V)  otherwise
+
+    The backoff unigram is add-1 smoothed (documented deviation: Brants
+    assumes full-vocab coverage; add-1 keeps OOV scores finite instead
+    of log(0)). doc score = sum(tf * log10 S) / n_bigrams over the
+    doc's distinct bigrams, rounded 6dp; docs with < 2 tokens return
+    NULL with n_bigrams = 0.
+
+    Plan shape mirrors unigram_perplexity: grams via the codegen'd
+    lookahead regex (ngrams_sql — no HOF chain, no shuffle to build
+    them), one (doc, gram) hash agg, gram- and term-keyed shuffle joins
+    (the LM dimensions are web-vocab-sized — deliberately NOT
+    broadcast), corpus scalars via one broadcast cross join. The
+    unordered double sum before round(6) is the repo's accepted
+    flake-surface discipline (see kmeans_refine's note)."""
+    lm = lm_docs if lm_docs is not None else docs
+    toks = lambda df: df.select(  # noqa: E731
+        F.explode(F.expr(f"filter(split(trim({text_col}), '\\\\s+'), t -> t != '')")).alias("term")
+    )
+    uni = toks(lm).groupBy("term").agg(F.count(F.lit(1)).alias("cu"))
+    corpus = uni.agg(F.sum("cu").alias("__N"), F.count(F.lit(1)).alias("__V"))
+    grams = F.explode(F.expr(ngrams_sql(text_col, 2))).alias("gram")
+    big = lm.select(grams).groupBy("gram").agg(F.count(F.lit(1)).alias("cb"))
+    doc_big = (
+        docs.select(F.col(id_col), grams)
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    backoff = F.log10(
+        F.lit(alpha)
+        * (F.coalesce("cu_cur", F.lit(0)) + 1)
+        / (F.col("__N") + F.col("__V")).cast("double")
+    )
+    hit = F.log10(F.col("cb") / F.col("cu_prev").cast("double"))
+    scored = (
+        doc_big.join(big, "gram", "left")
+        .withColumn("_prev", F.expr("split_part(gram, ' ', 1)"))
+        .withColumn("_cur", F.expr("split_part(gram, ' ', 2)"))
+        .join(uni.select(F.col("term").alias("_prev"), F.col("cu").alias("cu_prev")), "_prev", "left")
+        .join(uni.select(F.col("term").alias("_cur"), F.col("cu").alias("cu_cur")), "_cur", "left")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn("_lg", F.when(F.col("cb").isNotNull(), hit).otherwise(backoff))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.round(F.sum(F.col("tf") * F.col("_lg")) / F.sum("tf"), 6).alias("lm_score"),
+        )
+    )
+    return docs.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        "lm_score",
+    )

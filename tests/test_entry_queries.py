@@ -122,6 +122,8 @@ FLOAT_SENSITIVE = [
     "lr_quality_weights",
     "doc_lr_scores",
     "embedding_semdedup",
+    "kg_entity_kcore",
+    "doc_bigram_lm",
 ]
 
 SF2 = "/root/testdata/sf0.001"

@@ -211,3 +211,45 @@ def test_lpa_plan_no_cartesian(spark):
     edges = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
     plan = label_propagation(edges, iters=2)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_k_core_triangle_with_tail(spark):
+    """Triangle {a,b,c} + chain c-d-e: the 2-core is exactly the
+    triangle, and the chain peels over TWO cascading rounds (e first,
+    then d) — exercises the fixpoint loop, not just one pass."""
+    from nlp_cube_spark.operators.graphstats import k_core
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")],
+        "src string, dst string",
+    )
+    out = {r.node: r.deg for r in k_core(edges, k=2).collect()}
+    assert out == {"a": 2, "b": 2, "c": 2}
+
+
+def test_k_core_star_is_empty_and_dup_edges_ignored(spark):
+    """A star has no 2-core (leaves peel, then the bare hub); duplicate
+    and reversed edges must not inflate degrees into a fake core."""
+    from nlp_cube_spark.operators.graphstats import k_core
+
+    star = [("hub", f"l{i}") for i in range(30)]
+    dups = [(f"l{i}", "hub") for i in range(30)] + star
+    edges = spark.createDataFrame(star + dups, "src string, dst string")
+    assert k_core(edges, k=2).count() == 0
+    # 1-core of a star = everything, hub degree = 30
+    one = {r.node: r.deg for r in k_core(edges, k=1).collect()}
+    assert one["hub"] == 30 and len(one) == 31
+
+
+def test_k_core_idempotent_at_extra_rounds(spark):
+    """Extra rounds past the fixpoint change nothing (the property the
+    unrolled DuckDB oracle relies on)."""
+    from nlp_cube_spark.operators.graphstats import k_core
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"), ("x", None)],
+        "src string, dst string",
+    )
+    a = sorted((r.node, r.deg) for r in k_core(edges, k=2, max_iter=3).collect())
+    b = sorted((r.node, r.deg) for r in k_core(edges, k=2, max_iter=12).collect())
+    assert a == b == [("a", 2), ("b", 2), ("c", 2)]

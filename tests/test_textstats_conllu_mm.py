@@ -190,3 +190,36 @@ def test_unigram_perplexity(spark):
     assert got[1]["ppl"] < got[2]["ppl"]
     assert got[1]["n_tokens"] == 3 and got[2]["cross_entropy"] == round(-math.log(pb), 6)
     assert got[3]["n_tokens"] == 0 and got[3]["ppl"] is None
+
+
+def test_bigram_backoff_hand_computed(spark):
+    """Hand-computable Stupid Backoff: LM = d1 only ('a b a b c' ->
+    N=5, V=3, bigrams {'a b':2, 'b a':1, 'b c':1}). d1 scores its own
+    hits, d2 mixes a hit ('a b' -> log10(2/2)=0) with an OOV backoff
+    ('b z' -> log10(0.4 * (0+1)/(5+3))), d3 has no bigram -> NULL."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c", "A"), (2, "a b z", "B"), (3, "q", "B")],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r.doc_id: r
+        for r in TS.bigram_backoff_scores(docs, docs.where("source = 'A'")).collect()
+    }
+    assert out[1].n_bigrams == 4
+    # d1: 2*log10(2/2) + log10(1/2) + log10(1/2), over 4 bigrams
+    assert out[1].lm_score == round(2 * math.log10(0.5) / 4, 6)
+    assert out[2].n_bigrams == 2
+    assert out[2].lm_score == round((0.0 + math.log10(0.4 * 1 / 8)) / 2, 6)
+    assert out[3].n_bigrams == 0 and out[3].lm_score is None
+
+
+def test_bigram_backoff_self_trained_never_backs_off(spark):
+    """Trained on itself, every doc bigram is in the LM: scores are
+    finite and the miss branch is dead (no OOV log(0) risk)."""
+    docs = spark.createDataFrame(
+        [(1, "x y x", "A"), (2, "y x y", "B")], "doc_id long, text string, source string"
+    )
+    rows = TS.bigram_backoff_scores(docs).collect()
+    assert all(r.lm_score is not None for r in rows)
