@@ -1245,6 +1245,20 @@ def q_doc_lr_scores(spark, sf_dir):
     )
 
 
+def q_source_unimax_weights(spark, sf_dir):
+    """UniMax epoch-capped budget allocation across sources
+    (textstats.unimax_weights, Chung et al. 2023): half the corpus's
+    characters as budget, 2-epoch ceiling per source — closed-form
+    water-filling via one dimension-sized window pass. Complements
+    source_sampling_weights (mT5 temperature) as the second published
+    mixing scheme."""
+    from nlp_cube_spark.operators.textstats import unimax_weights
+
+    return unimax_weights(
+        _t(spark, sf_dir, "documents"), budget_frac=0.5, max_epochs=2.0
+    )
+
+
 def q_doc_bigram_lm(spark, sf_dir):
     """Stupid Backoff bigram LM scoring (textstats.bigram_backoff_scores,
     Brants et al. 2007): LM trained on the alphabetically-first source
@@ -1322,10 +1336,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # relational queries (green since round 1) trail.  Every entry is still
 # replayed locally against its DuckDB oracle in tests/test_entry_queries.py.
 _QUERIES = {
-        # --- round-6 window: 16 r6-new lead, then the 24 queries whose
-        # driver evidence is oldest (last checked r4), then 10 r5-checked
+        # --- round-6 window: 17 r6-new lead, then the 24 queries whose
+        # driver evidence is oldest (last checked r4), then 9 r5-checked
         # trivials = exactly 50 — so no registered query's
         # driver evidence ever ages more than two rounds ---
+        "source_unimax_weights": q_source_unimax_weights,
         "doc_bigram_lm": q_doc_bigram_lm,
         "kg_entity_kcore": q_kg_entity_kcore,
         "embedding_semdedup": q_embedding_semdedup,
@@ -1377,8 +1392,8 @@ _QUERIES = {
         "anti_join": q_anti_join,
         "rollup_orders": q_rollup_orders,
         "cube_order_counts": q_cube_order_counts,
-        "orders_topk": q_orders_topk,
         # ---------- window boundary (first 50 above) ----------
+        "orders_topk": q_orders_topk,
         "map_extract": q_map_extract,
         "events_json_props": q_events_json_props,
         "setops_brands": q_setops_brands,
@@ -1808,6 +1823,43 @@ def _kmeans_duck(iters: int = 2, n_c: int = 16, dp: int = 9) -> str:
              CAST(generate_subscripts(c_emb, 1) - 1 AS INT) AS pos,
              unnest(c_emb) AS val
       FROM c{iters}"""
+
+
+def _unimax_duck(budget_frac: float = 0.5, max_epochs: float = 2.0) -> str:
+    """Water-filling replay mirroring textstats.unimax_weights: same
+    cumulative-minus-self prefix window, same monotone capped predicate
+    on exact integer-valued doubles, survivors split the remainder."""
+    return f"""
+      WITH per AS (
+        SELECT source, CAST(sum(length(text)) AS BIGINT) AS n_chars
+        FROM documents GROUP BY source
+      ),
+      tot AS (SELECT CAST(sum(n_chars) AS DOUBLE) AS t, count(*) AS l FROM per),
+      rk AS (
+        SELECT source, n_chars,
+               n_chars * {max_epochs} AS cap_chars,
+               t * {budget_frac} AS b, l,
+               row_number() OVER (ORDER BY n_chars * {max_epochs}, source) AS i,
+               sum(n_chars * {max_epochs}) OVER (ORDER BY n_chars * {max_epochs}, source)
+                 - n_chars * {max_epochs} AS pfx
+        FROM per, tot
+      ),
+      fl AS (SELECT *, (cap_chars * (l - i + 1) + pfx <= b) AS capped FROM rk),
+      kk AS (
+        SELECT sum(CASE WHEN capped THEN 1 ELSE 0 END) AS k,
+               coalesce(sum(CASE WHEN capped THEN cap_chars END), 0) AS capsum
+        FROM fl
+      )
+      SELECT source, n_chars, cap_chars,
+             round(alloc, 6) AS alloc_chars,
+             round(alloc / n_chars, 6) AS epochs,
+             round(alloc / b, 6) AS weight
+      FROM (
+        SELECT fl.*,
+               CASE WHEN capped THEN cap_chars
+                    ELSE (b - capsum) / nullif(CAST(l - k AS DOUBLE), 0) END AS alloc
+        FROM fl, kk
+      )"""
 
 
 def _bigram_lm_duck(alpha: float = 0.4) -> str:
@@ -2581,6 +2633,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_kmeans_centroids": _kmeans_duck(),
         "ann_pq_topk": _pq_duck(),
         "kg_entity_communities": _lpa_duck(),
+        "source_unimax_weights": _unimax_duck(),
         "doc_bigram_lm": _bigram_lm_duck(),
         "kg_entity_kcore": _kcore_duck(),
         "embedding_semdedup": _semdedup_duck(),

@@ -7,7 +7,7 @@ DuckDB oracle can reproduce values exactly; nothing here needs Python.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # tiny per-language stopword profiles (deterministic heuristic language-ID)
 STOPWORDS = {
@@ -409,4 +409,81 @@ def bigram_backoff_scores(
         id_col,
         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
         "lm_score",
+    )
+
+
+def unimax_weights(
+    docs: DataFrame,
+    budget_frac: float = 0.5,
+    max_epochs: float = 2.0,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """UniMax epoch-capped source budget allocation (Chung et al. 2023,
+    arXiv:2304.09151, public knowledge — the fairer successor to the
+    mT5 temperature mix in source_sampling_weights): distribute a
+    character budget B = budget_frac * total_chars as uniformly as
+    possible across sources, but never ask any source for more than
+    `max_epochs` passes over its own data.
+
+    Closed-form water-filling instead of the paper's sequential loop:
+    sort sources ascending by cap c_s = n_chars * max_epochs; source at
+    rank i is capped iff c_i * (L - i + 1) + prefix_cap_{i-1} <= B (the
+    uniform share it would get exceeds its cap) — the predicate is
+    monotone in i, so one window pass + one 1-row agg finds the capped
+    set, and the survivors split the remaining budget evenly. All
+    comparisons are products/sums of integer-valued doubles (exact well
+    below 2^53), so the capped set is engine-exact; only the final
+    output rounds (6dp).
+
+    Returns (source, n_chars, cap_chars, alloc_chars, epochs, weight)
+    with sum(alloc) = B when caps allow, sum(weight) = 1. Plan: one
+    corpus hash agg to the source dimension, then a DIMENSION-sized
+    unpartitioned window sort (sources are a handful by definition —
+    same class as a nation/region dim, not vocab; the vocab-scale
+    two-phase rank in vocab.py is the pattern if a caller ever feeds a
+    high-cardinality source column), scalars via broadcast cross join.
+    If the budget exceeds the total cap, every source caps and the
+    leftover is undistributed (epochs ceiling is a hard constraint)."""
+    per = docs.groupBy(source_col).agg(
+        F.sum(F.length(F.col(text_col))).alias("n_chars")
+    )
+    tot = per.agg(
+        F.sum("n_chars").cast("double").alias("__T"),
+        F.count(F.lit(1)).alias("__L"),
+    )
+    w = Window.orderBy("cap_chars", source_col)
+    ranked = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("cap_chars", F.col("n_chars") * F.lit(max_epochs))
+        .withColumn("__B", F.col("__T") * F.lit(budget_frac))
+        .withColumn("__i", F.row_number().over(w))
+        .withColumn("__pfx", F.sum("cap_chars").over(w) - F.col("cap_chars"))
+        .withColumn(
+            "__capped",
+            F.col("cap_chars") * (F.col("__L") - F.col("__i") + 1) + F.col("__pfx")
+            <= F.col("__B"),
+        )
+        .localCheckpoint(eager=False)  # referenced by the agg AND the output
+    )
+    kk = ranked.agg(
+        F.sum(F.when(F.col("__capped"), 1).otherwise(0)).alias("__k"),
+        F.coalesce(
+            F.sum(F.when(F.col("__capped"), F.col("cap_chars"))), F.lit(0.0)
+        ).alias("__capsum"),
+    )
+    share = (F.col("__B") - F.col("__capsum")) / F.nullif(
+        (F.col("__L") - F.col("__k")).cast("double"), F.lit(0.0)
+    )
+    alloc = F.when(F.col("__capped"), F.col("cap_chars")).otherwise(share)
+    return (
+        ranked.crossJoin(F.broadcast(kk))
+        .select(
+            source_col,
+            "n_chars",
+            "cap_chars",
+            F.round(alloc, 6).alias("alloc_chars"),
+            F.round(alloc / F.col("n_chars"), 6).alias("epochs"),
+            F.round(alloc / F.col("__B"), 6).alias("weight"),
+        )
     )

@@ -124,6 +124,7 @@ FLOAT_SENSITIVE = [
     "embedding_semdedup",
     "kg_entity_kcore",
     "doc_bigram_lm",
+    "source_unimax_weights",
 ]
 
 SF2 = "/root/testdata/sf0.001"

@@ -223,3 +223,23 @@ def test_bigram_backoff_self_trained_never_backs_off(spark):
     )
     rows = TS.bigram_backoff_scores(docs).collect()
     assert all(r.lm_score is not None for r in rows)
+
+
+def test_unimax_water_filling_hand_computed(spark):
+    """A:100 B:1000 C:10000 chars, budget = half the corpus (5550),
+    epoch cap 2x: A and B cap at 200/2000, C soaks the remaining 3350.
+    Predicate check at each rank: 200*3<=5550 capped, 2000*2+200<=5550
+    capped, 20000*1+2200>5550 uncapped."""
+    docs = spark.createDataFrame(
+        [(1, "x" * 100, "A"), (2, "y" * 1000, "B"), (3, "z" * 10000, "C")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in TS.unimax_weights(docs).collect()}
+    assert out["A"].alloc_chars == 200.0 and out["A"].epochs == 2.0
+    assert out["B"].alloc_chars == 2000.0 and out["B"].epochs == 2.0
+    assert out["C"].alloc_chars == 3350.0 and out["C"].epochs == 0.335
+    assert abs(sum(r.weight for r in out.values()) - 1.0) < 2e-6
+    # budget above the total cap: every source caps, leftover undistributed
+    allcap = {r.source: r for r in TS.unimax_weights(docs, budget_frac=10.0).collect()}
+    assert sum(r.alloc_chars for r in allcap.values()) == 22200.0
+    assert all(r.epochs == 2.0 for r in allcap.values())
