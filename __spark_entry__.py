@@ -1245,6 +1245,26 @@ def q_doc_lr_scores(spark, sf_dir):
     )
 
 
+def q_doc_winnow_fps(spark, sf_dir):
+    """Winnowing fingerprints (dedup.winnow_fingerprints, Schleimer et
+    al. SIGMOD 2003): char 8-grams, window 4, packed-bigint window min
+    so selection is a plain MIN on both engines."""
+    from nlp_cube_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"), k=8, w=4)
+
+
+def q_winnow_match_pairs(spark, sf_dir):
+    """Fingerprint-overlap pairs over the clone-injected corpus
+    (dedup.winnow_match_pairs): fp-keyed self-join with the hot-fp cap;
+    every injected clone pair must surface with a large shared count."""
+    from nlp_cube_spark.operators.dedup import winnow_match_pairs
+
+    return winnow_match_pairs(
+        _docs_with_dups(spark, sf_dir), k=8, w=4, min_shared=2, max_bucket=64
+    )
+
+
 def q_source_unimax_weights(spark, sf_dir):
     """UniMax epoch-capped budget allocation across sources
     (textstats.unimax_weights, Chung et al. 2023): half the corpus's
@@ -1336,10 +1356,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # relational queries (green since round 1) trail.  Every entry is still
 # replayed locally against its DuckDB oracle in tests/test_entry_queries.py.
 _QUERIES = {
-        # --- round-6 window: 17 r6-new lead, then the 24 queries whose
-        # driver evidence is oldest (last checked r4), then 9 r5-checked
+        # --- round-6 window: 19 r6-new lead, then the 24 queries whose
+        # driver evidence is oldest (last checked r4), then 7 r5-checked
         # trivials = exactly 50 — so no registered query's
         # driver evidence ever ages more than two rounds ---
+        "doc_winnow_fps": q_doc_winnow_fps,
+        "winnow_match_pairs": q_winnow_match_pairs,
         "source_unimax_weights": q_source_unimax_weights,
         "doc_bigram_lm": q_doc_bigram_lm,
         "kg_entity_kcore": q_kg_entity_kcore,
@@ -1390,9 +1412,9 @@ _QUERIES = {
         "top_revenue_orders": q_top_revenue_orders,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
+        # ---------- window boundary (first 50 above) ----------
         "rollup_orders": q_rollup_orders,
         "cube_order_counts": q_cube_order_counts,
-        # ---------- window boundary (first 50 above) ----------
         "orders_topk": q_orders_topk,
         "map_extract": q_map_extract,
         "events_json_props": q_events_json_props,
@@ -1823,6 +1845,67 @@ def _kmeans_duck(iters: int = 2, n_c: int = 16, dp: int = 9) -> str:
              CAST(generate_subscripts(c_emb, 1) - 1 AS INT) AS pos,
              unnest(c_emb) AS val
       FROM c{iters}"""
+
+
+def _winnow_fps_ctes(k: int, w: int, src: str = "documents") -> str:
+    """Winnowing selection mirroring dedup.winnow_fingerprints over
+    `src`(doc_id, text): same normalization, same packed-bigint key
+    (h40 * 2^22 + pos), same truncated-frame window min with the
+    sub-w-gram single-selection rule. Ends at CTE `s`(doc_id, mk)."""
+    return f"""
+      nrm AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+        FROM {src}
+      ),
+      g AS (
+        SELECT doc_id, CAST(unnest(range(1, greatest(length(t) - {k - 1}, 0) + 1)) AS BIGINT) AS pos, t
+        FROM nrm
+      ),
+      kg AS (
+        SELECT doc_id, pos,
+               ('0x' || substr(md5(substr(t, CAST(pos AS INT), {k})), 1, 10))::BIGINT
+                 * {1 << 22} + pos AS key
+        FROM g
+      ),
+      cg AS (SELECT doc_id, count(*) AS ng FROM kg GROUP BY doc_id),
+      mw AS (
+        SELECT doc_id, pos,
+               min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS mk
+        FROM kg
+      ),
+      s AS (
+        SELECT DISTINCT doc_id, mk
+        FROM mw JOIN cg USING (doc_id)
+        WHERE pos <= greatest(ng - {w - 1}, 1)
+      )"""
+
+
+def _winnow_fps_duck(k: int = 8, w: int = 4) -> str:
+    return "WITH " + _winnow_fps_ctes(k, w) + f"""
+      SELECT doc_id, CAST(mk % {1 << 22} AS BIGINT) AS pos,
+             CAST(mk // {1 << 22} AS BIGINT) AS fp
+      FROM s"""
+
+
+def _winnow_pairs_duck(
+    k: int = 8, w: int = 4, min_shared: int = 2, max_bucket: int = 64
+) -> str:
+    return f"""
+      WITH dd AS ({_DOCS_DUPS_DUCK}),
+      {_winnow_fps_ctes(k, w, src="dd")},
+      fps AS (SELECT DISTINCT doc_id, CAST(mk // {1 << 22} AS BIGINT) AS fp FROM s),
+      capped AS (
+        SELECT doc_id, fp FROM (
+          SELECT *, count(*) OVER (PARTITION BY fp) AS _n FROM fps
+        ) WHERE _n <= {max_bucket}
+      )
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM capped a JOIN capped b USING (fp)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+      HAVING count(*) >= {min_shared}"""
 
 
 def _unimax_duck(budget_frac: float = 0.5, max_epochs: float = 2.0) -> str:
@@ -2633,6 +2716,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_kmeans_centroids": _kmeans_duck(),
         "ann_pq_topk": _pq_duck(),
         "kg_entity_communities": _lpa_duck(),
+        "doc_winnow_fps": _winnow_fps_duck(),
+        "winnow_match_pairs": _winnow_pairs_duck(),
         "source_unimax_weights": _unimax_duck(),
         "doc_bigram_lm": _bigram_lm_duck(),
         "kg_entity_kcore": _kcore_duck(),

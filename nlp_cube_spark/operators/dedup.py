@@ -418,3 +418,114 @@ def paragraph_dedup(
             ),
         )
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS local fingerprinting algorithm; public
+    knowledge, no counterpart in the reference). Position-aware, unlike
+    MinHash/SimHash: any shared substring of length >= k + w - 1 is
+    GUARANTEED to produce a shared fingerprint, which is what makes it
+    the standard for plagiarism/attribution rather than whole-doc
+    similarity.
+
+    Char k-grams of the whitespace-collapsed lower-cased text, 40-bit
+    md5-derived gram hashes, and per sliding window of `w` consecutive
+    grams the minimum (hash, pos) is selected; duplicate selections
+    collapse. The (hash, pos) pair is packed into ONE bigint
+    key = h40 * 2^22 + pos (40 + 22 bits < 63) so the window min is a
+    plain bigint MIN on both engines — no struct-ordering semantics to
+    align — and ties are impossible by construction (pos is injective).
+    Docs with fewer than w grams select their single overall min (the
+    paper's guarantee of >= 1 fingerprint per non-trivial doc); docs
+    shorter than k chars yield no rows.
+
+    Returns (id_col, pos, fp): 1-based gram position and 40-bit
+    fingerprint. Scale shape: the window runs per (doc, pos) — a
+    doc-keyed token-volume shuffle+sort, inherently required because
+    winnowing is positional (cf. the ngrams_sql note: the regex trick
+    cannot carry positions). Everything else is narrow; downstream
+    matching joins on fp (see winnow_match_pairs)."""
+    if k < 1 or w < 1:
+        raise ValueError("winnow_fingerprints: k and w must be >= 1")
+    norm = f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            # guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of
+            # being empty, so sub-k docs need an explicit empty array
+            F.expr(
+                f"case when length({norm}) < {k} then array()"
+                f" else transform(sequence(1, length({norm}) - {k - 1}),"
+                f" i -> substr({norm}, i, {k})) end"
+            )
+        ).alias("_p0", "gram"),
+    ).select(
+        id_col,
+        (F.col("_p0") + 1).alias("pos"),
+        (
+            F.expr("cast(conv(substr(md5(gram), 1, 10), 16, 10) as bigint)")
+            * F.lit(1 << 22)
+            + F.col("_p0")
+            + 1
+        ).alias("_key"),
+    )
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    cnt = Window.partitionBy(id_col)
+    sel = (
+        grams.withColumn("_mk", F.min("_key").over(win))
+        .withColumn("_ng", F.count(F.lit(1)).over(cnt))
+        .where(F.col("pos") <= F.greatest(F.col("_ng") - (w - 1), F.lit(1)))
+        .select(id_col, "_mk")
+        .dropDuplicates()
+    )
+    # decode with INTEGER div: _mk holds up to 62 bits, and `/` is double
+    # division (53-bit mantissa) — a rounding error there can shift fp by 1
+    return sel.select(
+        id_col,
+        (F.col("_mk") % (1 << 22)).alias("pos"),
+        F.expr(f"_mk div {1 << 22}").alias("fp"),
+    )
+
+
+def winnow_match_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket: int | None = 64,
+) -> DataFrame:
+    """Document pairs sharing >= min_shared winnowing fingerprints —
+    the overlap-detection join over winnow_fingerprints. Same blocked
+    shape as MinHash banding: a self-equi-join keyed on fp (never
+    all-pairs), with ubiquitous fingerprints (boilerplate k-grams hot
+    enough to exceed `max_bucket` docs) dropped before the join — the
+    lsh_candidate_pairs cap discipline; coverage loss is boilerplate
+    only, and the cap is the knob to turn at 100 TB."""
+    fps = winnow_fingerprints(docs, id_col, text_col, k, w).select(
+        id_col, "fp"
+    ).dropDuplicates()
+    if max_bucket is not None:
+        sz = Window.partitionBy("fp")
+        fps = (
+            fps.withColumn("_n", F.count(F.lit(1)).over(sz))
+            .where(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
+    a = fps.select(F.col(id_col).alias("doc_a"), "fp")
+    b = fps.select(F.col(id_col).alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -420,3 +420,50 @@ def test_semdedup_no_cartesian(spark):
     )
     plan = S.semdedup(vecs, n_clusters=4, iters=1)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_winnow_guarantee_and_small_docs(spark):
+    """The winnowing guarantee: a shared substring of length >= k+w-1
+    (here 8+4-1=11) always yields a shared fingerprint. A doc with
+    fewer than w grams still selects exactly its single minimum; a doc
+    shorter than k chars yields nothing."""
+    shared = "xxsharedrunxx"  # 13 chars > 11
+    docs = spark.createDataFrame(
+        [
+            (1, "aaa " + shared + " bbb ccc ddd"),
+            (2, "totally other prefix " + shared),
+            (3, "tiny doc!"),   # 9 chars -> 2 grams < w -> 1 fingerprint
+            (4, "short"),       # < k chars -> no grams
+        ],
+        "doc_id long, text string",
+    )
+    fps = D.winnow_fingerprints(docs, k=8, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "guaranteed shared fingerprint missing"
+    assert len(by_doc.get(3, set())) == 1
+    assert 4 not in by_doc
+    # positions are 1-based and within the gram range
+    assert all(1 <= r.pos for r in fps)
+
+
+def test_winnow_exact_dups_and_match_pairs(spark):
+    """Identical docs produce identical fingerprint sets; the pair join
+    surfaces them, and the hot-fp cap drops a fingerprint shared by
+    every doc (boilerplate) without killing the true pair."""
+    boiler = "the common navigation header text "
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + "unique first document body alpha beta"),
+            (2, boiler + "unique first document body alpha beta"),
+            (3, boiler + "completely different content gamma delta"),
+            (4, boiler + "yet another unrelated page epsilon zeta"),
+        ],
+        "doc_id long, text string",
+    )
+    s1 = {r.fp for r in D.winnow_fingerprints(docs.where("doc_id = 1")).collect()}
+    s2 = {r.fp for r in D.winnow_fingerprints(docs.where("doc_id = 2")).collect()}
+    assert s1 == s2 and s1
+    pairs = {(r.doc_a, r.doc_b): r.n_shared for r in D.winnow_match_pairs(docs, max_bucket=3).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2

@@ -125,6 +125,8 @@ FLOAT_SENSITIVE = [
     "kg_entity_kcore",
     "doc_bigram_lm",
     "source_unimax_weights",
+    "doc_winnow_fps",
+    "winnow_match_pairs",
 ]
 
 SF2 = "/root/testdata/sf0.001"
