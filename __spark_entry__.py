@@ -1245,6 +1245,20 @@ def q_doc_lr_scores(spark, sf_dir):
     )
 
 
+def q_kg_entity_ktruss(spark, sf_dir):
+    """3-truss of the undirected KG entity graph (graphstats.k_truss):
+    edges surviving support peeling, with final-round triangle support.
+    Same unrolled-rounds oracle contract as kg_entity_kcore."""
+    from nlp_cube_spark.operators import annotate as A
+    from nlp_cube_spark.operators.graphstats import k_truss
+
+    trip = A.fused_triples(_docs_as_pages(spark, sf_dir)).localCheckpoint()
+    edges = trip.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    return k_truss(edges, t=3, max_iter=3).select(
+        F.col("src").alias("entity_a"), F.col("dst").alias("entity_b"), "support"
+    )
+
+
 def q_doc_winnow_fps(spark, sf_dir):
     """Winnowing fingerprints (dedup.winnow_fingerprints, Schleimer et
     al. SIGMOD 2003): char 8-grams, window 4, packed-bigint window min
@@ -1356,10 +1370,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # relational queries (green since round 1) trail.  Every entry is still
 # replayed locally against its DuckDB oracle in tests/test_entry_queries.py.
 _QUERIES = {
-        # --- round-6 window: 19 r6-new lead, then the 24 queries whose
-        # driver evidence is oldest (last checked r4), then 7 r5-checked
+        # --- round-6 window: 20 r6-new lead, then the 24 queries whose
+        # driver evidence is oldest (last checked r4), then 6 r5-checked
         # trivials = exactly 50 — so no registered query's
         # driver evidence ever ages more than two rounds ---
+        "kg_entity_ktruss": q_kg_entity_ktruss,
         "doc_winnow_fps": q_doc_winnow_fps,
         "winnow_match_pairs": q_winnow_match_pairs,
         "source_unimax_weights": q_source_unimax_weights,
@@ -1411,8 +1426,8 @@ _QUERIES = {
         "window_top3": q_window_top3,
         "top_revenue_orders": q_top_revenue_orders,
         "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
         # ---------- window boundary (first 50 above) ----------
+        "anti_join": q_anti_join,
         "rollup_orders": q_rollup_orders,
         "cube_order_counts": q_cube_order_counts,
         "orders_topk": q_orders_topk,
@@ -1845,6 +1860,39 @@ def _kmeans_duck(iters: int = 2, n_c: int = 16, dp: int = 9) -> str:
              CAST(generate_subscripts(c_emb, 1) - 1 AS INT) AS pos,
              unnest(c_emb) AS val
       FROM c{iters}"""
+
+
+def _ktruss_duck(t: int = 3, rounds: int = 3) -> str:
+    """Unrolled support-peel rounds mirroring graphstats.k_truss over
+    the relational triple oracle's entity graph. `rounds` must equal the
+    operator's max_iter (idempotent-at-fixpoint contract, see
+    _kcore_duck)."""
+    sql = f"""
+      WITH raw AS MATERIALIZED (
+        SELECT DISTINCT subj AS s, obj AS o FROM ({_KG_TRIPLES_DUCK})
+      ),
+      e0 AS MATERIALIZED (
+        SELECT DISTINCT least(s, o) AS a, greatest(s, o) AS b
+        FROM raw WHERE s <> o AND s IS NOT NULL AND o IS NOT NULL
+      )"""
+    for i in range(rounds):
+        sql += f""",
+      t{i} AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+               FROM e{i} e1 JOIN e{i} e2 ON e1.b = e2.a
+                            JOIN e{i} e3 ON e3.a = e1.a AND e3.b = e2.b),
+      s{i} AS (SELECT a, b, count(*) AS sup FROM (
+                 SELECT x AS a, y AS b FROM t{i}
+                 UNION ALL SELECT y, z FROM t{i}
+                 UNION ALL SELECT x, z FROM t{i})
+               GROUP BY a, b),
+      e{i + 1} AS MATERIALIZED (
+        SELECT e.a, e.b, coalesce(s.sup, 0) AS sup
+        FROM e{i} e LEFT JOIN s{i} s USING (a, b)
+        WHERE coalesce(s.sup, 0) >= {t - 2}
+      )"""
+    return sql + f"""
+      SELECT a AS entity_a, b AS entity_b, CAST(sup AS BIGINT) AS support
+      FROM e{rounds}"""
 
 
 def _winnow_fps_ctes(k: int, w: int, src: str = "documents") -> str:
@@ -2716,6 +2764,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_kmeans_centroids": _kmeans_duck(),
         "ann_pq_topk": _pq_duck(),
         "kg_entity_communities": _lpa_duck(),
+        "kg_entity_ktruss": _ktruss_duck(),
         "doc_winnow_fps": _winnow_fps_duck(),
         "winnow_match_pairs": _winnow_pairs_duck(),
         "source_unimax_weights": _unimax_duck(),

@@ -127,6 +127,7 @@ FLOAT_SENSITIVE = [
     "source_unimax_weights",
     "doc_winnow_fps",
     "winnow_match_pairs",
+    "kg_entity_ktruss",
 ]
 
 SF2 = "/root/testdata/sf0.001"

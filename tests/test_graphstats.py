@@ -253,3 +253,44 @@ def test_k_core_idempotent_at_extra_rounds(spark):
     a = sorted((r.node, r.deg) for r in k_core(edges, k=2, max_iter=3).collect())
     b = sorted((r.node, r.deg) for r in k_core(edges, k=2, max_iter=12).collect())
     assert a == b == [("a", 2), ("b", 2), ("c", 2)]
+
+
+def test_k_truss_triangle_with_tail(spark):
+    """Triangle + tail: the 3-truss keeps exactly the triangle's three
+    edges with support 1; the tail edges (no triangle) drop in round 1."""
+    from nlp_cube_spark.operators.graphstats import k_truss
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")],
+        "src string, dst string",
+    )
+    out = {(r.src, r.dst): r.support for r in k_truss(edges, t=3).collect()}
+    assert out == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_k_truss_cascade(spark):
+    """Two triangles sharing edge (a,b): at t=4 the outer edges (support
+    1) drop first, which starves the shared edge — the truss empties
+    only through the CASCADE, proving multi-round peeling works."""
+    from nlp_cube_spark.operators.graphstats import k_truss
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("a", "d"), ("b", "d")],
+        "src string, dst string",
+    )
+    assert k_truss(edges, t=4, max_iter=4).count() == 0
+    # t=3 keeps everything: every edge closes at least one triangle
+    t3 = {(r.src, r.dst): r.support for r in k_truss(edges, t=3).collect()}
+    assert t3[("a", "b")] == 2 and len(t3) == 5
+
+
+def test_k_truss_idempotent_extra_rounds(spark):
+    from nlp_cube_spark.operators.graphstats import k_truss
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+        "src string, dst string",
+    )
+    a = sorted(map(tuple, k_truss(edges, t=3, max_iter=2).collect()))
+    b = sorted(map(tuple, k_truss(edges, t=3, max_iter=6).collect()))
+    assert a == b
