@@ -1245,6 +1245,15 @@ def q_doc_lr_scores(spark, sf_dir):
     )
 
 
+def q_corpus_zipf_fit(spark, sf_dir):
+    """Zipf rank-frequency OLS diagnostic (textstats.zipf_fit): ranks
+    via the content-derived two-phase prefix sum (no single-task vocab
+    sort), OLS closed form from one sufficient-statistics aggregate."""
+    from nlp_cube_spark.operators.textstats import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"))
+
+
 def q_kg_entity_ktruss(spark, sf_dir):
     """3-truss of the undirected KG entity graph (graphstats.k_truss):
     edges surviving support peeling, with final-round triangle support.
@@ -1370,10 +1379,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # relational queries (green since round 1) trail.  Every entry is still
 # replayed locally against its DuckDB oracle in tests/test_entry_queries.py.
 _QUERIES = {
-        # --- round-6 window: 20 r6-new lead, then the 24 queries whose
-        # driver evidence is oldest (last checked r4), then 6 r5-checked
+        # --- round-6 window: 21 r6-new lead, then the 24 queries whose
+        # driver evidence is oldest (last checked r4), then 5 r5-checked
         # trivials = exactly 50 — so no registered query's
         # driver evidence ever ages more than two rounds ---
+        "corpus_zipf_fit": q_corpus_zipf_fit,
         "kg_entity_ktruss": q_kg_entity_ktruss,
         "doc_winnow_fps": q_doc_winnow_fps,
         "winnow_match_pairs": q_winnow_match_pairs,
@@ -1425,8 +1435,8 @@ _QUERIES = {
         "region_revenue": q_region_revenue,
         "window_top3": q_window_top3,
         "top_revenue_orders": q_top_revenue_orders,
-        "semi_join": q_semi_join,
         # ---------- window boundary (first 50 above) ----------
+        "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "rollup_orders": q_rollup_orders,
         "cube_order_counts": q_cube_order_counts,
@@ -1860,6 +1870,24 @@ def _kmeans_duck(iters: int = 2, n_c: int = 16, dp: int = 9) -> str:
              CAST(generate_subscripts(c_emb, 1) - 1 AS INT) AS pos,
              unnest(c_emb) AS val
       FROM c{iters}"""
+
+
+_ZIPF_DUCK = """
+  WITH terms AS (
+    SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS term
+    FROM documents
+  ),
+  c AS (SELECT term, count(*) AS cnt FROM terms GROUP BY term),
+  r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rk FROM c),
+  xy AS (SELECT ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y FROM r),
+  s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy FROM xy)
+  SELECT CAST(n AS BIGINT) AS n_terms,
+         round((n*sxy - sx*sy) / nullif(n*sxx - sx*sx, 0), 6) AS slope,
+         round((sy - (n*sxy - sx*sy) / nullif(n*sxx - sx*sx, 0) * sx) / n, 6) AS intercept,
+         round((n*sxy - sx*sy) * (n*sxy - sx*sy)
+               / (nullif(n*sxx - sx*sx, 0) * nullif(n*syy - sy*sy, 0)), 6) AS r2
+  FROM s"""
 
 
 def _ktruss_duck(t: int = 3, rounds: int = 3) -> str:
@@ -2764,6 +2792,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_kmeans_centroids": _kmeans_duck(),
         "ann_pq_topk": _pq_duck(),
         "kg_entity_communities": _lpa_duck(),
+        "corpus_zipf_fit": _ZIPF_DUCK,
         "kg_entity_ktruss": _ktruss_duck(),
         "doc_winnow_fps": _winnow_fps_duck(),
         "winnow_match_pairs": _winnow_pairs_duck(),

@@ -487,3 +487,58 @@ def unimax_weights(
             F.round(alloc / F.col("__B"), 6).alias("weight"),
         )
     )
+
+
+def zipf_fit(
+    docs: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Zipf rank-frequency OLS fit over the corpus vocabulary (public
+    knowledge; Zipf 1949 — the standard sanity diagnostic for a web
+    corpus: natural text fits ln f = a + s*ln r with s near -1 and high
+    r2; scraped boilerplate/spam bends the curve).
+
+    Terms ranked by (count desc, term) WITHOUT a single-task sort: the
+    1-based rank is the exclusive prefix count in that total order via
+    the shared content-derived two-phase helper (operators/ranges.py —
+    the vocab._rank_ids device, web-vocab-safe). Then ONE aggregate
+    collects the OLS sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²
+    over x=ln rank, y=ln count) and the closed form yields slope,
+    intercept, r2 — rounded 6dp (the accepted unordered-double-sum
+    discipline). Returns exactly one row: (n_terms, slope, intercept,
+    r2); degenerate vocabularies (< 2 terms) yield NULL fit values via
+    nullif'd denominators."""
+    terms = docs.select(
+        F.explode(F.expr(f"filter(split(trim({text_col}), '\\\\s+'), t -> t != '')")).alias("term")
+    )
+    counts = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .where(F.col("count") >= min_count)
+    )
+    from .ranges import exclusive_prefix_sum
+
+    ranked = exclusive_prefix_sum(
+        counts, [(-F.col("count")), F.col("term")], F.lit(1), out_col="_rk"
+    )
+    xy = ranked.select(
+        F.log((F.col("_rk") + 1).cast("double")).alias("x"),
+        F.log(F.col("count").cast("double")).alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.nullif(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0))
+    deny = F.nullif(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"), F.lit(0.0))
+    slope = num / den
+    return s.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias("intercept"),
+        F.round(num * num / (den * deny), 6).alias("r2"),
+    )

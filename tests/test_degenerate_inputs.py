@@ -132,3 +132,43 @@ def test_parse_cap_boundary_parity():
     plain = mst.decode_tree(arc_scores.score_matrix(forms, upos)).tolist()
     assert capped_heads == plain
     assert capped_labels == arc_scores.label_arcs(forms, upos, plain)
+
+
+def test_r6_new_ops_degenerate_inputs(spark):
+    """Empty/degenerate inputs must yield empty or NULL-safe results,
+    not throw: semdedup on empty vectors, k_core/k_truss on empty and
+    NULL-ridden edges, winnowing on empty text, bigram LM on empty
+    docs, unimax on a single source."""
+    from nlp_cube_spark.operators.dedup import winnow_fingerprints, winnow_match_pairs
+    from nlp_cube_spark.operators.graphstats import k_core, k_truss
+    from nlp_cube_spark.operators.similarity import semdedup
+    from nlp_cube_spark.operators.textstats import bigram_backoff_scores, unimax_weights
+
+    empty_vecs = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert semdedup(empty_vecs, n_clusters=4, iters=1).count() == 0
+
+    empty_edges = spark.createDataFrame([], "src string, dst string")
+    assert k_core(empty_edges, k=2).count() == 0
+    assert k_truss(empty_edges, t=3).count() == 0
+    nullish = spark.createDataFrame(
+        [(None, "a"), ("a", None), ("a", "a")], "src string, dst string"
+    )
+    assert k_core(nullish, k=1).count() == 0  # only self-loop/NULL edges
+    assert k_truss(nullish, t=3).count() == 0
+
+    weird_docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "ok tiny")],
+        "doc_id long, text string",
+    )
+    assert winnow_fingerprints(weird_docs).where("doc_id <= 3").count() == 0
+    assert winnow_match_pairs(weird_docs).count() == 0
+    lm = bigram_backoff_scores(weird_docs)
+    rows = {r.doc_id: r for r in lm.collect()}
+    assert rows[1].n_bigrams == 0 and rows[1].lm_score is None
+    assert rows[3].n_bigrams == 0
+
+    one_source = spark.createDataFrame(
+        [(1, "abc", "A"), (2, "defg", "A")], "doc_id long, text string, source string"
+    )
+    um = unimax_weights(one_source, budget_frac=0.5, max_epochs=2.0).collect()
+    assert len(um) == 1 and um[0].alloc_chars == 3.5  # uncapped: budget = 7*0.5

@@ -128,6 +128,7 @@ FLOAT_SENSITIVE = [
     "doc_winnow_fps",
     "winnow_match_pairs",
     "kg_entity_ktruss",
+    "corpus_zipf_fit",
 ]
 
 SF2 = "/root/testdata/sf0.001"

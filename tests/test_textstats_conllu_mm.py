@@ -243,3 +243,21 @@ def test_unimax_water_filling_hand_computed(spark):
     allcap = {r.source: r for r in TS.unimax_weights(docs, budget_frac=10.0).collect()}
     assert sum(r.alloc_chars for r in allcap.values()) == 22200.0
     assert all(r.epochs == 2.0 for r in allcap.values())
+
+
+def test_zipf_fit_exact_line(spark):
+    """Counts 12/6/4/3 = 12/rank exactly: ln f = ln 12 - ln r is a
+    perfect line, so OLS must return slope -1, intercept ln 12, r2 1."""
+    import math
+
+    text = " ".join(["a"] * 12 + ["b"] * 6 + ["c"] * 4 + ["d"] * 3)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = TS.zipf_fit(docs).collect()[0]
+    assert r.n_terms == 4
+    assert r.slope == -1.0
+    assert r.intercept == round(math.log(12), 6)
+    assert r.r2 == 1.0
+    # degenerate: single-term corpus -> NULL fit, not a crash
+    one = spark.createDataFrame([(1, "x x x")], "doc_id long, text string")
+    d = TS.zipf_fit(one).collect()[0]
+    assert d.n_terms == 1 and d.slope is None and d.r2 is None
