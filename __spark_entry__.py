@@ -1245,6 +1245,15 @@ def q_doc_lr_scores(spark, sf_dir):
     )
 
 
+def q_doc_passage_chunks(spark, sf_dir):
+    """Sliding token-window passages (sampling.passage_chunks, the
+    RAG/embedding context-window prep): size 32, stride 24 — overlap 8;
+    the oracle replays the same start grid and tail truncation."""
+    from nlp_cube_spark.operators.sampling import passage_chunks
+
+    return passage_chunks(_t(spark, sf_dir, "documents"), size=32, stride=24)
+
+
 def q_corpus_zipf_fit(spark, sf_dir):
     """Zipf rank-frequency OLS diagnostic (textstats.zipf_fit): ranks
     via the content-derived two-phase prefix sum (no single-task vocab
@@ -1379,10 +1388,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # relational queries (green since round 1) trail.  Every entry is still
 # replayed locally against its DuckDB oracle in tests/test_entry_queries.py.
 _QUERIES = {
-        # --- round-6 window: 21 r6-new lead, then the 24 queries whose
-        # driver evidence is oldest (last checked r4), then 5 r5-checked
+        # --- round-6 window: 22 r6-new lead, then the 24 queries whose
+        # driver evidence is oldest (last checked r4), then 4 r5-checked
         # trivials = exactly 50 — so no registered query's
         # driver evidence ever ages more than two rounds ---
+        "doc_passage_chunks": q_doc_passage_chunks,
         "corpus_zipf_fit": q_corpus_zipf_fit,
         "kg_entity_ktruss": q_kg_entity_ktruss,
         "doc_winnow_fps": q_doc_winnow_fps,
@@ -1434,8 +1444,8 @@ _QUERIES = {
         "shipdate_pruned_agg": q_shipdate_pruned_agg,
         "region_revenue": q_region_revenue,
         "window_top3": q_window_top3,
-        "top_revenue_orders": q_top_revenue_orders,
         # ---------- window boundary (first 50 above) ----------
+        "top_revenue_orders": q_top_revenue_orders,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "rollup_orders": q_rollup_orders,
@@ -1870,6 +1880,30 @@ def _kmeans_duck(iters: int = 2, n_c: int = 16, dp: int = 9) -> str:
              CAST(generate_subscripts(c_emb, 1) - 1 AS INT) AS pos,
              unnest(c_emb) AS val
       FROM c{iters}"""
+
+
+def _passage_chunks_duck(size: int = 32, stride: int = 24) -> str:
+    """Replay of sampling.passage_chunks: same start grid
+    (k = 0 .. (n-1)//stride), same 1-based slice with tail truncation."""
+    return f"""
+      WITH tk AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS toks
+        FROM documents
+      ),
+      base AS (SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) > 0),
+      ks AS (
+        SELECT doc_id, toks, n,
+               CAST(unnest(range(0, (n - 1) // {stride} + 1)) AS BIGINT) AS chunk_id
+        FROM base
+      )
+      SELECT doc_id, chunk_id,
+             chunk_id * {stride} + 1 AS start_token,
+             CAST(least(n - chunk_id * {stride}, {size}) AS BIGINT) AS n_tokens,
+             array_to_string(
+               toks[CAST(chunk_id * {stride} + 1 AS INT)
+                    : CAST(least(chunk_id * {stride} + {size}, n) AS INT)], ' ') AS passage
+      FROM ks"""
 
 
 _ZIPF_DUCK = """
@@ -2792,6 +2826,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_kmeans_centroids": _kmeans_duck(),
         "ann_pq_topk": _pq_duck(),
         "kg_entity_communities": _lpa_duck(),
+        "doc_passage_chunks": _passage_chunks_duck(),
         "corpus_zipf_fit": _ZIPF_DUCK,
         "kg_entity_ktruss": _ktruss_duck(),
         "doc_winnow_fps": _winnow_fps_duck(),

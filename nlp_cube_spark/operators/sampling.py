@@ -81,3 +81,46 @@ def pack_by_budget(
 
     pre = exclusive_prefix_sum(df, [F.col(order_col)], size_col, out_col="_pre")
     return pre.withColumn(out_col, F.floor(F.col("_pre") / budget).cast("int")).drop("_pre")
+
+
+def passage_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Sliding token-window passage chunking — the context-window prep
+    step for embedding/RAG pipelines (public pattern; the engine's own
+    segmenter uses the same 300/100 device inside the annotate stage,
+    kernels/segment_rules.py:76-94 — this is its standalone relational
+    form over raw documents).
+
+    Chunk k covers tokens [k*stride+1 .. k*stride+size] (1-based,
+    truncated at the doc tail); starts are every `stride` tokens while
+    they fall inside the doc, so consecutive chunks overlap by
+    size-stride tokens. Returns (id_col, chunk_id, start_token,
+    n_tokens, passage); empty docs yield no rows.
+
+    Plan shape: per-doc array transform + explode — linear in tokens
+    with the size/stride overlap factor, shuffle-free (no window, no
+    join; chunking needs contiguous slices, which the regex n-gram
+    trick cannot produce, so the interpreted-HOF tax is accepted here
+    and documented — cf. the measurement in ngrams_sql). The sequence()
+    upper bound is guarded against Spark's descending sequence(1, 0)
+    pitfall (CLAUDE.md)."""
+    if size < 1 or stride < 1:
+        raise ValueError("passage_chunks: size and stride must be >= 1")
+    toks = f"filter(split(trim({text_col}), '\\\\s+'), t -> t != '')"
+    chunks = F.expr(
+        f"case when size({toks}) = 0 then array() "
+        f"else transform(sequence(0, (size({toks}) - 1) div {stride}),"
+        f" k -> slice({toks}, k * {stride} + 1, {size})) end"
+    )
+    return docs.select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "_ct")).select(
+        id_col,
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        (F.col("chunk_id") * stride + 1).cast("bigint").alias("start_token"),
+        F.size("_ct").cast("bigint").alias("n_tokens"),
+        F.array_join("_ct", " ").alias("passage"),
+    )

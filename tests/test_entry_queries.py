@@ -129,6 +129,7 @@ FLOAT_SENSITIVE = [
     "winnow_match_pairs",
     "kg_entity_ktruss",
     "corpus_zipf_fit",
+    "doc_passage_chunks",
 ]
 
 SF2 = "/root/testdata/sf0.001"

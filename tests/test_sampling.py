@@ -56,3 +56,28 @@ def test_pack_by_budget_invariants_and_no_global_sort(spark):
     plan = packed._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" not in plan.lower()
     assert "SPARK_PARTITION_ID" not in plan.upper()
+
+
+def test_passage_chunks_overlap_and_tail(spark):
+    """10 tokens, size 4, stride 3: starts at 1,4,7,10 — the last chunk
+    is the single tail token; overlap = 1 token between neighbors;
+    every token appears in at least one chunk; empty doc -> no rows."""
+    text = " ".join(f"t{i}" for i in range(1, 11))
+    docs = spark.createDataFrame([(1, text), (2, ""), (3, "a b")],
+                                 "doc_id long, text string")
+    rows = SP.passage_chunks(docs, size=4, stride=3).collect()
+    d1 = sorted((r.chunk_id, r.start_token, r.n_tokens, r.passage)
+                for r in rows if r.doc_id == 1)
+    assert d1 == [
+        (0, 1, 4, "t1 t2 t3 t4"),
+        (1, 4, 4, "t4 t5 t6 t7"),
+        (2, 7, 4, "t7 t8 t9 t10"),
+        (3, 10, 1, "t10"),
+    ]
+    assert not [r for r in rows if r.doc_id == 2]
+    d3 = [r for r in rows if r.doc_id == 3]
+    assert len(d3) == 1 and d3[0].passage == "a b"
+    # reconstruction invariant: the first `stride` tokens of each chunk,
+    # concatenated in order, rebuild the document
+    recon = [t for _, _, _, p in d1 for t in p.split(" ")[:3]]
+    assert recon[: len(text.split())] == text.split()
