@@ -1245,6 +1245,15 @@ def q_doc_lr_scores(spark, sf_dir):
     )
 
 
+def q_source_ngram_overlap(spark, sf_dir):
+    """Cross-source 3-gram Jaccard matrix
+    (textstats.source_ngram_overlap): the between-corpus contamination
+    diagnostic; zero-overlap pairs included."""
+    from nlp_cube_spark.operators.textstats import source_ngram_overlap
+
+    return source_ngram_overlap(_t(spark, sf_dir, "documents"), n=3)
+
+
 def q_doc_passage_chunks(spark, sf_dir):
     """Sliding token-window passages (sampling.passage_chunks, the
     RAG/embedding context-window prep): size 32, stride 24 — overlap 8;
@@ -1388,10 +1397,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # relational queries (green since round 1) trail.  Every entry is still
 # replayed locally against its DuckDB oracle in tests/test_entry_queries.py.
 _QUERIES = {
-        # --- round-6 window: 22 r6-new lead, then the 24 queries whose
-        # driver evidence is oldest (last checked r4), then 4 r5-checked
+        # --- round-6 window: 23 r6-new lead, then the 24 queries whose
+        # driver evidence is oldest (last checked r4), then 3 r5-checked
         # trivials = exactly 50 — so no registered query's
         # driver evidence ever ages more than two rounds ---
+        "source_ngram_overlap": q_source_ngram_overlap,
         "doc_passage_chunks": q_doc_passage_chunks,
         "corpus_zipf_fit": q_corpus_zipf_fit,
         "kg_entity_ktruss": q_kg_entity_ktruss,
@@ -1443,8 +1453,8 @@ _QUERIES = {
         "pricing_summary": q_pricing_summary,
         "shipdate_pruned_agg": q_shipdate_pruned_agg,
         "region_revenue": q_region_revenue,
-        "window_top3": q_window_top3,
         # ---------- window boundary (first 50 above) ----------
+        "window_top3": q_window_top3,
         "top_revenue_orders": q_top_revenue_orders,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
@@ -1880,6 +1890,33 @@ def _kmeans_duck(iters: int = 2, n_c: int = 16, dp: int = 9) -> str:
              CAST(generate_subscripts(c_emb, 1) - 1 AS INT) AS pos,
              unnest(c_emb) AS val
       FROM c{iters}"""
+
+
+_SOURCE_OVERLAP_DUCK = """
+  WITH sg AS MATERIALIZED (
+    SELECT DISTINCT source, gram FROM (
+      SELECT source, tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS gram
+      FROM (SELECT source, tk, unnest(range(1, greatest(len(tk) - 1, 1))) AS i
+            FROM (SELECT source,
+                         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS tk
+                  FROM documents))
+    )
+  ),
+  sz AS (SELECT source, count(*) AS n_grams FROM sg GROUP BY source),
+  inter AS (
+    SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+    FROM sg a JOIN sg b USING (gram) WHERE a.source < b.source GROUP BY 1, 2
+  ),
+  pr AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           a.n_grams AS n_grams_a, b.n_grams AS n_grams_b
+    FROM sz a, sz b WHERE a.source < b.source
+  )
+  SELECT source_a, source_b, n_grams_a, n_grams_b,
+         CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+         round(coalesce(n_common, 0)
+               / CAST(n_grams_a + n_grams_b - coalesce(n_common, 0) AS DOUBLE), 6) AS jaccard
+  FROM pr LEFT JOIN inter USING (source_a, source_b)"""
 
 
 def _passage_chunks_duck(size: int = 32, stride: int = 24) -> str:
@@ -2826,6 +2863,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_kmeans_centroids": _kmeans_duck(),
         "ann_pq_topk": _pq_duck(),
         "kg_entity_communities": _lpa_duck(),
+        "source_ngram_overlap": _SOURCE_OVERLAP_DUCK,
         "doc_passage_chunks": _passage_chunks_duck(),
         "corpus_zipf_fit": _ZIPF_DUCK,
         "kg_entity_ktruss": _ktruss_duck(),

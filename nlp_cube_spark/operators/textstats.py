@@ -542,3 +542,70 @@ def zipf_fit(
         F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias("intercept"),
         F.round(num * num / (den * deny), 6).alias("r2"),
     )
+
+
+def source_ngram_overlap(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Pairwise n-gram Jaccard between sources — the cross-source
+    contamination/redundancy diagnostic (public pattern; the
+    between-corpus companion of decontaminate's corpus-vs-benchmark
+    overlap). Returns the full unordered source-pair matrix
+    (source_a < source_b): n-gram set sizes, intersection, and
+    jaccard rounded 6dp — zero-overlap pairs included with 0.
+
+    Plan shape: one (source, gram) DISTINCT hash agg (uniform keys),
+    per-source sizes to a broadcast dimension, and a gram-keyed
+    self-join for intersections — a gram shared by many sources costs
+    O(#sources^2) rows AT MOST per gram (the source dimension is tiny
+    by definition), so there is no hot-key hazard; the corpus is never
+    shuffled wider than its distinct (source, gram) pairs. Grams via
+    the codegen'd lookahead regex (ngrams_sql)."""
+    sg = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.explode(F.expr(ngrams_sql(text_col, n))).alias("gram"),
+        )
+        .dropDuplicates()
+        .localCheckpoint(eager=False)  # feeds sizes AND both join sides
+    )
+    sizes = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = sg.select(F.col("source").alias("source_a"), "gram")
+    b = sg.select(F.col("source").alias("source_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    pairs = (
+        sizes.select(F.col("source").alias("source_a"), F.col("n_grams").alias("n_grams_a"))
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_b"), F.col("n_grams").alias("n_grams_b")
+                )
+            )
+        )
+        .where(F.col("source_a") < F.col("source_b"))
+    )
+    return (
+        pairs.join(inter, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "n_grams_a",
+            "n_grams_b",
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            F.round(
+                F.coalesce("n_common", F.lit(0))
+                / (F.col("n_grams_a") + F.col("n_grams_b") - F.coalesce("n_common", F.lit(0))).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )

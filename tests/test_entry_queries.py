@@ -130,6 +130,7 @@ FLOAT_SENSITIVE = [
     "kg_entity_ktruss",
     "corpus_zipf_fit",
     "doc_passage_chunks",
+    "source_ngram_overlap",
 ]
 
 SF2 = "/root/testdata/sf0.001"

@@ -261,3 +261,23 @@ def test_zipf_fit_exact_line(spark):
     one = spark.createDataFrame([(1, "x x x")], "doc_id long, text string")
     d = TS.zipf_fit(one).collect()[0]
     assert d.n_terms == 1 and d.slope is None and d.r2 is None
+
+
+def test_source_ngram_overlap_hand_computed(spark):
+    """A: {'a b c','b c d'} (grams of 'a b c d'), B shares exactly
+    'a b c', C shares nothing -> J(A,B) = 1/(2+1-1) = 0.5, J(A,C) = 0,
+    and the zero-overlap pair still appears in the matrix."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "A"),
+            (2, "a b c", "B"),
+            (3, "x y z w", "C"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {(r.source_a, r.source_b): r for r in TS.source_ngram_overlap(docs, n=3).collect()}
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = out[("A", "B")]
+    assert (ab.n_grams_a, ab.n_grams_b, ab.n_common) == (2, 1, 1)
+    assert ab.jaccard == 0.5  # 1 / (2 + 1 - 1)
+    assert out[("A", "C")].n_common == 0 and out[("A", "C")].jaccard == 0.0
