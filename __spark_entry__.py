@@ -1245,6 +1245,15 @@ def q_doc_lr_scores(spark, sf_dir):
     )
 
 
+def q_user_funnel(spark, sf_dir):
+    """Ordered view->click->purchase funnel per user (temporal.funnel):
+    greedy earliest-match with strict-> ordering; per-user step
+    timestamps + depth."""
+    from nlp_cube_spark.operators.temporal import funnel
+
+    return funnel(_t(spark, sf_dir, "events"), ["view", "click", "purchase"])
+
+
 def q_source_ngram_overlap(spark, sf_dir):
     """Cross-source 3-gram Jaccard matrix
     (textstats.source_ngram_overlap): the between-corpus contamination
@@ -1397,10 +1406,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # relational queries (green since round 1) trail.  Every entry is still
 # replayed locally against its DuckDB oracle in tests/test_entry_queries.py.
 _QUERIES = {
-        # --- round-6 window: 23 r6-new lead, then the 24 queries whose
-        # driver evidence is oldest (last checked r4), then 3 r5-checked
+        # --- round-6 window: 24 r6-new lead, then the 24 queries whose
+        # driver evidence is oldest (last checked r4), then 2 r5-checked
         # trivials = exactly 50 — so no registered query's
         # driver evidence ever ages more than two rounds ---
+        "user_funnel": q_user_funnel,
         "source_ngram_overlap": q_source_ngram_overlap,
         "doc_passage_chunks": q_doc_passage_chunks,
         "corpus_zipf_fit": q_corpus_zipf_fit,
@@ -1452,8 +1462,8 @@ _QUERIES = {
         # --- relational trivials (green r5) ---
         "pricing_summary": q_pricing_summary,
         "shipdate_pruned_agg": q_shipdate_pruned_agg,
-        "region_revenue": q_region_revenue,
         # ---------- window boundary (first 50 above) ----------
+        "region_revenue": q_region_revenue,
         "window_top3": q_window_top3,
         "top_revenue_orders": q_top_revenue_orders,
         "semi_join": q_semi_join,
@@ -1890,6 +1900,23 @@ def _kmeans_duck(iters: int = 2, n_c: int = 16, dp: int = 9) -> str:
              CAST(generate_subscripts(c_emb, 1) - 1 AS INT) AS pos,
              unnest(c_emb) AS val
       FROM c{iters}"""
+
+
+_FUNNEL_DUCK = """
+  WITH e AS (SELECT user_id, event_type, ts FROM events),
+  u AS (SELECT DISTINCT user_id FROM e),
+  s1 AS (SELECT user_id, min(ts) AS view_ts FROM e
+         WHERE event_type = 'view' GROUP BY user_id),
+  s2 AS (SELECT e.user_id, min(ts) AS click_ts FROM e JOIN s1 USING (user_id)
+         WHERE event_type = 'click' AND ts > view_ts GROUP BY e.user_id),
+  s3 AS (SELECT e.user_id, min(ts) AS purchase_ts FROM e JOIN s2 USING (user_id)
+         WHERE event_type = 'purchase' AND ts > click_ts GROUP BY e.user_id)
+  SELECT u.user_id, view_ts, click_ts, purchase_ts,
+         CASE WHEN purchase_ts IS NOT NULL THEN 3
+              WHEN click_ts IS NOT NULL THEN 2
+              WHEN view_ts IS NOT NULL THEN 1 ELSE 0 END AS funnel_depth
+  FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+         LEFT JOIN s3 USING (user_id)"""
 
 
 _SOURCE_OVERLAP_DUCK = """
@@ -2863,6 +2890,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_kmeans_centroids": _kmeans_duck(),
         "ann_pq_topk": _pq_duck(),
         "kg_entity_communities": _lpa_duck(),
+        "user_funnel": _FUNNEL_DUCK,
         "source_ngram_overlap": _SOURCE_OVERLAP_DUCK,
         "doc_passage_chunks": _passage_chunks_duck(),
         "corpus_zipf_fit": _ZIPF_DUCK,

@@ -170,3 +170,58 @@ def range_join_binned(
         return joined
     raise ValueError(f"unsupported how={how!r} (use inner; left-outer counts "
                      "compose via a separate aggregate + left join)")
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis (the classic product-analytics operator,
+    public knowledge — e.g. ClickHouse windowFunnel / BigQuery funnel
+    patterns; no counterpart in the reference): per user, greedily
+    match each step to its EARLIEST event strictly after the previous
+    matched step. Returns one row per user: `<step>_ts` per step plus
+    funnel_depth = number of steps completed in order. Equal timestamps
+    do NOT advance a step (strict >), so the semantics are total-order
+    deterministic without a tiebreak column.
+
+    Plan shape: one user-keyed min-agg + one user-keyed join PER STEP —
+    every intermediate is user-dimension-sized, the events table is
+    scanned once per step with the step's type filter pushed to the
+    scan, and nothing wider than (users x steps) ever shuffles. Hot
+    users cost their own event rows only (map-side partial min)."""
+    if not steps:
+        raise ValueError("funnel: steps must be non-empty")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel: duplicate step names would collide as columns")
+    e = events.select(
+        F.col(user_col).alias("__u"), F.col(type_col).alias("__t"), F.col(ts_col).alias("__ts")
+    )
+    users = e.select(F.col("__u")).dropDuplicates()
+    out = users
+    prev = None
+    for step in steps:
+        cur = f"{step}_ts"
+        matched = e.where(F.col("__t") == step)
+        if prev is None:
+            stage = matched.groupBy("__u").agg(F.min("__ts").alias(cur))
+        else:
+            stage = (
+                matched.join(out.select("__u", prev).where(F.col(prev).isNotNull()), "__u")
+                .where(F.col("__ts") > F.col(prev))
+                .groupBy("__u")
+                .agg(F.min("__ts").alias(cur))
+            )
+        out = out.join(stage, "__u", "left")
+        prev = cur
+    # fold forward so the DEEPEST step's when() lands outermost — it must
+    # win when several step timestamps are present
+    depth = F.lit(0)
+    for i, step in enumerate(steps):
+        depth = F.when(F.col(f"{step}_ts").isNotNull(), i + 1).otherwise(depth)
+    return out.select(
+        F.col("__u").alias(user_col), *[f"{s}_ts" for s in steps], depth.alias("funnel_depth")
+    )

@@ -131,6 +131,7 @@ FLOAT_SENSITIVE = [
     "corpus_zipf_fit",
     "doc_passage_chunks",
     "source_ngram_overlap",
+    "user_funnel",
 ]
 
 SF2 = "/root/testdata/sf0.001"

@@ -180,3 +180,32 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     want = {int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
             for r in m.itertuples()}
     assert got == want
+
+
+def test_funnel_ordered_greedy(spark):
+    """u1 completes view->click->purchase in order; u2 clicks BEFORE its
+    first view (out of order -> depth 1); u3 views only; u4 has a
+    click at exactly the view ts (strict > -> not counted). The greedy
+    rule picks the EARLIEST qualifying event per step."""
+    from nlp_cube_spark.operators.temporal import funnel
+
+    rows = [
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-01 10:05:00"),
+        (1, "click", "2024-01-01 10:30:00"),   # later click ignored (greedy)
+        (1, "purchase", "2024-01-01 11:00:00"),
+        (2, "click", "2024-01-01 09:00:00"),
+        (2, "view", "2024-01-01 09:30:00"),
+        (3, "view", "2024-01-01 08:00:00"),
+        (4, "view", "2024-01-01 07:00:00"),
+        (4, "click", "2024-01-01 07:00:00"),   # same instant -> no advance
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts_s string").select(
+        "user_id", "event_type", F.to_timestamp("ts_s").alias("ts")
+    )
+    out = {r.user_id: r for r in funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert out[1].funnel_depth == 3
+    assert str(out[1].click_ts) == "2024-01-01 10:05:00"
+    assert out[2].funnel_depth == 1 and out[2].click_ts is None
+    assert out[3].funnel_depth == 1
+    assert out[4].funnel_depth == 1 and out[4].click_ts is None
