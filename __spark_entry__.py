@@ -1245,6 +1245,19 @@ def q_doc_lr_scores(spark, sf_dir):
     )
 
 
+def q_weighted_sample_docs(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sampling without replacement
+    (sampling.weighted_sample): weight = document length, k=100;
+    hash-derived exact 52-bit uniforms, 9dp-rounded keys so the k-th
+    boundary is never decided by a ulp."""
+    from nlp_cube_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "w", F.length("text").cast("double")
+    )
+    return weighted_sample(docs, 100, "w")
+
+
 def q_user_funnel(spark, sf_dir):
     """Ordered view->click->purchase funnel per user (temporal.funnel):
     greedy earliest-match with strict-> ordering; per-user step
@@ -1406,10 +1419,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # relational queries (green since round 1) trail.  Every entry is still
 # replayed locally against its DuckDB oracle in tests/test_entry_queries.py.
 _QUERIES = {
-        # --- round-6 window: 24 r6-new lead, then the 24 queries whose
-        # driver evidence is oldest (last checked r4), then 2 r5-checked
-        # trivials = exactly 50 — so no registered query's
+        # --- round-6 window: 25 r6-new lead, then the 24 queries whose
+        # driver evidence is oldest (last checked r4), then 1 r5-checked
+        # trivial = exactly 50 — so no registered query's
         # driver evidence ever ages more than two rounds ---
+        "weighted_sample_docs": q_weighted_sample_docs,
         "user_funnel": q_user_funnel,
         "source_ngram_overlap": q_source_ngram_overlap,
         "doc_passage_chunks": q_doc_passage_chunks,
@@ -1461,8 +1475,8 @@ _QUERIES = {
         "events_hourly": q_events_hourly,
         # --- relational trivials (green r5) ---
         "pricing_summary": q_pricing_summary,
-        "shipdate_pruned_agg": q_shipdate_pruned_agg,
         # ---------- window boundary (first 50 above) ----------
+        "shipdate_pruned_agg": q_shipdate_pruned_agg,
         "region_revenue": q_region_revenue,
         "window_top3": q_window_top3,
         "top_revenue_orders": q_top_revenue_orders,
@@ -1900,6 +1914,18 @@ def _kmeans_duck(iters: int = 2, n_c: int = 16, dp: int = 9) -> str:
              CAST(generate_subscripts(c_emb, 1) - 1 AS INT) AS pos,
              unnest(c_emb) AS val
       FROM c{iters}"""
+
+
+_WEIGHTED_SAMPLE_DUCK = f"""
+  SELECT doc_id, w AS weight, es_key FROM (
+    SELECT doc_id, CAST(length(text) AS DOUBLE) AS w,
+           round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)
+                    / {float(1 << 52)}) / CAST(length(text) AS DOUBLE), 9) AS es_key
+    FROM documents
+    WHERE length(text) > 0
+  )
+  ORDER BY es_key DESC, doc_id
+  LIMIT 100"""
 
 
 _FUNNEL_DUCK = """
@@ -2890,6 +2916,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_kmeans_centroids": _kmeans_duck(),
         "ann_pq_topk": _pq_duck(),
         "kg_entity_communities": _lpa_duck(),
+        "weighted_sample_docs": _WEIGHTED_SAMPLE_DUCK,
         "user_funnel": _FUNNEL_DUCK,
         "source_ngram_overlap": _SOURCE_OVERLAP_DUCK,
         "doc_passage_chunks": _passage_chunks_duck(),

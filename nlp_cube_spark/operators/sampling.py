@@ -124,3 +124,39 @@ def passage_chunks(
         F.size("_ct").cast("bigint").alias("n_tokens"),
         F.array_join("_ct", " ").alias("passage"),
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006, public knowledge): rank by key = u^(1/w) and keep the top k —
+    inclusion probability proportional to weight, exactly one pass.
+
+    Deterministic like everything in this module: u is NOT an RNG draw
+    but an exact 52-bit uniform derived from md5(id) ((h52+1)/2^52 —
+    13 hex chars = 52 bits, exactly representable in a double, so u is
+    bit-identical on any engine). Ranking uses the monotone transform
+    ln(u)/w (avoids pow underflow at large weights), ROUNDED 9dp before
+    the comparison so a ulp never decides membership at the k-th
+    boundary (the term_scores rank discipline); ties break on id.
+    Non-positive or NULL weights are excluded (ln(u)<0 divided by w<=0
+    would flip the ordering, not sample it).
+
+    Returns the k sampled rows as (id_col, weight, es_key). Plan:
+    per-row expressions + global top-k = TakeOrderedAndProject (per-
+    partition heap + k-row driver merge), no global sort."""
+    if k < 1:
+        raise ValueError("weighted_sample: k must be >= 1")
+    h = F.expr(f"cast(conv(substr(md5(cast({id_col} as string)), 1, 13), 16, 10) as bigint)")
+    u = (h + 1) / F.lit(float(1 << 52))
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
+    return (
+        docs.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .select(F.col(id_col), F.col(weight_col).alias("weight"), key.alias("es_key"))
+        .orderBy(F.desc("es_key"), F.asc(id_col))
+        .limit(k)
+    )

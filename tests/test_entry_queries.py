@@ -132,6 +132,7 @@ FLOAT_SENSITIVE = [
     "doc_passage_chunks",
     "source_ngram_overlap",
     "user_funnel",
+    "weighted_sample_docs",
 ]
 
 SF2 = "/root/testdata/sf0.001"

@@ -81,3 +81,18 @@ def test_passage_chunks_overlap_and_tail(spark):
     # concatenated in order, rebuild the document
     recon = [t for _, _, _, p in d1 for t in p.split(" ")[:3]]
     assert recon[: len(text.split())] == text.split()
+
+
+def test_weighted_sample_deterministic_and_weight_biased(spark):
+    """Same input -> identical sample under repartitioning; a class
+    with 100x the weight dominates the sample; zero/NULL weights are
+    never drawn; exactly k rows return."""
+    rows = [(i, 1000.0 if i % 10 == 0 else 1.0) for i in range(1, 501)]
+    rows += [(9001, 0.0), (9002, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, w double")
+    s1 = [r.doc_id for r in SP.weighted_sample(docs, 50, "w").collect()]
+    s2 = [r.doc_id for r in SP.weighted_sample(docs.repartition(13), 50, "w").collect()]
+    assert s1 == s2 and len(s1) == 50
+    assert 9001 not in s1 and 9002 not in s1
+    heavy = sum(1 for d in s1 if d % 10 == 0)
+    assert heavy >= 40  # 50 heavy docs at 1000x vs 450 light at 1x
