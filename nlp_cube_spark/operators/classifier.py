@@ -131,6 +131,11 @@ def train_quality_lr(
                 .cast("bigint")
                 .alias("_pn"),
             )
+            # p feeds BOTH the weight gradient and the bias gradient —
+            # without a checkpoint Spark replays the margins join per
+            # reference (CLAUDE.md shared-subtree rule), doubling the
+            # corpus scans per iteration
+            .localCheckpoint(eager=False)
         )
         grad = (
             feats.join(p, id_col)
@@ -180,9 +185,14 @@ def score_quality_lr(
         "bucket",
         F.floor(F.col("weight") * NANO + F.lit(0.5)).cast("bigint").alias("_wn"),
     )
-    bias = F.broadcast(wn.where(F.col("bucket") == -1).select(
-        F.col("_wn").alias("_bn")
-    ))
+    # agg (not a bare filter): always exactly one row, so a model missing
+    # its bucket=-1 bias row degrades to bias 0 instead of a crossJoin
+    # with an EMPTY frame silently unscoring the whole corpus
+    bias = F.broadcast(
+        wn.where(F.col("bucket") == -1).agg(
+            F.coalesce(F.sum("_wn"), F.lit(0).cast("bigint")).alias("_bn")
+        )
+    )
     margins = (
         feats.join(F.broadcast(wn.where(F.col("bucket") >= 0)), "bucket")
         .groupBy(id_col)

@@ -26,6 +26,20 @@ from pyspark.sql import DataFrame, Window, functions as F
 H60 = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
 
 
+def pad_bigint19(c: str, op: str) -> F.Column:
+    """Zero-pad a non-negative bigint id to 19 digits (bigint max width)
+    so the STRING min-label of canonicalize.connected_components equals
+    the numeric min. THE one definition of this device — Spark lpad
+    TRUNCATES longer inputs, so a narrower pad silently merges unrelated
+    ids once they pass 10^12; the negative-id raise lives inside the
+    used expression (not a droppable check column) so Catalyst cannot
+    prune it. `op` labels the error."""
+    return (
+        F.when(F.col(c) < 0, F.raise_error(F.lit(f"{op}: negative {c}")))
+        .otherwise(F.lpad(F.col(c).cast("string"), 19, "0"))
+    )
+
+
 def _h60(x: str) -> str:
     return H60.format(x=x)
 
@@ -348,17 +362,10 @@ def near_dup_clusters(
         lsh_candidate_pairs(docs, id_col, text_col, k, bands, n, max_bucket, shingle_col),
         docs, id_col, text_col, n, threshold, shingle_col,
     )
-    # 19 digits = bigint max width: Spark lpad TRUNCATES longer inputs, so a
-    # narrower pad silently merges unrelated docs once ids pass 10^12. The
-    # negative-id raise lives inside the used expression (not a droppable
-    # check column) so Catalyst cannot prune it.
-    def _pad(c: str):
-        return (
-            F.when(F.col(c) < 0, F.raise_error(F.lit(f"near_dup_clusters: negative {c}")))
-            .otherwise(F.lpad(F.col(c).cast("string"), 19, "0"))
-        )
-
-    edges = pairs.select(_pad("doc_a").alias("src"), _pad("doc_b").alias("dst"))
+    edges = pairs.select(
+        pad_bigint19("doc_a", "near_dup_clusters").alias("src"),
+        pad_bigint19("doc_b", "near_dup_clusters").alias("dst"),
+    )
     comp = connected_components(edges)
     return comp.select(
         F.col("node").cast("bigint").alias(id_col),
@@ -469,12 +476,23 @@ def winnow_fingerprints(
     ).select(
         id_col,
         (F.col("_p0") + 1).alias("pos"),
-        (
+        # pos must fit the 22-bit field: a >4.19M-char doc would overflow
+        # into the hash bits and SILENTLY corrupt fingerprints on both
+        # engines (oracle parity can't catch it) — raise instead, inside
+        # the used expression so Catalyst cannot prune the check
+        F.when(
+            F.col("_p0") + 1 >= (1 << 22),
+            F.raise_error(
+                F.lit(f"winnow_fingerprints: gram position >= 2^22; chunk the document first")
+            ).cast("bigint"),
+        )
+        .otherwise(
             F.expr("cast(conv(substr(md5(gram), 1, 10), 16, 10) as bigint)")
             * F.lit(1 << 22)
             + F.col("_p0")
             + 1
-        ).alias("_key"),
+        )
+        .alias("_key"),
     )
     win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
     cnt = Window.partitionBy(id_col)

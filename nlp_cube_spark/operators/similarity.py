@@ -365,18 +365,6 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
-def _pad19(c: str) -> F.Column:
-    """Zero-pad a non-negative bigint id to 19 digits so the string
-    min-label of canonicalize.connected_components equals the numeric
-    min (same device as dedup.near_dup_clusters: 19 = bigint max width
-    because Spark lpad TRUNCATES longer inputs; the negative-id raise
-    lives inside the used expression so Catalyst cannot prune it)."""
-    return (
-        F.when(F.col(c) < 0, F.raise_error(F.lit(f"semdedup: negative {c}")))
-        .otherwise(F.lpad(F.col(c).cast("string"), 19, "0"))
-    )
-
-
 def semdedup(
     vectors: DataFrame,
     n_clusters: int = 16,
@@ -439,8 +427,13 @@ def semdedup(
         .where(F.col("_ida") < F.col("_idb"))
         .where(F.round(pcos, 6) >= eps)
     )
+    from .dedup import pad_bigint19
+
     comp = connected_components(
-        pairs.select(_pad19("_ida").alias("src"), _pad19("_idb").alias("dst"))
+        pairs.select(
+            pad_bigint19("_ida", "semdedup").alias("src"),
+            pad_bigint19("_idb", "semdedup").alias("dst"),
+        )
     )
     labeled = (
         withsim.join(

@@ -483,8 +483,12 @@ def unimax_weights(
             "n_chars",
             "cap_chars",
             F.round(alloc, 6).alias("alloc_chars"),
-            F.round(alloc / F.col("n_chars"), 6).alias("epochs"),
-            F.round(alloc / F.col("__B"), 6).alias("weight"),
+            # nullif: ANSI double/0 THROWS (CLAUDE.md); NULL matches the
+            # DuckDB oracle's x/0.0 for an all-empty source or corpus
+            F.round(alloc / F.nullif(F.col("n_chars").cast("double"), F.lit(0.0)), 6).alias(
+                "epochs"
+            ),
+            F.round(alloc / F.nullif(F.col("__B"), F.lit(0.0)), 6).alias("weight"),
         )
     )
 

@@ -69,3 +69,17 @@ def test_lr_scoring_joins_broadcast(spark):
     )
     # the fixed-bucket weight table must broadcast, never sort-merge
     assert "BroadcastHashJoin" in plan
+
+
+def test_score_without_bias_row_defaults_to_zero(spark):
+    """A model missing its bucket=-1 bias row must degrade to bias 0 —
+    NOT silently unscore the corpus via an empty crossJoin."""
+    from nlp_cube_spark.operators.classifier import score_quality_lr, train_quality_lr
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb", 1), (2, "cc dd", 0)], "doc_id long, text string, label int"
+    )
+    model = train_quality_lr(docs, "label", n_buckets=64, iters=1)
+    pruned = model.where("bucket >= 0")  # bias row dropped
+    rows = score_quality_lr(docs, pruned, n_buckets=64).collect()
+    assert len(rows) == 2 and all(r.score is not None for r in rows)

@@ -281,3 +281,15 @@ def test_source_ngram_overlap_hand_computed(spark):
     assert (ab.n_grams_a, ab.n_grams_b, ab.n_common) == (2, 1, 1)
     assert ab.jaccard == 0.5  # 1 / (2 + 1 - 1)
     assert out[("A", "C")].n_common == 0 and out[("A", "C")].jaccard == 0.0
+
+
+def test_unimax_zero_char_source_yields_null_epochs(spark):
+    """A source whose docs are all empty has n_chars 0: ANSI double/0
+    must NOT throw — epochs comes back NULL (DuckDB x/0.0 semantics),
+    the allocation itself is 0."""
+    docs = spark.createDataFrame(
+        [(1, "", "E"), (2, "abcd", "A")], "doc_id long, text string, source string"
+    )
+    out = {r.source: r for r in TS.unimax_weights(docs).collect()}
+    assert out["E"].alloc_chars == 0.0 and out["E"].epochs is None
+    assert out["A"].alloc_chars == 2.0  # budget = 4*0.5, capped at... 2.0 < cap 8
