@@ -1245,6 +1245,20 @@ def q_doc_lr_scores(spark, sf_dir):
     )
 
 
+def q_kg_entity_hits(spark, sf_dir):
+    """HITS hubs/authorities over the directed KG entity graph
+    (graphstats.hits): 3 power iterations, per-half-step 9dp-rounded
+    trajectory replayed by an unrolled CTE chain."""
+    from nlp_cube_spark.operators import annotate as A
+    from nlp_cube_spark.operators.graphstats import hits
+
+    trip = A.fused_triples(_docs_as_pages(spark, sf_dir)).localCheckpoint()
+    edges = trip.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    return hits(edges, iters=3).select(
+        F.col("node").alias("entity"), "hub", "authority"
+    )
+
+
 def q_weighted_sample_docs(spark, sf_dir):
     """Efraimidis-Spirakis weighted sampling without replacement
     (sampling.weighted_sample): weight = document length, k=100;
@@ -1476,6 +1490,9 @@ _QUERIES = {
         # --- relational trivials (green r5) ---
         "pricing_summary": q_pricing_summary,
         # ---------- window boundary (first 50 above) ----------
+        # below: locally oracled on every pytest run; driver evidence
+        # from r5 or earlier, rotates forward in r7 (newest lead)
+        "kg_entity_hits": q_kg_entity_hits,
         "shipdate_pruned_agg": q_shipdate_pruned_agg,
         "region_revenue": q_region_revenue,
         "window_top3": q_window_top3,
@@ -2436,6 +2453,36 @@ def _pagerank_duck(iters: int = 3, d: float = 0.85) -> str:
       SELECT node AS entity, round(rank, 6) AS pagerank FROM r{iters}"""
 
 
+def _hits_duck(iters: int = 3, dp: int = 9) -> str:
+    """Unrolled HITS trajectory mirroring graphstats.hits: per
+    half-step, neighbor-sum rounded dp -> L2 norm -> normalized score
+    rounded dp; nullif'd norms."""
+    sql = f"""
+      WITH e AS MATERIALIZED (
+        SELECT DISTINCT subj AS src, obj AS dst FROM ({_KG_TRIPLES_DUCK})
+        WHERE subj IS NOT NULL AND obj IS NOT NULL
+      ),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM nodes)"""
+    for i in range(iters):
+        sql += f""",
+      ar{i} AS (SELECT e.dst AS node, round(sum(h.hub), {dp}) AS r
+                FROM e JOIN h{i} h ON h.node = e.src GROUP BY e.dst),
+      an{i} AS (SELECT sqrt(sum(r * r)) AS nz FROM ar{i}),
+      a{i} AS (SELECT nodes.node,
+                      round(coalesce(ar{i}.r, 0.0) / nullif(an{i}.nz, 0.0), {dp}) AS authority
+               FROM nodes CROSS JOIN an{i} LEFT JOIN ar{i} ON nodes.node = ar{i}.node),
+      hr{i} AS (SELECT e.src AS node, round(sum(a.authority), {dp}) AS r
+                FROM e JOIN a{i} a ON a.node = e.dst GROUP BY e.src),
+      hn{i} AS (SELECT sqrt(sum(r * r)) AS nz FROM hr{i}),
+      h{i + 1} AS (SELECT nodes.node,
+                          round(coalesce(hr{i}.r, 0.0) / nullif(hn{i}.nz, 0.0), {dp}) AS hub
+                   FROM nodes CROSS JOIN hn{i} LEFT JOIN hr{i} ON nodes.node = hr{i}.node)"""
+    return sql + f"""
+      SELECT h{iters}.node AS entity, h{iters}.hub, a{iters - 1}.authority
+      FROM h{iters} JOIN a{iters - 1} ON h{iters}.node = a{iters - 1}.node"""
+
+
 def _srp_sig_duck(vec: str = "embedding", dim: int = 64, n_planes: int = 16) -> str:
     """SRP-LSH bit-string, identical plane math to similarity.hyperplane_sig_expr."""
     bits = []
@@ -2912,6 +2959,7 @@ def oracle_sql() -> dict[str, str]:
                       THEN 4 ELSE 2 END AS INT) AS target
           FROM tk
         """,
+        "kg_entity_hits": _hits_duck(),
         "kg_entity_pagerank": _pagerank_duck(),
         "ann_kmeans_centroids": _kmeans_duck(),
         "ann_pq_topk": _pq_duck(),

@@ -462,3 +462,67 @@ def k_truss(
             break
         n_before = n_after
     return out.select(F.col("a").alias(src), F.col("b").alias(dst), "support")
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    round_dp: int = 9,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999, public knowledge) by
+    synchronous power iteration over the DISTINCT directed edge set:
+    auth(v) = sum of hub over in-neighbors, hub(u) = sum of auth over
+    out-neighbors, each L2-normalized per half-step. Complements
+    pagerank with the directed-endorsement view (who aggregates vs who
+    is cited) over the same entity graph.
+
+    Determinism: per-node raw sums AND the normalized scores are
+    rounded to `round_dp` each half-step (the kmeans trajectory
+    discipline — stronger than pagerank's final-only rounding), so the
+    unrolled DuckDB oracle replays the whole trajectory; the L2 norm is
+    a 1-row broadcast, never a driver collect. Fixed `iters` (no
+    convergence test) keeps the trajectory oracle-replayable; plans
+    stay iteration-sized via localCheckpoint. Returns (node, hub,
+    authority) for every node incident to an edge; a side with zero
+    mass (no in-edges anywhere) yields NULL via the nullif'd norm
+    rather than an ANSI /0 throw."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .dropDuplicates()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .dropDuplicates()
+        .localCheckpoint(eager=False)
+    )
+    h = nodes.select("node", F.lit(1.0).alias("hub"))
+
+    def _half(scores: DataFrame, score_col: str, join_on: str, group_to: str, out: str) -> DataFrame:
+        raw = (
+            e.join(scores.withColumnRenamed("node", join_on), join_on)
+            .groupBy(group_to)
+            .agg(F.round(F.sum(score_col), round_dp).alias("_r"))
+        )
+        norm = raw.agg(F.sqrt(F.sum(F.col("_r") * F.col("_r"))).alias("_nz"))
+        return (
+            nodes.join(raw.withColumnRenamed(group_to, "node"), "node", "left")
+            .crossJoin(F.broadcast(norm))
+            .select(
+                "node",
+                F.round(
+                    F.coalesce("_r", F.lit(0.0)) / F.nullif(F.col("_nz"), F.lit(0.0)),
+                    round_dp,
+                ).alias(out),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    for _ in range(iters):
+        a = _half(h, "hub", "src", "dst", "authority")
+        h = _half(a, "authority", "dst", "src", "hub")
+    return h.join(a, "node").select("node", "hub", "authority")

@@ -133,6 +133,7 @@ FLOAT_SENSITIVE = [
     "source_ngram_overlap",
     "user_funnel",
     "weighted_sample_docs",
+    "kg_entity_hits",
 ]
 
 SF2 = "/root/testdata/sf0.001"

@@ -294,3 +294,34 @@ def test_k_truss_idempotent_extra_rounds(spark):
     a = sorted(map(tuple, k_truss(edges, t=3, max_iter=2).collect()))
     b = sorted(map(tuple, k_truss(edges, t=3, max_iter=6).collect()))
     assert a == b
+
+
+def test_hits_star_hand_computed(spark):
+    """u -> {v1,v2,v3}: u is the only hub (hub=1), each vi an equal
+    authority (1/sqrt(3)), stable across iterations; the v-side hub
+    scores and u's authority are exactly 0."""
+    import math
+
+    from nlp_cube_spark.operators.graphstats import hits
+
+    edges = spark.createDataFrame(
+        [("u", "v1"), ("u", "v2"), ("u", "v3")], "src string, dst string"
+    )
+    out = {r.node: r for r in hits(edges, iters=3).collect()}
+    assert out["u"].hub == 1.0 and out["u"].authority == 0.0
+    for v in ("v1", "v2", "v3"):
+        assert out[v].authority == round(1 / math.sqrt(3), 9)
+        assert out[v].hub == 0.0
+
+
+def test_hits_chain_directionality(spark):
+    """a->b->c: b is both cited and citing; hub mass concentrates on a,b
+    (they point at things), authority on b,c. Scores must be finite and
+    the two sides must differ — directionality is preserved."""
+    from nlp_cube_spark.operators.graphstats import hits
+
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    out = {r.node: r for r in hits(edges, iters=3).collect()}
+    assert out["a"].authority == 0.0 and out["c"].hub == 0.0
+    assert out["b"].hub > 0 and out["b"].authority > 0
+    assert all(r.hub is not None and r.authority is not None for r in out.values())
