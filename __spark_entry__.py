@@ -1245,6 +1245,15 @@ def q_doc_lr_scores(spark, sf_dir):
     )
 
 
+def q_doc_ngram_novelty(spark, sf_dir):
+    """Per-doc 3-gram novelty vs the corpus (textstats.ngram_novelty):
+    the boilerplate signal — share of a doc's distinct grams appearing
+    in no other document."""
+    from nlp_cube_spark.operators.textstats import ngram_novelty
+
+    return ngram_novelty(_t(spark, sf_dir, "documents"), n=3)
+
+
 def q_kg_entity_hits(spark, sf_dir):
     """HITS hubs/authorities over the directed KG entity graph
     (graphstats.hits): 3 power iterations, per-half-step 9dp-rounded
@@ -1492,6 +1501,7 @@ _QUERIES = {
         # ---------- window boundary (first 50 above) ----------
         # below: locally oracled on every pytest run; driver evidence
         # from r5 or earlier, rotates forward in r7 (newest lead)
+        "doc_ngram_novelty": q_doc_ngram_novelty,
         "kg_entity_hits": q_kg_entity_hits,
         "shipdate_pruned_agg": q_shipdate_pruned_agg,
         "region_revenue": q_region_revenue,
@@ -2959,6 +2969,25 @@ def oracle_sql() -> dict[str, str]:
                       THEN 4 ELSE 2 END AS INT) AS target
           FROM tk
         """,
+        "doc_ngram_novelty": """
+          WITH dg AS MATERIALIZED (
+            SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS gram
+            FROM (SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 1, 1))) AS i
+                  FROM (SELECT doc_id,
+                               list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS tk
+                        FROM documents))
+          ),
+          gc AS (SELECT gram, count(*) AS nd FROM dg GROUP BY gram),
+          per AS (
+            SELECT doc_id, count(*) AS n_distinct_grams,
+                   sum(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS n_novel
+            FROM dg JOIN gc USING (gram) GROUP BY doc_id
+          )
+          SELECT d.doc_id,
+                 CAST(coalesce(n_distinct_grams, 0) AS BIGINT) AS n_distinct_grams,
+                 CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+                 round(n_novel / CAST(n_distinct_grams AS DOUBLE), 6) AS novel_frac
+          FROM documents d LEFT JOIN per USING (doc_id)""",
         "kg_entity_hits": _hits_duck(),
         "kg_entity_pagerank": _pagerank_duck(),
         "ann_kmeans_centroids": _kmeans_duck(),

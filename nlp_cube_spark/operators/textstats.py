@@ -613,3 +613,47 @@ def source_ngram_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def ngram_novelty(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Per-document n-gram novelty vs the rest of the corpus — the
+    boilerplate signal (public pattern; RefinedWeb-style line dedup's
+    document-level cousin): a doc whose grams mostly appear in OTHER
+    documents is template/navigation text, one whose grams are unique
+    carries novel content.
+
+    Returns (id_col, n_distinct_grams, n_novel, novel_frac) where a
+    gram is novel iff exactly one document in the corpus contains it;
+    docs with fewer than n tokens get 0 grams and NULL novel_frac.
+
+    Plan shape: one (doc, gram) DISTINCT hash agg, one gram-dimension
+    count agg (how many docs contain each gram — counting rows of the
+    distinct pair set, no countDistinct expand), one gram-keyed join
+    back, one doc agg. All keys uniform; grams via the codegen'd
+    lookahead regex."""
+    dg = (
+        docs.select(
+            F.col(id_col), F.explode(F.expr(ngrams_sql(text_col, n))).alias("gram")
+        )
+        .dropDuplicates()
+        .localCheckpoint(eager=False)  # feeds the gram dimension AND the join
+    )
+    gc = dg.groupBy("gram").agg(F.count(F.lit(1)).alias("_nd"))
+    per = (
+        dg.join(gc, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_grams"),
+            F.sum(F.when(F.col("_nd") == 1, 1).otherwise(0)).alias("n_novel"),
+        )
+    )
+    return docs.select(id_col).join(per, id_col, "left").select(
+        id_col,
+        F.coalesce("n_distinct_grams", F.lit(0)).alias("n_distinct_grams"),
+        F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+        F.round(
+            F.col("n_novel") / F.col("n_distinct_grams").cast("double"), 6
+        ).alias("novel_frac"),
+    )

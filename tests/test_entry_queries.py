@@ -134,6 +134,7 @@ FLOAT_SENSITIVE = [
     "user_funnel",
     "weighted_sample_docs",
     "kg_entity_hits",
+    "doc_ngram_novelty",
 ]
 
 SF2 = "/root/testdata/sf0.001"

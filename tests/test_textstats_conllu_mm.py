@@ -293,3 +293,22 @@ def test_unimax_zero_char_source_yields_null_epochs(spark):
     out = {r.source: r for r in TS.unimax_weights(docs).collect()}
     assert out["E"].alloc_chars == 0.0 and out["E"].epochs is None
     assert out["A"].alloc_chars == 2.0  # budget = 4*0.5, capped at... 2.0 < cap 8
+
+
+def test_ngram_novelty_boilerplate_detection(spark):
+    """Two docs share a boilerplate prefix; each has a unique tail. The
+    shared grams are non-novel, the tails novel; a sub-n doc gets NULL."""
+    docs = spark.createDataFrame(
+        [
+            (1, "nav home about us alpha beta gamma"),
+            (2, "nav home about us delta epsilon zeta"),
+            (3, "xy"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in TS.ngram_novelty(docs, n=3).collect()}
+    # doc1: 5 grams, shared = 'nav home about','home about us' -> 3 novel
+    assert out[1].n_distinct_grams == 5 and out[1].n_novel == 3
+    assert out[1].novel_frac == 0.6
+    assert out[2].novel_frac == 0.6
+    assert out[3].n_distinct_grams == 0 and out[3].novel_frac is None
