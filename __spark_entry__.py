@@ -1245,6 +1245,17 @@ def q_doc_lr_scores(spark, sf_dir):
     )
 
 
+def q_doc_length_histogram(spark, sf_dir):
+    """Per-source equi-width histogram of document lengths
+    (quantiles.equi_width_histogram): global edges so groups share
+    comparable bins; 12 bins."""
+    from nlp_cube_spark.operators.quantiles import equi_width_histogram
+
+    return equi_width_histogram(
+        _t(spark, sf_dir, "documents"), "n_chars", 12, ["source"]
+    )
+
+
 def q_doc_ngram_novelty(spark, sf_dir):
     """Per-doc 3-gram novelty vs the corpus (textstats.ngram_novelty):
     the boilerplate signal — share of a doc's distinct grams appearing
@@ -1502,6 +1513,7 @@ _QUERIES = {
         # below: locally oracled on every pytest run; driver evidence
         # from r5 or earlier, rotates forward in r7 (newest lead)
         "doc_ngram_novelty": q_doc_ngram_novelty,
+        "doc_length_histogram": q_doc_length_histogram,
         "kg_entity_hits": q_kg_entity_hits,
         "shipdate_pruned_agg": q_shipdate_pruned_agg,
         "region_revenue": q_region_revenue,
@@ -2969,6 +2981,26 @@ def oracle_sql() -> dict[str, str]:
                       THEN 4 ELSE 2 END AS INT) AS target
           FROM tk
         """,
+        "doc_length_histogram": """
+          WITH b AS (
+            SELECT min(CAST(n_chars AS DOUBLE)) AS glo, max(CAST(n_chars AS DOUBLE)) AS ghi
+            FROM documents WHERE n_chars IS NOT NULL
+          ),
+          g AS (
+            SELECT source,
+                   CASE WHEN ghi = glo THEN 0
+                        ELSE CAST(least(floor((CAST(n_chars AS DOUBLE) - glo)
+                                              / ((ghi - glo) / 12.0)), 11) AS BIGINT)
+                   END AS bin,
+                   count(*) AS n, any_value(glo) AS glo, any_value(ghi) AS ghi
+            FROM documents, b WHERE n_chars IS NOT NULL
+            GROUP BY source, bin
+          )
+          SELECT source, bin,
+                 round(glo + bin * (ghi - glo) / 12, 6) AS lo,
+                 round(glo + (bin + 1) * (ghi - glo) / 12, 6) AS hi,
+                 CAST(n AS BIGINT) AS n
+          FROM g""",
         "doc_ngram_novelty": """
           WITH dg AS MATERIALIZED (
             SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS gram

@@ -138,3 +138,62 @@ def grouped_quantiles_approx(
         F.explode(pairs).alias("__p"),
         "n",
     ).select(*group_cols, F.col("__p.q").alias("q"), F.col("__p.approx").alias("approx"), "n")
+
+
+def equi_width_histogram(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 20,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column, optionally per group —
+    the basic distribution profiler next to the exact/approx quantiles
+    above. Bin edges come from the GLOBAL min/max (one 1-row broadcast),
+    so per-group histograms share comparable bins; the max value lands
+    in the last bin (half-open bins, closed top). Returns (group_cols...,
+    bin, lo, hi, n) for non-empty bins; NULL values are dropped.
+
+    bin = least(floor((x - min) / width), n_bins - 1) — pure double
+    arithmetic replayed exactly by the oracle. Degenerate case
+    min == max: every value goes to bin 0 with lo == hi == min.
+
+    Plan: one scalar agg + one hash agg on (groups, bin) — uniform keys
+    (a hot group spreads across its bins), nothing else shuffles."""
+    if n_bins < 1:
+        raise ValueError("equi_width_histogram: n_bins must be >= 1")
+    groups = list(group_cols or [])
+    x = F.col(value_col).cast("double")
+    bounds = df.where(x.isNotNull()).agg(
+        F.min(x).alias("__lo"), F.max(x).alias("__hi")
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
+    bin_ = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((x - F.col("__lo")) / width), F.lit(n_bins - 1)
+        )
+    ).cast("bigint")
+    return (
+        df.where(x.isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .groupBy(*groups, bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("__lo").alias("__lo"),
+            F.first("__hi").alias("__hi"),
+        )
+        .select(
+            *groups,
+            "bin",
+            F.round(
+                F.col("__lo")
+                + F.col("bin") * (F.col("__hi") - F.col("__lo")) / n_bins,
+                6,
+            ).alias("lo"),
+            F.round(
+                F.col("__lo")
+                + (F.col("bin") + 1) * (F.col("__hi") - F.col("__lo")) / n_bins,
+                6,
+            ).alias("hi"),
+            "n",
+        )
+    )

@@ -135,6 +135,7 @@ FLOAT_SENSITIVE = [
     "weighted_sample_docs",
     "kg_entity_hits",
     "doc_ngram_novelty",
+    "doc_length_histogram",
 ]
 
 SF2 = "/root/testdata/sf0.001"

@@ -123,3 +123,22 @@ def test_approx_null_and_reserved_handling(spark):
         grouped_quantiles_approx(df, ["grp"], "v", [1.5])
     with pytest.raises(ValueError):
         grouped_quantiles_approx(df, ["grp"], "v", [0.5], accuracy=0)
+
+
+def test_equi_width_histogram_hand_computed(spark):
+    """Values 0..99, 10 bins over global [0,99]: width 9.9, value 99
+    lands in the LAST bin (closed top); per-group histograms share the
+    global edges; NULLs dropped; min==max collapses to one bin."""
+    from nlp_cube_spark.operators.quantiles import equi_width_histogram
+
+    rows = [(i, float(i), "a" if i < 50 else "b") for i in range(100)]
+    rows.append((900, None, "a"))
+    df = spark.createDataFrame(rows, "id long, v double, g string")
+    h = {(r.g, r.bin): r for r in equi_width_histogram(df, "v", 10, ["g"]).collect()}
+    assert sum(r.n for r in h.values()) == 100
+    assert h[("b", 9)].n >= 1 and h[("b", 9)].hi == 99.0
+    # group 'a' holds 0..49 -> occupies bins 0..5 only (49/9.9 = 4.94 -> bin 4? 49/9.9=4.949->4)
+    assert max(b for (g, b) in h if g == "a") == 4
+    flat = equi_width_histogram(spark.createDataFrame([(1, 7.0)], "id long, v double"), "v", 5)
+    r = flat.collect()[0]
+    assert (r.bin, r.lo, r.hi, r.n) == (0, 7.0, 7.0, 1)
