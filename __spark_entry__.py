@@ -1245,6 +1245,23 @@ def q_doc_lr_scores(spark, sf_dir):
     )
 
 
+def q_kg_entity_neighborhood(spark, sf_dir):
+    """Per-entity neighborhood degree features over the undirected KG
+    graph (graphstats.neighborhood_stats)."""
+    from nlp_cube_spark.operators import annotate as A
+    from nlp_cube_spark.operators.graphstats import neighborhood_stats
+
+    trip = A.fused_triples(_docs_as_pages(spark, sf_dir)).localCheckpoint()
+    edges = trip.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    return neighborhood_stats(edges).select(
+        F.col("node").alias("entity"),
+        "deg",
+        "avg_nbr_deg",
+        "max_nbr_deg",
+        "n_two_hop_walks",
+    )
+
+
 def q_doc_length_histogram(spark, sf_dir):
     """Per-source equi-width histogram of document lengths
     (quantiles.equi_width_histogram): global edges so groups share
@@ -1514,6 +1531,7 @@ _QUERIES = {
         # from r5 or earlier, rotates forward in r7 (newest lead)
         "doc_ngram_novelty": q_doc_ngram_novelty,
         "doc_length_histogram": q_doc_length_histogram,
+        "kg_entity_neighborhood": q_kg_entity_neighborhood,
         "kg_entity_hits": q_kg_entity_hits,
         "shipdate_pruned_agg": q_shipdate_pruned_agg,
         "region_revenue": q_region_revenue,
@@ -3020,6 +3038,29 @@ def oracle_sql() -> dict[str, str]:
                  CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
                  round(n_novel / CAST(n_distinct_grams AS DOUBLE), 6) AS novel_frac
           FROM documents d LEFT JOIN per USING (doc_id)""",
+        "kg_entity_neighborhood": f"""
+          WITH raw AS MATERIALIZED (
+            SELECT DISTINCT subj AS s, obj AS o FROM ({{kg}})
+          ),
+          e AS (
+            SELECT DISTINCT least(s, o) AS a, greatest(s, o) AS b
+            FROM raw WHERE s <> o AND s IS NOT NULL AND o IS NOT NULL
+          ),
+          sym AS (SELECT a AS node, b AS nbr FROM e
+                  UNION ALL SELECT b, a FROM e),
+          deg AS (SELECT node, count(*) AS deg FROM sym GROUP BY node),
+          agg AS (
+            SELECT sym.node,
+                   round(avg(CAST(d2.deg AS DOUBLE)), 6) AS avg_nbr_deg,
+                   max(d2.deg) AS max_nbr_deg,
+                   sum(d2.deg - 1) AS n_two_hop_walks
+            FROM sym JOIN deg d2 ON d2.node = sym.nbr
+            GROUP BY sym.node
+          )
+          SELECT deg.node AS entity, CAST(deg.deg AS BIGINT) AS deg,
+                 avg_nbr_deg, CAST(max_nbr_deg AS BIGINT) AS max_nbr_deg,
+                 CAST(n_two_hop_walks AS BIGINT) AS n_two_hop_walks
+          FROM deg JOIN agg USING (node)""".replace("{kg}", _KG_TRIPLES_DUCK),
         "kg_entity_hits": _hits_duck(),
         "kg_entity_pagerank": _pagerank_duck(),
         "ann_kmeans_centroids": _kmeans_duck(),

@@ -526,3 +526,47 @@ def hits(
         a = _half(h, "hub", "src", "dst", "authority")
         h = _half(a, "authority", "dst", "src", "hub")
     return h.join(a, "node").select("node", "hub", "authority")
+
+
+def neighborhood_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node neighborhood degree features over the undirected simple
+    graph — the standard structural feature block (degree, mean/max
+    neighbor degree, 2-hop walk count) feeding assortativity analysis
+    and GraphSAGE/SIGN-style precomputed aggregations (public
+    knowledge).
+
+    Returns (node, deg, avg_nbr_deg (6dp), max_nbr_deg, n_two_hop_walks)
+    where n_two_hop_walks = sum over neighbors of (deg(nbr) - 1) — walks
+    of length 2 that do not immediately backtrack (an upper bound on
+    distinct 2-hop NEIGHBORS; exact distinctness would need the
+    pair-join k_truss already pays for).
+
+    Plan: degree = one node-keyed agg; the neighbor-degree join is
+    edge-keyed against the node-dimension degree table; one final
+    node agg. A hub's rows partial-aggregate map-side (the
+    connected_components skew argument)."""
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .where(F.col("s").isNotNull() & F.col("d").isNotNull() & (F.col("s") != F.col("d")))
+        .select(F.least("s", "d").alias("a"), F.greatest("s", "d").alias("b"))
+        .dropDuplicates()
+    )
+    sym = e.select(F.col("a").alias("node"), F.col("b").alias("nbr")).union(
+        e.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    ).localCheckpoint(eager=False)
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
+        eager=False
+    )
+    nbr_deg = sym.join(
+        deg.select(F.col("node").alias("nbr"), F.col("deg").alias("_nd")), "nbr"
+    )
+    agg = nbr_deg.groupBy("node").agg(
+        F.round(F.avg(F.col("_nd").cast("double")), 6).alias("avg_nbr_deg"),
+        F.max("_nd").alias("max_nbr_deg"),
+        F.sum(F.col("_nd") - 1).alias("n_two_hop_walks"),
+    )
+    return deg.join(agg, "node").select(
+        "node", "deg", "avg_nbr_deg", "max_nbr_deg", "n_two_hop_walks"
+    )

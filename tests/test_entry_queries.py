@@ -136,6 +136,7 @@ FLOAT_SENSITIVE = [
     "kg_entity_hits",
     "doc_ngram_novelty",
     "doc_length_histogram",
+    "kg_entity_neighborhood",
 ]
 
 SF2 = "/root/testdata/sf0.001"

@@ -325,3 +325,20 @@ def test_hits_chain_directionality(spark):
     assert out["a"].authority == 0.0 and out["c"].hub == 0.0
     assert out["b"].hub > 0 and out["b"].authority > 0
     assert all(r.hub is not None and r.authority is not None for r in out.values())
+
+
+def test_neighborhood_stats_star_and_triangle(spark):
+    """Star hub (deg 3, all neighbors deg 1) vs triangle nodes (deg 2,
+    neighbors deg 2): hand-checked degree features and 2-hop walks."""
+    from nlp_cube_spark.operators.graphstats import neighborhood_stats
+
+    edges = spark.createDataFrame(
+        [("h", "l1"), ("h", "l2"), ("h", "l3"),
+         ("x", "y"), ("y", "z"), ("z", "x")],
+        "src string, dst string",
+    )
+    out = {r.node: r for r in neighborhood_stats(edges).collect()}
+    assert (out["h"].deg, out["h"].avg_nbr_deg, out["h"].n_two_hop_walks) == (3, 1.0, 0)
+    assert (out["l1"].deg, out["l1"].avg_nbr_deg, out["l1"].max_nbr_deg) == (1, 3.0, 3)
+    assert out["l1"].n_two_hop_walks == 2  # via h to l2, l3
+    assert (out["x"].deg, out["x"].avg_nbr_deg, out["x"].n_two_hop_walks) == (2, 2.0, 2)
