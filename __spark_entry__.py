@@ -1245,6 +1245,25 @@ def q_doc_lr_scores(spark, sf_dir):
     )
 
 
+def q_kg_entity_bfs(spark, sf_dir):
+    """BFS hop levels from the lexicographically-first entity over the
+    undirected KG graph (graphstats.bfs_levels, 4 hops): the
+    neighborhood-expansion primitive, min-seed chosen by the same
+    broadcast-min device the LM/DSIR queries use."""
+    from nlp_cube_spark.operators import annotate as A
+    from nlp_cube_spark.operators.graphstats import bfs_levels
+
+    trip = A.fused_triples(_docs_as_pages(spark, sf_dir)).localCheckpoint()
+    edges = trip.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    nodes = edges.select(F.col("src").alias("node")).union(
+        edges.select(F.col("dst").alias("node"))
+    )
+    seeds = nodes.agg(F.min("node").alias("node"))
+    return bfs_levels(edges, seeds, max_hops=4).select(
+        F.col("node").alias("entity"), "level"
+    )
+
+
 def q_kg_entity_neighborhood(spark, sf_dir):
     """Per-entity neighborhood degree features over the undirected KG
     graph (graphstats.neighborhood_stats)."""
@@ -1532,6 +1551,7 @@ _QUERIES = {
         "doc_ngram_novelty": q_doc_ngram_novelty,
         "doc_length_histogram": q_doc_length_histogram,
         "kg_entity_neighborhood": q_kg_entity_neighborhood,
+        "kg_entity_bfs": q_kg_entity_bfs,
         "kg_entity_hits": q_kg_entity_hits,
         "shipdate_pruned_agg": q_shipdate_pruned_agg,
         "region_revenue": q_region_revenue,
@@ -2493,6 +2513,34 @@ def _pagerank_duck(iters: int = 3, d: float = 0.85) -> str:
       SELECT node AS entity, round(rank, 6) AS pagerank FROM r{iters}"""
 
 
+def _bfs_duck(max_hops: int = 4) -> str:
+    """Unrolled BFS frontier expansion mirroring graphstats.bfs_levels
+    over the undirected entity graph, seeded at the min entity. Empty
+    frontiers make extra rounds no-ops (the k_core contract)."""
+    sql = f"""
+      WITH raw AS MATERIALIZED (
+        SELECT DISTINCT subj AS s, obj AS o FROM ({_KG_TRIPLES_DUCK})
+        WHERE subj IS NOT NULL AND obj IS NOT NULL
+      ),
+      sym AS (SELECT DISTINCT s, o FROM (SELECT s, o FROM raw
+              UNION ALL SELECT o, s FROM raw)),
+      l0 AS (SELECT min(node) AS node, 0 AS level
+             FROM (SELECT s AS node FROM sym UNION SELECT o FROM sym))"""
+    prev_all, prev_frontier = "l0", "l0"
+    for h in range(1, max_hops + 1):
+        sql += f""",
+      n{h} AS (
+        SELECT DISTINCT sym.o AS node, {h} AS level
+        FROM sym JOIN {prev_frontier} f ON sym.s = f.node
+        WHERE sym.o NOT IN (SELECT node FROM {prev_all})
+      ),
+      l{h} AS (SELECT node, level FROM {prev_all}
+               UNION ALL SELECT node, level FROM n{h})"""
+        prev_all, prev_frontier = f"l{h}", f"n{h}"
+    return sql + f"""
+      SELECT node AS entity, CAST(level AS INT) AS level FROM l{max_hops}"""
+
+
 def _hits_duck(iters: int = 3, dp: int = 9) -> str:
     """Unrolled HITS trajectory mirroring graphstats.hits: per
     half-step, neighbor-sum rounded dp -> L2 norm -> normalized score
@@ -3038,6 +3086,7 @@ def oracle_sql() -> dict[str, str]:
                  CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
                  round(n_novel / CAST(n_distinct_grams AS DOUBLE), 6) AS novel_frac
           FROM documents d LEFT JOIN per USING (doc_id)""",
+        "kg_entity_bfs": _bfs_duck(),
         "kg_entity_neighborhood": f"""
           WITH raw AS MATERIALIZED (
             SELECT DISTINCT subj AS s, obj AS o FROM ({{kg}})

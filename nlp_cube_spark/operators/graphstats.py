@@ -570,3 +570,50 @@ def neighborhood_stats(
     return deg.join(agg, "node").select(
         "node", "deg", "avg_nbr_deg", "max_nbr_deg", "n_two_hop_walks"
     )
+
+
+def bfs_levels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = False,
+) -> DataFrame:
+    """Breadth-first reachability levels from a seed set (public
+    textbook algorithm): (node, level) with level = hop distance to the
+    NEAREST seed, bounded by `max_hops`; unreached nodes are absent.
+    The KG neighborhood-expansion primitive (entity context windows,
+    blast-radius queries).
+
+    seeds: DataFrame with a `node` column (level 0). Each hop is one
+    frontier-keyed equi-join + one anti-join against the settled set —
+    frontier-sized work, never corpus-times-hops; plans stay hop-sized
+    via localCheckpoint, and an empty frontier stops early (extra hops
+    are no-ops, so a DuckDB oracle unrolling exactly `max_hops` rounds
+    replays the result regardless — the k_core contract)."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).where(
+        F.col("s").isNotNull() & F.col("d").isNotNull()
+    )
+    sym = e if directed else e.union(
+        e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    )
+    sym = sym.dropDuplicates().localCheckpoint(eager=False)
+    lvl = seeds.select(F.col("node")).dropDuplicates().select(
+        "node", F.lit(0).alias("level")
+    ).localCheckpoint()
+    frontier = lvl.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            sym.join(frontier.withColumnRenamed("node", "s"), "s")
+            .select(F.col("d").alias("node"))
+            .dropDuplicates()
+            .join(lvl.select("node"), "node", "left_anti")
+            .select("node", F.lit(h).alias("level"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        lvl = lvl.union(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    return lvl

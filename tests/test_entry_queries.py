@@ -137,6 +137,7 @@ FLOAT_SENSITIVE = [
     "doc_ngram_novelty",
     "doc_length_histogram",
     "kg_entity_neighborhood",
+    "kg_entity_bfs",
 ]
 
 SF2 = "/root/testdata/sf0.001"

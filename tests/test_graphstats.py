@@ -342,3 +342,24 @@ def test_neighborhood_stats_star_and_triangle(spark):
     assert (out["l1"].deg, out["l1"].avg_nbr_deg, out["l1"].max_nbr_deg) == (1, 3.0, 3)
     assert out["l1"].n_two_hop_walks == 2  # via h to l2, l3
     assert (out["x"].deg, out["x"].avg_nbr_deg, out["x"].n_two_hop_walks) == (2, 2.0, 2)
+
+
+def test_bfs_levels_chain_and_direction(spark):
+    """Chain a-b-c-d plus isolated x-y: undirected levels from a are
+    0,1,2,3 and x/y unreached; directed BFS respects edge direction;
+    max_hops truncates; a node reachable two ways gets its NEAREST
+    level."""
+    from nlp_cube_spark.operators.graphstats import bfs_levels
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"), ("a", "c")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    und = {r.node: r.level for r in bfs_levels(edges, seeds, max_hops=4).collect()}
+    assert und == {"a": 0, "b": 1, "c": 1, "d": 2}  # a-c shortcut wins
+    trunc = {r.node: r.level for r in bfs_levels(edges, seeds, max_hops=1).collect()}
+    assert trunc == {"a": 0, "b": 1, "c": 1}
+    rev = spark.createDataFrame([("d",)], "node string")
+    directed = {r.node: r.level for r in bfs_levels(edges, rev, max_hops=4, directed=True).collect()}
+    assert directed == {"d": 0}  # no out-edges from d
