@@ -1245,6 +1245,17 @@ def q_doc_lr_scores(spark, sf_dir):
     )
 
 
+def q_search_docs_bm25(spark, sf_dir):
+    """BM25 document retrieval (textstats.search_bm25) for a fixed
+    3-term query over the salad vocabulary; top-50 docs, scores rounded
+    before ranking."""
+    from nlp_cube_spark.operators.textstats import search_bm25
+
+    return search_bm25(
+        _t(spark, sf_dir, "documents"), "scan column window", k=50
+    )
+
+
 def q_kg_entity_bfs(spark, sf_dir):
     """BFS hop levels from the lexicographically-first entity over the
     undirected KG graph (graphstats.bfs_levels, 4 hops): the
@@ -1552,6 +1563,7 @@ _QUERIES = {
         "doc_length_histogram": q_doc_length_histogram,
         "kg_entity_neighborhood": q_kg_entity_neighborhood,
         "kg_entity_bfs": q_kg_entity_bfs,
+        "search_docs_bm25": q_search_docs_bm25,
         "kg_entity_hits": q_kg_entity_hits,
         "shipdate_pruned_agg": q_shipdate_pruned_agg,
         "region_revenue": q_region_revenue,
@@ -3086,6 +3098,26 @@ def oracle_sql() -> dict[str, str]:
                  CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
                  round(n_novel / CAST(n_distinct_grams AS DOUBLE), 6) AS novel_frac
           FROM documents d LEFT JOIN per USING (doc_id)""",
+        "search_docs_bm25": """
+          WITH toks AS (
+            SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+            FROM documents
+          ),
+          dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+          corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                 WHERE term IN ('column', 'scan', 'window') GROUP BY doc_id, term),
+          dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+          sc AS (
+            SELECT tf.doc_id, count(*) AS n_matched,
+                   round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                             * (tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl)))), 6) AS score
+            FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus
+            GROUP BY tf.doc_id
+          )
+          SELECT doc_id, CAST(n_matched AS BIGINT) AS n_matched, score,
+                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+          FROM sc ORDER BY score DESC, doc_id LIMIT 50""",
         "kg_entity_bfs": _bfs_duck(),
         "kg_entity_neighborhood": f"""
           WITH raw AS MATERIALIZED (

@@ -657,3 +657,60 @@ def ngram_novelty(
             F.col("n_novel") / F.col("n_distinct_grams").cast("double"), 6
         ).alias("novel_frac"),
     )
+
+
+def search_bm25(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 document retrieval for a query string (Robertson et al.,
+    public knowledge) — the doc-ranking complement of term_scores'
+    per-doc term ranking: score(d) = sum over the query's DISTINCT
+    terms of the same BM25 weight term_scores computes, top-k docs.
+
+    Matching-docs-only semantics (no query term -> excluded); scores
+    rounded 6dp BEFORE ranking (ulp never decides the k-th place),
+    ties to the smaller id; returns (id, n_matched, score, rank).
+
+    Plan shape: document length/avgdl need one full-corpus token agg,
+    but tf/df are computed ONLY for the query's terms (isin pushes to
+    the scan), so the term-keyed shuffle carries query-sized data; the
+    final ranking is a global top-k (TakeOrderedAndProject)."""
+    q_terms = sorted({t for t in query.split() if t})
+    if not q_terms:
+        raise ValueError("search_bm25: empty query")
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    ).where(F.col("term") != "")
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (
+        toks.where(F.col("term").isin(q_terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    norm = F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(corpus))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.round(F.sum(idf * norm), 6).alias("score"),
+        )
+    )
+    out = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return out.withColumn("rank", F.row_number().over(w))

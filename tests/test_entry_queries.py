@@ -138,6 +138,7 @@ FLOAT_SENSITIVE = [
     "doc_length_histogram",
     "kg_entity_neighborhood",
     "kg_entity_bfs",
+    "search_docs_bm25",
 ]
 
 SF2 = "/root/testdata/sf0.001"

@@ -312,3 +312,23 @@ def test_ngram_novelty_boilerplate_detection(spark):
     assert out[1].novel_frac == 0.6
     assert out[2].novel_frac == 0.6
     assert out[3].n_distinct_grams == 0 and out[3].novel_frac is None
+
+
+def test_search_bm25_ranks_matching_docs(spark):
+    """The doc repeating a rare query term outranks one mentioning it
+    once; docs without any query term are excluded; rank is 1-based by
+    rounded score then id."""
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark engine"),
+            (2, "spark appears once here with lots of extra words padding"),
+            (3, "completely unrelated text"),
+            (4, "engine only document"),
+        ],
+        "doc_id long, text string",
+    )
+    out = TS.search_bm25(docs, "spark engine", k=10).collect()
+    ids = [r.doc_id for r in out]
+    assert 3 not in ids and set(ids) == {1, 2, 4}
+    assert out[0].doc_id == 1 and out[0].rank == 1  # matches both terms, high tf
+    assert out[0].n_matched == 2
