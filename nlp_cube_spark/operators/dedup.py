@@ -458,7 +458,12 @@ def winnow_fingerprints(
     doc-keyed token-volume shuffle+sort, inherently required because
     winnowing is positional (cf. the ngrams_sql note: the regex trick
     cannot carry positions). Everything else is narrow; downstream
-    matching joins on fp (see winnow_match_pairs)."""
+    matching joins on fp (see winnow_match_pairs). Cost note (measured
+    sf0.1: 20s for 10M grams): the per-gram md5 is the dominant term —
+    it exists for DuckDB-oracle portability; on a production run where
+    cross-engine replay is not needed, substitute Spark's built-in
+    xxhash64 for an order-of-magnitude cheaper gram hash with an
+    identical plan."""
     if k < 1 or w < 1:
         raise ValueError("winnow_fingerprints: k and w must be >= 1")
     norm = f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"

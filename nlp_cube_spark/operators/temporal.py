@@ -215,7 +215,11 @@ def funnel(
                 .groupBy("__u")
                 .agg(F.min("__ts").alias(cur))
             )
-        out = out.join(stage, "__u", "left")
+        # out is referenced twice per step (the next stage's prev-ts feed
+        # AND the accumulating join) — checkpoint so the earlier steps'
+        # aggregation chain is not re-derived per reference (CLAUDE.md
+        # shared-subtree rule), and plans stay step-sized
+        out = out.join(stage, "__u", "left").localCheckpoint(eager=False)
         prev = cur
     # fold forward so the DEEPEST step's when() lands outermost — it must
     # win when several step timestamps are present
