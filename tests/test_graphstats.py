@@ -363,3 +363,35 @@ def test_bfs_levels_chain_and_direction(spark):
     rev = spark.createDataFrame([("d",)], "node string")
     directed = {r.node: r.level for r in bfs_levels(edges, rev, max_hops=4, directed=True).collect()}
     assert directed == {"d": 0}  # no out-edges from d
+
+
+def test_new_graph_ops_no_cartesian(spark):
+    """k_core, k_truss, hits, neighborhood_stats, bfs_levels: every join
+    is keyed — no shuffle CartesianProduct may appear in any plan (the
+    triangle_count plan-assert discipline). BroadcastNestedLoop from
+    1-row scalar attaches is the accepted pattern and not flagged."""
+    from pyspark.sql import functions as F
+
+    from nlp_cube_spark.operators.graphstats import (
+        bfs_levels,
+        hits,
+        k_core,
+        k_truss,
+        neighborhood_stats,
+    )
+
+    edges = spark.range(60).select(
+        F.concat(F.lit("n"), (F.col("id") % 20).cast("string")).alias("src"),
+        F.concat(F.lit("n"), ((F.col("id") * 7 + 3) % 20).cast("string")).alias("dst"),
+    )
+    seeds = spark.createDataFrame([("n0",)], "node string")
+    plans = {
+        "k_core": k_core(edges, k=2, max_iter=2),
+        "k_truss": k_truss(edges, t=3, max_iter=2),
+        "hits": hits(edges, iters=2),
+        "neighborhood": neighborhood_stats(edges),
+        "bfs": bfs_levels(edges, seeds, max_hops=2),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
