@@ -1245,6 +1245,13 @@ def q_doc_lr_scores(spark, sf_dir):
     )
 
 
+def q_doc_readability(spark, sf_dir):
+    """Flesch reading ease per document (textstats.readability)."""
+    from nlp_cube_spark.operators.textstats import readability
+
+    return readability(_t(spark, sf_dir, "documents"))
+
+
 def q_search_docs_bm25(spark, sf_dir):
     """BM25 document retrieval (textstats.search_bm25) for a fixed
     3-term query over the salad vocabulary; top-50 docs, scores rounded
@@ -1564,6 +1571,7 @@ _QUERIES = {
         "kg_entity_neighborhood": q_kg_entity_neighborhood,
         "kg_entity_bfs": q_kg_entity_bfs,
         "search_docs_bm25": q_search_docs_bm25,
+        "doc_readability": q_doc_readability,
         "kg_entity_hits": q_kg_entity_hits,
         "shipdate_pruned_agg": q_shipdate_pruned_agg,
         "region_revenue": q_region_revenue,
@@ -3098,6 +3106,23 @@ def oracle_sql() -> dict[str, str]:
                  CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
                  round(n_novel / CAST(n_distinct_grams AS DOUBLE), 6) AS novel_frac
           FROM documents d LEFT JOIN per USING (doc_id)""",
+        "doc_readability": """
+          SELECT doc_id,
+                 CAST(n_words AS INT) AS n_words,
+                 CAST(n_sentences AS INT) AS n_sentences,
+                 CAST(n_syllables AS INT) AS n_syllables,
+                 round(206.835 - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))
+                       - 84.6 * (n_syllables / CAST(nullif(n_words, 0) AS DOUBLE)), 6) AS flesch
+          FROM (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\\S+')) AS n_words,
+                   greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+                   len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                   + len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'),
+                                                 t -> t <> ''),
+                         t -> NOT regexp_matches(t, '[aeiouy]'))) AS n_syllables
+            FROM documents
+          )""",
         "search_docs_bm25": """
           WITH toks AS (
             SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term

@@ -714,3 +714,47 @@ def search_bm25(
 
     w = Window.orderBy(F.desc("score"), F.asc(id_col))
     return out.withColumn("rank", F.row_number().over(w))
+
+
+def readability(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Flesch reading-ease per document (Flesch 1948, public knowledge
+    — the classic readability quality signal):
+    206.835 - 1.015*(words/sentences) - 84.6*(syllables/words).
+
+    Heuristics, all single codegen'd regex passes and replayed
+    token-wise by the oracle:
+      words      = \\S+ runs
+      sentences  = [.!?]+ runs, floored at 1
+      syllables  = [aeiouy]+ runs (runs cannot span whitespace, so the
+                   whole-text count equals the per-word sum) + one per
+                   vowel-less word (every word counts >= 1 syllable;
+                   the vowel-less-word regex uses the consumed-anchor +
+                   lookahead trick from _sw_ratio so adjacent hits all
+                   count)
+    Empty docs (0 words) return NULL flesch. No silent-e correction —
+    documented approximation, same class as every published cheap
+    syllable counter."""
+    lower = f"lower({text_col})"
+    n_words = F.expr(f"regexp_count({text_col}, '\\\\S+')")
+    n_sents = F.greatest(F.expr(f"regexp_count({text_col}, '[.!?]+')"), F.lit(1))
+    vowel_runs = F.expr(f"regexp_count({lower}, '[aeiouy]+')")
+    novowel_words = F.expr(
+        f"regexp_count(regexp_replace(trim({lower}), '\\\\s+', ' '),"
+        f" '(^| )[^aeiouy ]+(?= |\\\\z)')"
+    )
+    syl = vowel_runs + novowel_words
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words / n_sents.cast("double"))
+        - F.lit(84.6) * (syl / F.nullif(n_words.cast("double"), F.lit(0.0))),
+        6,
+    )
+    return docs.select(
+        id_col,
+        n_words.alias("n_words"),
+        n_sents.alias("n_sentences"),
+        syl.alias("n_syllables"),
+        flesch.alias("flesch"),
+    )

@@ -139,6 +139,7 @@ FLOAT_SENSITIVE = [
     "kg_entity_neighborhood",
     "kg_entity_bfs",
     "search_docs_bm25",
+    "doc_readability",
 ]
 
 SF2 = "/root/testdata/sf0.001"

@@ -332,3 +332,19 @@ def test_search_bm25_ranks_matching_docs(spark):
     assert 3 not in ids and set(ids) == {1, 2, 4}
     assert out[0].doc_id == 1 and out[0].rank == 1  # matches both terms, high tf
     assert out[0].n_matched == 2
+
+
+def test_readability_hand_computed(spark):
+    """'the cat sat. it ran!' -> 6 words, 2 sentences, 6 syllables
+    (every word one vowel run) -> flesch = 206.835 - 1.015*3 - 84.6*1;
+    a vowel-less token still counts one syllable; empty doc -> NULL."""
+    docs = spark.createDataFrame(
+        [(1, "the cat sat. it ran! ok"), (2, "zzz brr"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in TS.readability(docs).collect()}
+    r1 = out[1]
+    assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (6, 2, 6)
+    assert r1.flesch == round(206.835 - 1.015 * 3.0 - 84.6 * 1.0, 6)
+    assert out[2].n_syllables == 2  # two vowel-less words, 1 each
+    assert out[3].n_words == 0 and out[3].flesch is None
