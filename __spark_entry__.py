@@ -1245,6 +1245,14 @@ def q_doc_lr_scores(spark, sf_dir):
     )
 
 
+def q_rrf_top_terms(spark, sf_dir):
+    """Reciprocal Rank Fusion of the tfidf and bm25 per-doc term
+    rankings (textstats.rrf_top_terms, k=60, top 3 fused terms)."""
+    from nlp_cube_spark.operators.textstats import rrf_top_terms
+
+    return rrf_top_terms(_t(spark, sf_dir, "documents"), top_k=3)
+
+
 def q_doc_readability(spark, sf_dir):
     """Flesch reading ease per document (textstats.readability)."""
     from nlp_cube_spark.operators.textstats import readability
@@ -1572,6 +1580,7 @@ _QUERIES = {
         "kg_entity_bfs": q_kg_entity_bfs,
         "search_docs_bm25": q_search_docs_bm25,
         "doc_readability": q_doc_readability,
+        "rrf_top_terms": q_rrf_top_terms,
         "kg_entity_hits": q_kg_entity_hits,
         "shipdate_pruned_agg": q_shipdate_pruned_agg,
         "region_revenue": q_region_revenue,
@@ -3106,6 +3115,37 @@ def oracle_sql() -> dict[str, str]:
                  CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
                  round(n_novel / CAST(n_distinct_grams AS DOUBLE), 6) AS novel_frac
           FROM documents d LEFT JOIN per USING (doc_id)""",
+        "rrf_top_terms": """
+          WITH toks AS (
+            SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+            FROM documents
+          ), tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+          dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+          dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+          corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+          r1 AS (
+            SELECT doc_id, term,
+                   CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term) AS INT) AS r_tfidf
+            FROM (SELECT tf.doc_id, tf.term,
+                         round(tf.tf * (ln((n_docs + 1) / (df + 1)) + 1), 6) AS s
+                  FROM tf JOIN dfreq USING (term) CROSS JOIN corpus)
+          ),
+          r2 AS (
+            SELECT doc_id, term,
+                   CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term) AS INT) AS r_bm25
+            FROM (SELECT tf.doc_id, tf.term,
+                         round(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                               * (tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))), 6) AS s
+                  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus)
+          ),
+          fused AS (
+            SELECT doc_id, term, r_tfidf, r_bm25,
+                   round(1.0 / (60 + r_tfidf) + 1.0 / (60 + r_bm25), 6) AS rrf
+            FROM r1 JOIN r2 USING (doc_id, term)
+          )
+          SELECT doc_id, term, r_tfidf, r_bm25, rrf,
+                 CAST(row_number() OVER (PARTITION BY doc_id ORDER BY rrf DESC, term) AS INT) AS rank
+          FROM fused QUALIFY rank <= 3""",
         "doc_readability": """
           SELECT doc_id,
                  CAST(n_words AS INT) AS n_words,

@@ -758,3 +758,52 @@ def readability(
         syl.alias("n_syllables"),
         flesch.alias("flesch"),
     )
+
+
+def rrf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_const: int = 60,
+    top_k: int = 3,
+) -> DataFrame:
+    """Reciprocal Rank Fusion of the tfidf and bm25 per-doc term
+    rankings (Cormack, Clarke & Buettcher 2009, public knowledge — the
+    standard score-free ranking combiner): rrf(t) = sum over rankers of
+    1/(k + rank_r(t)), top_k fused terms per doc.
+
+    RRF is exactly rank-arithmetic — no float scores cross the fusion
+    boundary, so the only float is the final 1/(k+r) sum of two terms,
+    rounded 6dp before the fused ranking (ulp-free cut). Each ranker's
+    rank comes from the shared term_scores plan (rounded score desc,
+    term asc — total order); the fusion is one (doc, term) equi-join of
+    two rank dimensions + one per-doc top-k window."""
+    a = term_scores(docs, id_col, text_col, scheme="tfidf", top_k=None)
+    b = term_scores(docs, id_col, text_col, scheme="bm25", top_k=None)
+
+    def _ranked(df: DataFrame, name: str) -> DataFrame:
+        w = Window.partitionBy(id_col).orderBy(
+            F.desc(F.round("score", 6)), F.asc("term")
+        )
+        return df.select(
+            id_col, "term", F.row_number().over(w).alias(name)
+        )
+
+    fused = (
+        _ranked(a, "r_tfidf")
+        .join(_ranked(b, "r_bm25"), [id_col, "term"])
+        .select(
+            id_col,
+            "term",
+            "r_tfidf",
+            "r_bm25",
+            F.round(
+                1.0 / (k_const + F.col("r_tfidf")) + 1.0 / (k_const + F.col("r_bm25")),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("rrf"), F.asc("term"))
+    return fused.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= top_k
+    )

@@ -140,6 +140,7 @@ FLOAT_SENSITIVE = [
     "kg_entity_bfs",
     "search_docs_bm25",
     "doc_readability",
+    "rrf_top_terms",
 ]
 
 SF2 = "/root/testdata/sf0.001"

@@ -348,3 +348,22 @@ def test_readability_hand_computed(spark):
     assert r1.flesch == round(206.835 - 1.015 * 3.0 - 84.6 * 1.0, 6)
     assert out[2].n_syllables == 2  # two vowel-less words, 1 each
     assert out[3].n_words == 0 and out[3].flesch is None
+
+
+def test_rrf_fuses_rankings(spark):
+    """A term ranked 1st by both rankers must fuse to rank 1 with
+    rrf = 2/(60+1); all fused scores are in (0, 2/61]; exactly top_k
+    rows per doc."""
+    docs = spark.createDataFrame(
+        [(1, "alpha alpha alpha beta gamma"), (2, "x y z")],
+        "doc_id long, text string",
+    )
+    out = TS.rrf_top_terms(docs, top_k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 2 and len(by_doc[2]) == 2
+    top = [r for r in by_doc[1] if r.rank == 1][0]
+    assert top.term == "alpha" and top.r_tfidf == 1 and top.r_bm25 == 1
+    assert top.rrf == round(2 / 61, 6)
+    assert all(0 < r.rrf <= round(2 / 61, 6) for r in out)
