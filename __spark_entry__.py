@@ -1245,6 +1245,15 @@ def q_doc_lr_scores(spark, sf_dir):
     )
 
 
+def q_user_retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention matrix over events
+    (temporal.retention_cohorts): cohort = first-activity week, age in
+    whole weeks, retention vs cohort size."""
+    from nlp_cube_spark.operators.temporal import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"))
+
+
 def q_rrf_top_terms(spark, sf_dir):
     """Reciprocal Rank Fusion of the tfidf and bm25 per-doc term
     rankings (textstats.rrf_top_terms, k=60, top 3 fused terms)."""
@@ -1581,6 +1590,7 @@ _QUERIES = {
         "search_docs_bm25": q_search_docs_bm25,
         "doc_readability": q_doc_readability,
         "rrf_top_terms": q_rrf_top_terms,
+        "user_retention_cohorts": q_user_retention_cohorts,
         "kg_entity_hits": q_kg_entity_hits,
         "shipdate_pruned_agg": q_shipdate_pruned_agg,
         "region_revenue": q_region_revenue,
@@ -3115,6 +3125,25 @@ def oracle_sql() -> dict[str, str]:
                  CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
                  round(n_novel / CAST(n_distinct_grams AS DOUBLE), 6) AS novel_frac
           FROM documents d LEFT JOIN per USING (doc_id)""",
+        "user_retention_cohorts": """
+          WITH ev AS (
+            SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS w FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          ),
+          fst AS (SELECT user_id, min(w) AS cohort_week FROM ev GROUP BY user_id),
+          act AS (SELECT DISTINCT user_id, w FROM ev),
+          sizes AS (SELECT cohort_week, count(*) AS n_users FROM fst GROUP BY cohort_week),
+          mat AS (
+            SELECT cohort_week,
+                   CAST(date_diff('day', cohort_week, w) // 7 AS INT) AS age,
+                   count(*) AS n_active
+            FROM act JOIN fst USING (user_id) GROUP BY 1, 2
+          )
+          SELECT cohort_week, age,
+                 CAST(n_active AS BIGINT) AS n_active,
+                 CAST(n_users AS BIGINT) AS n_users,
+                 round(n_active / CAST(n_users AS DOUBLE), 6) AS retention
+          FROM mat JOIN sizes USING (cohort_week)""",
         "rrf_top_terms": """
           WITH toks AS (
             SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term

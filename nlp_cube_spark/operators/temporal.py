@@ -229,3 +229,56 @@ def funnel(
     return out.select(
         F.col("__u").alias(user_col), *[f"{s}_ts" for s in steps], depth.alias("funnel_depth")
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention matrix (the classic product-analytics
+    operator, public knowledge): cohort = the Monday-truncated week of
+    a user's FIRST event; age = whole weeks since the cohort week;
+    n_active = users of that cohort active in that week; retention =
+    n_active / cohort size, rounded 6dp. Age 0 always has retention 1.
+
+    Returns (cohort_week DATE, age INT, n_active, n_users, retention).
+
+    Plan shape: one user-keyed min-agg (first activity), one DISTINCT
+    (user, week) hash agg (so n_active is a plain row count — no
+    count-distinct expand), a user-keyed join, and a (cohort, age) agg
+    joined to the cohort-size dimension. Nothing wider than distinct
+    (user, week) pairs shuffles; weeks are Monday-truncated in both
+    engines (Spark date_trunc == DuckDB date_trunc), so the oracle
+    replays the calendar exactly."""
+    wk = F.to_date(F.date_trunc("week", F.col(ts_col)))
+    first = (
+        events.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(F.col(user_col).alias("__u"))
+        .agg(F.min(wk).alias("cohort_week"))
+        .localCheckpoint(eager=False)  # feeds the join AND the size dim
+    )
+    act = (
+        events.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(F.col(user_col).alias("__u"), wk.alias("__w"))
+        .dropDuplicates()
+    )
+    sizes = first.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_users"))
+    mat = (
+        act.join(first, "__u")
+        .select(
+            "cohort_week",
+            F.expr("datediff(__w, cohort_week) div 7").cast("int").alias("age"),
+        )
+        .groupBy("cohort_week", "age")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return mat.join(sizes, "cohort_week").select(
+        "cohort_week",
+        "age",
+        "n_active",
+        "n_users",
+        F.round(F.col("n_active") / F.col("n_users").cast("double"), 6).alias(
+            "retention"
+        ),
+    )

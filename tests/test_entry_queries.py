@@ -141,6 +141,7 @@ FLOAT_SENSITIVE = [
     "search_docs_bm25",
     "doc_readability",
     "rrf_top_terms",
+    "user_retention_cohorts",
 ]
 
 SF2 = "/root/testdata/sf0.001"

@@ -209,3 +209,29 @@ def test_funnel_ordered_greedy(spark):
     assert out[2].funnel_depth == 1 and out[2].click_ts is None
     assert out[3].funnel_depth == 1
     assert out[4].funnel_depth == 1 and out[4].click_ts is None
+
+
+def test_retention_cohorts_hand_computed(spark):
+    """u1,u2 start week of 2024-01-01 (Mon); u1 returns week+1, both
+    gone by week+2 except u2 at week+2; u3 starts week+1. Retention:
+    cohort W0 age0 = 2/2, age1 = 1/2, age2 = 1/2; cohort W1 age0 = 1/1."""
+    from nlp_cube_spark.operators.temporal import retention_cohorts
+
+    rows = [
+        (1, "2024-01-02 10:00:00"),  # W0 (Mon 2024-01-01)
+        (2, "2024-01-05 09:00:00"),  # W0
+        (1, "2024-01-09 10:00:00"),  # W1 -> age 1 for cohort W0
+        (2, "2024-01-17 10:00:00"),  # W2 -> age 2
+        (3, "2024-01-10 10:00:00"),  # cohort W1
+        (None, "2024-01-10 10:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts_s string").select(
+        "user_id", F.to_timestamp("ts_s").alias("ts")
+    )
+    out = {(str(r.cohort_week), r.age): r for r in retention_cohorts(ev).collect()}
+    assert out[("2024-01-01", 0)].n_active == 2
+    assert out[("2024-01-01", 0)].retention == 1.0
+    assert out[("2024-01-01", 1)].retention == 0.5
+    assert out[("2024-01-01", 2)].retention == 0.5
+    assert out[("2024-01-08", 0)].n_users == 1 and out[("2024-01-08", 0)].retention == 1.0
+    assert len(out) == 4
