@@ -1245,6 +1245,15 @@ def q_doc_lr_scores(spark, sf_dir):
     )
 
 
+def q_events_trailing_hour(spark, sf_dir):
+    """Per-event trailing 1-hour count/value-sum for the same user
+    (temporal.trailing_window_stats, RANGE frame on whole epoch
+    seconds)."""
+    from nlp_cube_spark.operators.temporal import trailing_window_stats
+
+    return trailing_window_stats(_t(spark, sf_dir, "events"), 3600)
+
+
 def q_user_retention_cohorts(spark, sf_dir):
     """Weekly cohort retention matrix over events
     (temporal.retention_cohorts): cohort = first-activity week, age in
@@ -1591,6 +1600,7 @@ _QUERIES = {
         "doc_readability": q_doc_readability,
         "rrf_top_terms": q_rrf_top_terms,
         "user_retention_cohorts": q_user_retention_cohorts,
+        "events_trailing_hour": q_events_trailing_hour,
         "kg_entity_hits": q_kg_entity_hits,
         "shipdate_pruned_agg": q_shipdate_pruned_agg,
         "region_revenue": q_region_revenue,
@@ -3125,6 +3135,14 @@ def oracle_sql() -> dict[str, str]:
                  CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
                  round(n_novel / CAST(n_distinct_grams AS DOUBLE), 6) AS novel_frac
           FROM documents d LEFT JOIN per USING (doc_id)""",
+        "events_trailing_hour": """
+          SELECT event_id, user_id, ts,
+                 CAST(count(*) OVER w AS BIGINT) AS n_trailing,
+                 round(sum(value) OVER w, 6) AS sum_trailing
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts) // 1000
+                       RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""",
         "user_retention_cohorts": """
           WITH ev AS (
             SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS w FROM events

@@ -282,3 +282,44 @@ def retention_cohorts(
             "retention"
         ),
     )
+
+
+def trailing_window_stats(
+    events: DataFrame,
+    window_sec: int = 3600,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-event trailing-window aggregates — the rolling-metrics
+    staple (rate limiting, anomaly baselines): for every event, the
+    count and value-sum of the SAME user's events in
+    [ts - window_sec, ts], inclusive both ends (RANGE frame semantics,
+    identical in Spark and DuckDB; equal-timestamp peers are all
+    included). Complements the bucketed sliding windows in
+    events_sliding_window with the exact per-row form.
+
+    The frame key is whole epoch seconds via millis-div-1000 (floor) —
+    Spark's timestamp->long cast truncates while DuckDB's double cast
+    ROUNDS, so the div keeps both engines on the same integer key.
+    Sum rounded 6dp (frame-order float sum, the accepted class).
+
+    Plan: ONE user-keyed exchange + per-partition sort; the running
+    frame is streamed, never buffered per user beyond the window."""
+    epoch = F.expr(f"unix_millis(cast({ts_col} as timestamp)) div 1000")
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(epoch.alias("__ep"))
+        .rangeBetween(-int(window_sec), 0)
+    )
+    return (
+        events.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            id_col,
+            user_col,
+            ts_col,
+            F.count(F.lit(1)).over(w).alias("n_trailing"),
+            F.round(F.sum(value_col).over(w), 6).alias("sum_trailing"),
+        )
+    )

@@ -142,6 +142,7 @@ FLOAT_SENSITIVE = [
     "doc_readability",
     "rrf_top_terms",
     "user_retention_cohorts",
+    "events_trailing_hour",
 ]
 
 SF2 = "/root/testdata/sf0.001"

@@ -235,3 +235,27 @@ def test_retention_cohorts_hand_computed(spark):
     assert out[("2024-01-01", 2)].retention == 0.5
     assert out[("2024-01-08", 0)].n_users == 1 and out[("2024-01-08", 0)].retention == 1.0
     assert len(out) == 4
+
+
+def test_trailing_window_stats_inclusive_bounds(spark):
+    """1-hour trailing frame: events at t0, t0+30min, t0+60min — the
+    third sees ALL three (inclusive lower bound at exactly -3600s);
+    an event 2h later sees only itself; equal timestamps are peers."""
+    from nlp_cube_spark.operators.temporal import trailing_window_stats
+
+    rows = [
+        (1, 7, "2024-01-01 10:00:00", 1.0),
+        (2, 7, "2024-01-01 10:30:00", 2.0),
+        (3, 7, "2024-01-01 11:00:00", 4.0),
+        (4, 7, "2024-01-01 13:00:00", 8.0),
+        (5, 7, "2024-01-01 13:00:00", 16.0),  # peer of 4
+        (6, 9, "2024-01-01 10:15:00", 1.0),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts_s string, value double").select(
+        "event_id", "user_id", F.to_timestamp("ts_s").alias("ts"), "value"
+    )
+    out = {r.event_id: r for r in trailing_window_stats(ev, 3600).collect()}
+    assert (out[3].n_trailing, out[3].sum_trailing) == (3, 7.0)
+    assert (out[4].n_trailing, out[4].sum_trailing) == (2, 24.0)  # peers included
+    assert (out[5].n_trailing, out[5].sum_trailing) == (2, 24.0)
+    assert out[6].n_trailing == 1
