@@ -488,6 +488,8 @@ def hits(
     authority) for every node incident to an edge; a side with zero
     mass (no in-edges anywhere) yields NULL via the nullif'd norm
     rather than an ANSI /0 throw."""
+    if iters < 1:
+        raise ValueError("hits: iters must be >= 1")
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
@@ -507,6 +509,9 @@ def hits(
             e.join(scores.withColumnRenamed("node", join_on), join_on)
             .groupBy(group_to)
             .agg(F.round(F.sum(score_col), round_dp).alias("_r"))
+            # raw feeds the norm agg AND the node join — checkpoint or the
+            # edge-join+agg subtree re-runs per reference (CLAUDE.md)
+            .localCheckpoint(eager=False)
         )
         norm = raw.agg(F.sqrt(F.sum(F.col("_r") * F.col("_r"))).alias("_nz"))
         return (

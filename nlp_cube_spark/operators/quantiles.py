@@ -162,6 +162,16 @@ def equi_width_histogram(
     if n_bins < 1:
         raise ValueError("equi_width_histogram: n_bins must be >= 1")
     groups = list(group_cols or [])
+    # group cols collide with output names; __lo/__hi anywhere collide with
+    # the broadcast bounds inside the crossJoin (the grouped_quantiles
+    # reserved-name contract)
+    clash = ({"bin", "lo", "hi", "n", "__lo", "__hi"} & set(groups)) | (
+        {"__lo", "__hi"} & set(df.columns)
+    )
+    if clash:
+        raise ValueError(
+            f"equi_width_histogram reserves column names {sorted(clash)}; rename inputs"
+        )
     x = F.col(value_col).cast("double")
     bounds = df.where(x.isNotNull()).agg(
         F.min(x).alias("__lo"), F.max(x).alias("__hi")

@@ -285,6 +285,35 @@ def source_sampling_weights(
     )
 
 
+def _bm25_idf() -> F.Column:
+    """THE one BM25 idf definition (over columns n_docs, df) — shared by
+    term_scores, search_bm25, and through them the DuckDB oracles; two
+    copies could silently drift."""
+    return F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+
+
+def _bm25_norm(k1: float, b: float) -> F.Column:
+    """THE one BM25 tf-saturation/length-normalization definition (over
+    columns tf, dl, avgdl)."""
+    return F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+
+
+def _term_stats_base(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term, tf, df, dl, n_docs, avgdl) — the joined sufficient
+    statistics both rankers score from. Factored so rrf_top_terms can
+    build it ONCE (Spark re-runs shared subtrees per reference)."""
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    return tf.join(dfreq, "term").join(dl, id_col).crossJoin(F.broadcast(corpus))
+
+
 def term_scores(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -305,29 +334,12 @@ def term_scores(
     can exceed broadcast size at web vocab — deliberately NOT broadcast),
     and a 1-row corpus-stats aggregate attached by broadcast cross join.
     top_k adds one ranking window per doc, keyed by the same id."""
-    toks = docs.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
-    ).where(F.col("term") != "")
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    corpus = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
-    scored = (
-        tf.join(dfreq, "term")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(corpus))
-    )
+    scored = _term_stats_base(docs, id_col, text_col)
     if scheme == "tfidf":
         idf = F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1
         score = F.col("tf") * idf
     elif scheme == "bm25":
-        idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-        norm = F.col("tf") * (k1 + 1) / (
-            F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
-        )
-        score = idf * norm
+        score = _bm25_idf() * _bm25_norm(k1, b)
     else:
         raise ValueError(f"unknown scheme {scheme!r} (tfidf | bm25)")
     out = scored.select(id_col, "term", "tf", "df", score.alias("score"))
@@ -695,10 +707,6 @@ def search_bm25(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    norm = F.col("tf") * (k1 + 1) / (
-        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
-    )
     scored = (
         tf.join(dfreq, "term")
         .join(dl, id_col)
@@ -706,12 +714,10 @@ def search_bm25(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_matched"),
-            F.round(F.sum(idf * norm), 6).alias("score"),
+            F.round(F.sum(_bm25_idf() * _bm25_norm(k1, b)), 6).alias("score"),
         )
     )
     out = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
-    from pyspark.sql import Window
-
     w = Window.orderBy(F.desc("score"), F.asc(id_col))
     return out.withColumn("rank", F.row_number().over(w))
 
@@ -778,8 +784,18 @@ def rrf_top_terms(
     rank comes from the shared term_scores plan (rounded score desc,
     term asc — total order); the fusion is one (doc, term) equi-join of
     two rank dimensions + one per-doc top-k window."""
-    a = term_scores(docs, id_col, text_col, scheme="tfidf", top_k=None)
-    b = term_scores(docs, id_col, text_col, scheme="bm25", top_k=None)
+    # ONE shared statistics base, checkpointed: two term_scores calls
+    # would tokenize and aggregate the corpus twice (Spark re-runs
+    # shared subtrees per reference, CLAUDE.md)
+    base = _term_stats_base(docs, id_col, text_col).localCheckpoint(eager=False)
+    a = base.select(
+        id_col,
+        "term",
+        (F.col("tf") * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1)).alias(
+            "score"
+        ),
+    )
+    b = base.select(id_col, "term", (_bm25_idf() * _bm25_norm(1.2, 0.75)).alias("score"))
 
     def _ranked(df: DataFrame, name: str) -> DataFrame:
         w = Window.partitionBy(id_col).orderBy(

@@ -395,3 +395,13 @@ def test_new_graph_ops_no_cartesian(spark):
     for name, df in plans.items():
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name
+
+
+def test_hits_rejects_zero_iters(spark):
+    import pytest as _pytest
+
+    from nlp_cube_spark.operators.graphstats import hits
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with _pytest.raises(ValueError):
+        hits(edges, iters=0)

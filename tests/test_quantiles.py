@@ -142,3 +142,16 @@ def test_equi_width_histogram_hand_computed(spark):
     flat = equi_width_histogram(spark.createDataFrame([(1, 7.0)], "id long, v double"), "v", 5)
     r = flat.collect()[0]
     assert (r.bin, r.lo, r.hi, r.n) == (0, 7.0, 7.0, 1)
+
+
+def test_histogram_reserved_column_clash_raises(spark):
+    import pytest as _pytest
+
+    from nlp_cube_spark.operators.quantiles import equi_width_histogram
+
+    df = spark.createDataFrame([(1, 2.0, "g")], "id long, v double, bin string")
+    with _pytest.raises(ValueError):
+        equi_width_histogram(df, "v", 4, ["bin"])
+    df2 = spark.createDataFrame([(1, 2.0, 3.0)], "id long, v double, __lo double")
+    with _pytest.raises(ValueError):
+        equi_width_histogram(df2, "v", 4)
