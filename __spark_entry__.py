@@ -1245,6 +1245,14 @@ def q_doc_lr_scores(spark, sf_dir):
     )
 
 
+def q_doc_similar_tfidf(spark, sf_dir):
+    """Term-space more-like-this (textstats.similar_docs): top-2
+    cosine-similar docs per doc over L2-normalized tfidf vectors."""
+    from nlp_cube_spark.operators.textstats import similar_docs
+
+    return similar_docs(_t(spark, sf_dir, "documents"), k=2)
+
+
 def q_events_trailing_hour(spark, sf_dir):
     """Per-event trailing 1-hour count/value-sum for the same user
     (temporal.trailing_window_stats, RANGE frame on whole epoch
@@ -1601,6 +1609,7 @@ _QUERIES = {
         "rrf_top_terms": q_rrf_top_terms,
         "user_retention_cohorts": q_user_retention_cohorts,
         "events_trailing_hour": q_events_trailing_hour,
+        "doc_similar_tfidf": q_doc_similar_tfidf,
         "kg_entity_hits": q_kg_entity_hits,
         "shipdate_pruned_agg": q_shipdate_pruned_agg,
         "region_revenue": q_region_revenue,
@@ -3135,6 +3144,36 @@ def oracle_sql() -> dict[str, str]:
                  CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
                  round(n_novel / CAST(n_distinct_grams AS DOUBLE), 6) AS novel_frac
           FROM documents d LEFT JOIN per USING (doc_id)""",
+        "doc_similar_tfidf": """
+          WITH toks AS (
+            SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+            FROM documents
+          ), tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+          dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+          dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+          corpus AS (SELECT count(*) AS n_docs FROM dl),
+          vec AS MATERIALIZED (
+            SELECT doc_id, term,
+                   tf * (ln((n_docs + 1) / (df + 1)) + 1) AS w
+            FROM tf JOIN dfreq USING (term) CROSS JOIN corpus
+          ),
+          nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nr FROM vec GROUP BY doc_id),
+          dots AS (
+            SELECT a.doc_id AS ida, b.doc_id AS idb, sum(a.w * b.w) AS dt
+            FROM vec a JOIN vec b USING (term)
+            WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+          ),
+          cs AS (
+            SELECT ida, idb,
+                   round(dt / nullif(na.nr * nb.nr, 0), 6) AS cos_sim
+            FROM dots JOIN nrm na ON na.doc_id = ida JOIN nrm nb ON nb.doc_id = idb
+          ),
+          sym AS (SELECT ida AS doc_id, idb AS other_id, cos_sim FROM cs
+                  UNION ALL SELECT idb, ida, cos_sim FROM cs)
+          SELECT doc_id, other_id, cos_sim,
+                 CAST(row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY cos_sim DESC, other_id) AS INT) AS rank
+          FROM sym QUALIFY rank <= 2""",
         "events_trailing_hour": """
           SELECT event_id, user_id, ts,
                  CAST(count(*) OVER w AS BIGINT) AS n_trailing,

@@ -823,3 +823,70 @@ def rrf_top_terms(
     return fused.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= top_k
     )
+
+
+def similar_docs(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Term-space more-like-this: top-k most cosine-similar documents
+    per document over L2-normalized tfidf vectors (classic sparse
+    retrieval, public knowledge) — the lexical complement of the
+    embedding-space ANN operators.
+
+    Returns (id_col, other_id, cos_sim, rank), SYMMETRIC per-doc top-k
+    (both directions of every pair are ranked); cos rounded 6dp before
+    the rank so a ulp never decides the cut, ties to the smaller other
+    id.
+
+    Scale shape: the only pair generator is a term-keyed self-join of
+    the sparse vectors — pair volume is sum over terms of df(t)^2, and
+    `max_df` is the knob that drops stop-like terms (df > cap) before
+    the join, the standard sparse-similarity pruning; their tfidf mass
+    is near zero anyway. Norms are doc-dimension; dot products reduce
+    map-side on (a, b)."""
+    base = _term_stats_base(docs, id_col, text_col)
+    vec = base.select(
+        F.col(id_col),
+        "term",
+        "df",
+        (F.col("tf") * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1)).alias(
+            "w"
+        ),
+    ).localCheckpoint(eager=False)  # feeds norms AND both join sides
+    norms = vec.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("_nrm")
+    )
+    if max_df is not None:
+        vec = vec.where(F.col("df") <= max_df)
+    a = vec.select(F.col(id_col).alias("_ida"), "term", F.col("w").alias("_wa"))
+    b = vec.select(F.col(id_col).alias("_idb"), "term", F.col("w").alias("_wb"))
+    dots = (
+        a.join(b, "term")
+        .where(F.col("_ida") < F.col("_idb"))
+        .groupBy("_ida", "_idb")
+        .agg(F.sum(F.col("_wa") * F.col("_wb")).alias("_dot"))
+    )
+    cos = (
+        dots.join(norms.select(F.col(id_col).alias("_ida"), F.col("_nrm").alias("_na")), "_ida")
+        .join(norms.select(F.col(id_col).alias("_idb"), F.col("_nrm").alias("_nb")), "_idb")
+        .select(
+            "_ida",
+            "_idb",
+            F.round(
+                F.col("_dot") / F.nullif(F.col("_na") * F.col("_nb"), F.lit(0.0)), 6
+            ).alias("cos_sim"),
+        )
+    )
+    sym = cos.select(
+        F.col("_ida").alias(id_col), F.col("_idb").alias("other_id"), "cos_sim"
+    ).unionByName(
+        cos.select(
+            F.col("_idb").alias(id_col), F.col("_ida").alias("other_id"), "cos_sim"
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cos_sim"), F.asc("other_id"))
+    return sym.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -143,6 +143,7 @@ FLOAT_SENSITIVE = [
     "rrf_top_terms",
     "user_retention_cohorts",
     "events_trailing_hour",
+    "doc_similar_tfidf",
 ]
 
 SF2 = "/root/testdata/sf0.001"

@@ -367,3 +367,21 @@ def test_rrf_fuses_rankings(spark):
     assert top.term == "alpha" and top.r_tfidf == 1 and top.r_bm25 == 1
     assert top.rrf == round(2 / 61, 6)
     assert all(0 < r.rrf <= round(2 / 61, 6) for r in out)
+
+
+def test_similar_docs_finds_lexical_twin(spark):
+    """Two near-identical docs rank each other first; the unrelated doc
+    never outranks the twin; output is symmetric per-doc top-k."""
+    docs = spark.createDataFrame(
+        [
+            (1, "spark engine shuffles data across executors"),
+            (2, "spark engine shuffles data across workers"),
+            (3, "cats purr on warm windowsills"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_id, r.rank): r for r in TS.similar_docs(docs, k=2).collect()}
+    assert out[(1, 1)].other_id == 2 and out[(2, 1)].other_id == 1
+    assert out[(1, 1)].cos_sim > 0.5
+    # doc 3 shares no terms -> appears only via zero-overlap absence
+    assert (3, 1) not in out
