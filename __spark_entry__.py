@@ -1245,6 +1245,25 @@ def q_doc_lr_scores(spark, sf_dir):
     )
 
 
+def q_doc_containment_dedup(spark, sf_dir):
+    """Asymmetric containment dedup (dedup.containment_pairs) over a
+    corpus with injected PREFIX stubs (first 120 chars of every 25th
+    doc, id+3e6): the subset-duplicate case symmetric Jaccard misses.
+    Candidates come from winnow_match_pairs — the shared-substring
+    guarantee is containment-shaped, where MinHash-LSH recall decays
+    with |A|/|B|."""
+    from nlp_cube_spark.operators.dedup import containment_pairs, winnow_match_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    stubs = docs.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + F.lit(3000000)).alias("doc_id"),
+        F.expr("substr(text, 1, 120)").alias("text"),
+    )
+    corpus = docs.unionByName(stubs).localCheckpoint(eager=False)
+    pairs = winnow_match_pairs(corpus, k=8, w=4, min_shared=2, max_bucket=64)
+    return containment_pairs(pairs, corpus, threshold=0.8)
+
+
 def q_doc_similar_tfidf(spark, sf_dir):
     """Term-space more-like-this (textstats.similar_docs): top-2
     cosine-similar docs per doc over L2-normalized tfidf vectors."""
@@ -1610,6 +1629,7 @@ _QUERIES = {
         "user_retention_cohorts": q_user_retention_cohorts,
         "events_trailing_hour": q_events_trailing_hour,
         "doc_similar_tfidf": q_doc_similar_tfidf,
+        "doc_containment_dedup": q_doc_containment_dedup,
         "kg_entity_hits": q_kg_entity_hits,
         "shipdate_pruned_agg": q_shipdate_pruned_agg,
         "region_revenue": q_region_revenue,
@@ -3144,6 +3164,41 @@ def oracle_sql() -> dict[str, str]:
                  CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
                  round(n_novel / CAST(n_distinct_grams AS DOUBLE), 6) AS novel_frac
           FROM documents d LEFT JOIN per USING (doc_id)""",
+        "doc_containment_dedup": f"""
+          WITH cc AS MATERIALIZED (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 3000000, substr(text, 1, 120)
+            FROM documents WHERE doc_id % 25 = 0
+          ),
+          {_winnow_fps_ctes(8, 4, src="cc")},
+          fps AS (SELECT DISTINCT doc_id, CAST(mk // {1 << 22} AS BIGINT) AS fp FROM s),
+          capped AS (
+            SELECT doc_id, fp FROM (
+              SELECT *, count(*) OVER (PARTITION BY fp) AS _n FROM fps
+            ) WHERE _n <= 64
+          ),
+          cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM capped a JOIN capped b USING (fp)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2
+          ),
+          shg AS (
+            SELECT doc_id, list_distinct([substr(lower(text), i, 3)
+                   FOR i IN range(1, greatest(length(lower(text)) - 2, 1) + 1)]) AS sh
+            FROM cc
+          ),
+          scored AS (
+            SELECT doc_a, doc_b,
+                   round(len(list_intersect(a.sh, b.sh))
+                         / nullif(CAST(len(a.sh) AS DOUBLE), 0), 6) AS containment_a_in_b,
+                   round(len(list_intersect(a.sh, b.sh))
+                         / nullif(CAST(len(b.sh) AS DOUBLE), 0), 6) AS containment_b_in_a
+            FROM cand JOIN shg a ON a.doc_id = doc_a JOIN shg b ON b.doc_id = doc_b
+          )
+          SELECT * FROM scored
+          WHERE greatest(coalesce(containment_a_in_b, 0), coalesce(containment_b_in_a, 0)) >= 0.8""",
         "doc_similar_tfidf": """
           WITH toks AS (
             SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term

@@ -552,3 +552,48 @@ def winnow_match_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def containment_pairs(
+    pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id",
+    text_col: str = "text", n: int = 3, threshold: float = 0.8,
+    shingle_col: str | None = None,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT verification of a candidate pair
+    list (Broder 1997's containment measure, public knowledge): c(A,B)
+    = |A ∩ B| / |A|. Catches the subset-duplicate case symmetric
+    Jaccard misses — a short doc fully embedded in a long one has
+    containment ~1 but Jaccard ~|A|/|B|, far below any dedup threshold.
+
+    Same scale shape as jaccard_verify_pairs: O(|pairs|), two id-keyed
+    joins, pure array expressions — feed it lsh_candidate_pairs (for
+    high containment with small |A|, lower the LSH bands-per-row or
+    feed winnow_match_pairs, whose shared-substring guarantee is
+    containment-shaped). Emits one row per candidate pair with BOTH
+    directions (containment_a_in_b, containment_b_in_a, rounded 6dp)
+    where max(direction) >= threshold; empty shingle sets yield NULL
+    containment for that direction (0/0), never a throw."""
+    if shingle_col is not None:
+        sh = docs.select(F.col(id_col), F.col(shingle_col).alias("_sh"))
+    else:
+        sh = docs.select(F.col(id_col), F.expr(shingle_expr(text_col, n)).alias("_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    c_ab = F.round(inter / F.nullif(F.size("sh_a").cast("double"), F.lit(0.0)), 6)
+    c_ba = F.round(inter / F.nullif(F.size("sh_b").cast("double"), F.lit(0.0)), 6)
+    return (
+        pairs.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("containment_a_in_b", c_ab)
+        .withColumn("containment_b_in_a", c_ba)
+        .where(
+            F.greatest(
+                F.coalesce("containment_a_in_b", F.lit(0.0)),
+                F.coalesce("containment_b_in_a", F.lit(0.0)),
+            )
+            >= threshold
+        )
+        .select("doc_a", "doc_b", "containment_a_in_b", "containment_b_in_a")
+    )

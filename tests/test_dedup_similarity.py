@@ -467,3 +467,29 @@ def test_winnow_exact_dups_and_match_pairs(spark):
     assert s1 == s2 and s1
     pairs = {(r.doc_a, r.doc_b): r.n_shared for r in D.winnow_match_pairs(docs, max_bucket=3).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+
+
+def test_containment_catches_subset_duplicate(spark):
+    """Doc 2 is doc 1's text embedded in a much longer page: Jaccard is
+    low (union dominated by the wrapper) but containment of 1-in-2 is
+    1.0 — the asymmetric measure finds what the symmetric one misses."""
+    short = "the quick brown fox jumps over the lazy dog"
+    long_ = (
+        "welcome to our exhaustive compendium of animal behaviour studies "
+        + short
+        + " further chapters examine migratory patterns, nocturnal habits,"
+          " camouflage strategies and vocal communication across species"
+    )
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "unrelated content here")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "doc_a long, doc_b long")
+    out = {(r.doc_a, r.doc_b): r for r in D.containment_pairs(pairs, docs, threshold=0.8).collect()}
+    assert (1, 2) in out and out[(1, 2)].containment_a_in_b == 1.0
+    assert out[(1, 2)].containment_b_in_a < 0.8
+    assert (1, 3) not in out
+    # symmetric jaccard on the same pair stays below a dedup threshold
+    j = D.jaccard_verify_pairs(pairs, docs, threshold=0.0).collect()
+    jmap = {(r.doc_a, r.doc_b): r.jaccard for r in j}
+    assert jmap[(1, 2)] < 0.5

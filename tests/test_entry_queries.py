@@ -144,6 +144,7 @@ FLOAT_SENSITIVE = [
     "user_retention_cohorts",
     "events_trailing_hour",
     "doc_similar_tfidf",
+    "doc_containment_dedup",
 ]
 
 SF2 = "/root/testdata/sf0.001"
