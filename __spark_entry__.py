@@ -1245,6 +1245,19 @@ def q_doc_lr_scores(spark, sf_dir):
     )
 
 
+def q_kg_degree_histogram(spark, sf_dir):
+    """Degree-distribution histogram of the entity graph — a pure
+    COMPOSITION of two round-6 operators (neighborhood_stats ->
+    equi_width_histogram, 8 bins): the power-law sanity view."""
+    from nlp_cube_spark.operators import annotate as A
+    from nlp_cube_spark.operators.graphstats import neighborhood_stats
+    from nlp_cube_spark.operators.quantiles import equi_width_histogram
+
+    trip = A.fused_triples(_docs_as_pages(spark, sf_dir)).localCheckpoint()
+    edges = trip.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    return equi_width_histogram(neighborhood_stats(edges), "deg", 8)
+
+
 def q_doc_containment_dedup(spark, sf_dir):
     """Asymmetric containment dedup (dedup.containment_pairs) over a
     corpus with injected PREFIX stubs (first 120 chars of every 25th
@@ -1630,6 +1643,7 @@ _QUERIES = {
         "events_trailing_hour": q_events_trailing_hour,
         "doc_similar_tfidf": q_doc_similar_tfidf,
         "doc_containment_dedup": q_doc_containment_dedup,
+        "kg_degree_histogram": q_kg_degree_histogram,
         "kg_entity_hits": q_kg_entity_hits,
         "shipdate_pruned_agg": q_shipdate_pruned_agg,
         "region_revenue": q_region_revenue,
@@ -3164,6 +3178,29 @@ def oracle_sql() -> dict[str, str]:
                  CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
                  round(n_novel / CAST(n_distinct_grams AS DOUBLE), 6) AS novel_frac
           FROM documents d LEFT JOIN per USING (doc_id)""",
+        "kg_degree_histogram": f"""
+          WITH raw AS MATERIALIZED (
+            SELECT DISTINCT subj AS s, obj AS o FROM ({_KG_TRIPLES_DUCK})
+          ),
+          e AS (
+            SELECT DISTINCT least(s, o) AS a, greatest(s, o) AS b
+            FROM raw WHERE s <> o AND s IS NOT NULL AND o IS NOT NULL
+          ),
+          sym AS (SELECT a AS node, b AS nbr FROM e UNION ALL SELECT b, a FROM e),
+          deg AS (SELECT node, CAST(count(*) AS DOUBLE) AS v FROM sym GROUP BY node),
+          b0 AS (SELECT min(v) AS glo, max(v) AS ghi FROM deg),
+          g AS (
+            SELECT CASE WHEN ghi = glo THEN 0
+                        ELSE CAST(least(floor((v - glo) / ((ghi - glo) / 8.0)), 7) AS BIGINT)
+                   END AS bin,
+                   count(*) AS n, any_value(glo) AS glo, any_value(ghi) AS ghi
+            FROM deg, b0 GROUP BY bin
+          )
+          SELECT bin,
+                 round(glo + bin * (ghi - glo) / 8, 6) AS lo,
+                 round(glo + (bin + 1) * (ghi - glo) / 8, 6) AS hi,
+                 CAST(n AS BIGINT) AS n
+          FROM g""",
         "doc_containment_dedup": f"""
           WITH cc AS MATERIALIZED (
             SELECT doc_id, text FROM documents

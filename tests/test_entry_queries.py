@@ -145,6 +145,7 @@ FLOAT_SENSITIVE = [
     "events_trailing_hour",
     "doc_similar_tfidf",
     "doc_containment_dedup",
+    "kg_degree_histogram",
 ]
 
 SF2 = "/root/testdata/sf0.001"
