@@ -1245,6 +1245,17 @@ def q_doc_lr_scores(spark, sf_dir):
     )
 
 
+def q_lineitem_profile(spark, sf_dir):
+    """Single-pass numeric column profile of lineitem's four measures
+    (quantiles.numeric_profile)."""
+    from nlp_cube_spark.operators.quantiles import numeric_profile
+
+    return numeric_profile(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
 def q_kg_degree_histogram(spark, sf_dir):
     """Degree-distribution histogram of the entity graph — a pure
     COMPOSITION of two round-6 operators (neighborhood_stats ->
@@ -1644,6 +1655,7 @@ _QUERIES = {
         "doc_similar_tfidf": q_doc_similar_tfidf,
         "doc_containment_dedup": q_doc_containment_dedup,
         "kg_degree_histogram": q_kg_degree_histogram,
+        "lineitem_profile": q_lineitem_profile,
         "kg_entity_hits": q_kg_entity_hits,
         "shipdate_pruned_agg": q_shipdate_pruned_agg,
         "region_revenue": q_region_revenue,
@@ -3178,6 +3190,17 @@ def oracle_sql() -> dict[str, str]:
                  CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
                  round(n_novel / CAST(n_distinct_grams AS DOUBLE), 6) AS novel_frac
           FROM documents d LEFT JOIN per USING (doc_id)""",
+        "lineitem_profile": " UNION ALL ".join(
+            f"""
+          SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                 round(min(CAST({c} AS DOUBLE)), 6) AS min,
+                 round(max(CAST({c} AS DOUBLE)), 6) AS max,
+                 round(avg(CAST({c} AS DOUBLE)), 6) AS mean,
+                 round(stddev_samp(CAST({c} AS DOUBLE)), 6) AS stddev
+          FROM lineitem"""
+            for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+        ),
         "kg_degree_histogram": f"""
           WITH raw AS MATERIALIZED (
             SELECT DISTINCT subj AS s, obj AS o FROM ({_KG_TRIPLES_DUCK})

@@ -207,3 +207,43 @@ def equi_width_histogram(
             "n",
         )
     )
+
+
+def numeric_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Long-format numeric column profile — the data-profiling staple
+    (n, nulls, min/max, mean, sample stddev per column), computed in
+    ONE corpus scan: a single aggregate row holding every column's
+    statistics, exploded into (column, ...) rows driver-side-free.
+
+    Floats rounded 6dp (stddev implementations differ across engines —
+    Welford vs naive — by ulps; the accepted rounding class). All-NULL
+    columns profile as NULL min/max/mean/stddev, not a throw."""
+    if not cols:
+        raise ValueError("numeric_profile: cols must be non-empty")
+    aggs = []
+    for c in cols:
+        x = F.col(c).cast("double")
+        aggs += [
+            F.count(F.lit(1)).alias(f"__{c}_n"),
+            F.sum(F.when(x.isNull(), 1).otherwise(0)).alias(f"__{c}_nn"),
+            F.round(F.min(x), 6).alias(f"__{c}_min"),
+            F.round(F.max(x), 6).alias(f"__{c}_max"),
+            F.round(F.avg(x), 6).alias(f"__{c}_avg"),
+            F.round(F.stddev_samp(x), 6).alias(f"__{c}_sd"),
+        ]
+    prof = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__{c}_n").alias("n_rows"),
+                F.col(f"__{c}_nn").alias("n_null"),
+                F.col(f"__{c}_min").alias("min"),
+                F.col(f"__{c}_max").alias("max"),
+                F.col(f"__{c}_avg").alias("mean"),
+                F.col(f"__{c}_sd").alias("stddev"),
+            )
+            for c in cols
+        ]
+    )
+    return prof.select(F.explode(rows).alias("p")).select("p.*")

@@ -146,6 +146,7 @@ FLOAT_SENSITIVE = [
     "doc_similar_tfidf",
     "doc_containment_dedup",
     "kg_degree_histogram",
+    "lineitem_profile",
 ]
 
 SF2 = "/root/testdata/sf0.001"

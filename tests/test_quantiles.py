@@ -155,3 +155,19 @@ def test_histogram_reserved_column_clash_raises(spark):
     df2 = spark.createDataFrame([(1, 2.0, 3.0)], "id long, v double, __lo double")
     with _pytest.raises(ValueError):
         equi_width_histogram(df2, "v", 4)
+
+
+def test_numeric_profile_hand_computed(spark):
+    """Two columns in one scan: hand-checked stats, NULLs counted but
+    excluded from the moments, all-NULL column yields NULL stats."""
+    from nlp_cube_spark.operators.quantiles import numeric_profile
+
+    df = spark.createDataFrame(
+        [(1.0, None), (2.0, None), (3.0, None), (None, None)],
+        "a double, b double",
+    )
+    out = {r.column: r for r in numeric_profile(df, ["a", "b"]).collect()}
+    assert (out["a"].n_rows, out["a"].n_null) == (4, 1)
+    assert (out["a"].min, out["a"].max, out["a"].mean) == (1.0, 3.0, 2.0)
+    assert out["a"].stddev == 1.0  # sample stddev of 1,2,3
+    assert out["b"].n_null == 4 and out["b"].mean is None and out["b"].stddev is None
