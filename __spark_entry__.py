@@ -1245,6 +1245,17 @@ def q_doc_lr_scores(spark, sf_dir):
     )
 
 
+def q_lineitem_correlations(spark, sf_dir):
+    """Pairwise Pearson correlations of lineitem's measures
+    (quantiles.correlation_matrix, ANSI-safe closed form)."""
+    from nlp_cube_spark.operators.quantiles import correlation_matrix
+
+    return correlation_matrix(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
 def q_lineitem_profile(spark, sf_dir):
     """Single-pass numeric column profile of lineitem's four measures
     (quantiles.numeric_profile)."""
@@ -1656,6 +1667,7 @@ _QUERIES = {
         "doc_containment_dedup": q_doc_containment_dedup,
         "kg_degree_histogram": q_kg_degree_histogram,
         "lineitem_profile": q_lineitem_profile,
+        "lineitem_correlations": q_lineitem_correlations,
         "kg_entity_hits": q_kg_entity_hits,
         "shipdate_pruned_agg": q_shipdate_pruned_agg,
         "region_revenue": q_region_revenue,
@@ -3190,6 +3202,29 @@ def oracle_sql() -> dict[str, str]:
                  CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
                  round(n_novel / CAST(n_distinct_grams AS DOUBLE), 6) AS novel_frac
           FROM documents d LEFT JOIN per USING (doc_id)""",
+        "lineitem_correlations": " UNION ALL ".join(
+            f"""
+          SELECT '{a}' AS col_a, '{b}' AS col_b,
+                 round((n * sxy - sx * sy)
+                       / sqrt(nullif(n * sxx - sx * sx, 0) * nullif(n * syy - sy * sy, 0)), 6) AS corr
+          FROM (
+            SELECT CAST(sum(CASE WHEN {a} IS NOT NULL AND {b} IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS n,
+                   sum(CASE WHEN {a} IS NOT NULL AND {b} IS NOT NULL THEN CAST({a} AS DOUBLE) END) AS sx,
+                   sum(CASE WHEN {a} IS NOT NULL AND {b} IS NOT NULL THEN CAST({b} AS DOUBLE) END) AS sy,
+                   sum(CASE WHEN {a} IS NOT NULL AND {b} IS NOT NULL THEN CAST({a} AS DOUBLE) * CAST({b} AS DOUBLE) END) AS sxy,
+                   sum(CASE WHEN {a} IS NOT NULL AND {b} IS NOT NULL THEN CAST({a} AS DOUBLE) * CAST({a} AS DOUBLE) END) AS sxx,
+                   sum(CASE WHEN {a} IS NOT NULL AND {b} IS NOT NULL THEN CAST({b} AS DOUBLE) * CAST({b} AS DOUBLE) END) AS syy
+            FROM lineitem
+          )"""
+            for a, b in [
+                ("l_quantity", "l_extendedprice"),
+                ("l_quantity", "l_discount"),
+                ("l_quantity", "l_tax"),
+                ("l_extendedprice", "l_discount"),
+                ("l_extendedprice", "l_tax"),
+                ("l_discount", "l_tax"),
+            ]
+        ),
         "lineitem_profile": " UNION ALL ".join(
             f"""
           SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,

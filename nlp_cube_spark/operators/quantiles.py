@@ -247,3 +247,46 @@ def numeric_profile(df: DataFrame, cols: list[str]) -> DataFrame:
         ]
     )
     return prof.select(F.explode(rows).alias("p")).select("p.*")
+
+
+def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations of numeric columns in ONE corpus
+    scan (the profiler's companion): long format (col_a, col_b, corr)
+    for every unordered pair, corr rounded 6dp. Rows where either side
+    is NULL are excluded per pair; constant columns yield NULL via the
+    nullif'd denominator — NOT Spark's built-in F.corr, whose internal
+    covariance/variance division THROWS under ANSI mode on zero
+    variance (CLAUDE.md's /0 rule); the sufficient-statistics closed
+    form (the zipf_fit device) is also what the DuckDB oracle replays
+    verbatim."""
+    if len(cols) < 2:
+        raise ValueError("correlation_matrix: need at least 2 columns")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    aggs = []
+    for a, b in pairs:
+        x = F.col(a).cast("double")
+        y = F.col(b).cast("double")
+        m = x.isNotNull() & y.isNotNull()
+        xm = F.when(m, x)
+        ym = F.when(m, y)
+        n = F.sum(F.when(m, 1).otherwise(0)).cast("double")
+        num = n * F.sum(xm * ym) - F.sum(xm) * F.sum(ym)
+        dx = n * F.sum(xm * xm) - F.sum(xm) * F.sum(xm)
+        dy = n * F.sum(ym * ym) - F.sum(ym) * F.sum(ym)
+        aggs.append(
+            F.round(
+                num / F.sqrt(F.nullif(dx, F.lit(0.0)) * F.nullif(dy, F.lit(0.0))), 6
+            ).alias(f"__{a}__{b}")
+        )
+    wide = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col(f"__{a}__{b}").alias("corr"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return wide.select(F.explode(rows).alias("p")).select("p.*")

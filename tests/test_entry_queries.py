@@ -147,6 +147,7 @@ FLOAT_SENSITIVE = [
     "doc_containment_dedup",
     "kg_degree_histogram",
     "lineitem_profile",
+    "lineitem_correlations",
 ]
 
 SF2 = "/root/testdata/sf0.001"

@@ -171,3 +171,18 @@ def test_numeric_profile_hand_computed(spark):
     assert (out["a"].min, out["a"].max, out["a"].mean) == (1.0, 3.0, 2.0)
     assert out["a"].stddev == 1.0  # sample stddev of 1,2,3
     assert out["b"].n_null == 4 and out["b"].mean is None and out["b"].stddev is None
+
+
+def test_correlation_matrix_hand_computed(spark):
+    """y = 2x is perfectly correlated (+1), z = -x anti-correlated (-1),
+    a constant column yields NULL; all pairs emitted once."""
+    from nlp_cube_spark.operators.quantiles import correlation_matrix
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, -1.0, 5.0), (2.0, 4.0, -2.0, 5.0), (3.0, 6.0, -3.0, 5.0)],
+        "x double, y double, z double, c double",
+    )
+    out = {(r.col_a, r.col_b): r.corr for r in correlation_matrix(df, ["x", "y", "z", "c"]).collect()}
+    assert len(out) == 6
+    assert out[("x", "y")] == 1.0 and out[("x", "z")] == -1.0
+    assert out[("x", "c")] is None
