@@ -1033,9 +1033,10 @@ def q_ann_kmeans_centroids(spark, sf_dir):
     """Lloyd-refined IVF centroids (similarity.kmeans_refine, 2
     iterations, 16 cells) emitted long-form (centroid_id, pos, val).
     The oracle unrolls both Lloyd iterations as a CTE chain — assignment
-    argmax, per-dimension mean, 9dp rounding — so the whole iterative
-    training trajectory is hash-certified, like kg_entity_pagerank for
-    power iteration."""
+    argmax, per-dimension integer nano-unit mean (exact at any
+    parallelism / summation order) — so the whole iterative training
+    trajectory is hash-certified, like kg_entity_pagerank for power
+    iteration."""
     from nlp_cube_spark.operators.similarity import kmeans_refine
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1595,10 +1596,90 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # relational queries (green since round 1) trail.  Every entry is still
 # replayed locally against its DuckDB oracle in tests/test_entry_queries.py.
 _QUERIES = {
-        # --- round-6 window: 25 r6-new lead, then the 24 queries whose
-        # driver evidence is oldest (last checked r4), then 1 r5-checked
-        # trivial = exactly 50 — so no registered query's
-        # driver evidence ever ages more than two rounds ---
+        # --- round-7 window: the 15 queries that have NEVER been
+        # driver-checked lead (they retire the registry's only remaining
+        # evidence debt), then the 3 clustering queries whose Lloyd
+        # trajectory switched to integer nano-unit accumulation this
+        # round (code changed => driver evidence must be refreshed), then
+        # 32 rows last driver-checked in r5 = exactly 50 ---
+        "doc_containment_dedup": q_doc_containment_dedup,
+        "doc_similar_tfidf": q_doc_similar_tfidf,
+        "doc_readability": q_doc_readability,
+        "doc_ngram_novelty": q_doc_ngram_novelty,
+        "doc_length_histogram": q_doc_length_histogram,
+        "rrf_top_terms": q_rrf_top_terms,
+        "search_docs_bm25": q_search_docs_bm25,
+        "kg_entity_bfs": q_kg_entity_bfs,
+        "kg_entity_hits": q_kg_entity_hits,
+        "kg_entity_neighborhood": q_kg_entity_neighborhood,
+        "kg_degree_histogram": q_kg_degree_histogram,
+        "events_trailing_hour": q_events_trailing_hour,
+        "user_retention_cohorts": q_user_retention_cohorts,
+        "lineitem_profile": q_lineitem_profile,
+        "lineitem_correlations": q_lineitem_correlations,
+        # --- nano-unit Lloyd trajectory (changed r7) ---
+        "ann_kmeans_centroids": q_ann_kmeans_centroids,
+        "ann_pq_topk": q_ann_pq_topk,
+        "embedding_semdedup": q_embedding_semdedup,
+        # --- last driver-checked r5, rotated forward ---
+        "kg_triples": q_kg_triples,
+        "kg_words": q_kg_words,
+        "kg_words_learned": q_kg_words_learned,
+        "kg_heads_learned": q_kg_heads_learned,
+        "kg_head_distribution": q_kg_head_distribution,
+        "kg_deprel_distribution": q_kg_deprel_distribution,
+        "kg_upos_distribution": q_kg_upos_distribution,
+        "kg_tag_distribution": q_kg_tag_distribution,
+        "kg_predicate_counts": q_kg_predicate_counts,
+        "doc_perplexity": q_doc_perplexity,
+        "kg_entity_triangles": q_kg_entity_triangles,
+        "source_sampling_weights": q_source_sampling_weights,
+        "doc_decontaminate": q_doc_decontaminate,
+        "doc_scrub_pii": q_doc_scrub_pii,
+        "doc_repetition_stats": q_doc_repetition_stats,
+        "source_mix": q_source_mix,
+        "doc_length_quantiles_twopass": q_doc_length_quantiles_twopass,
+        "doc_wordgram_embeddings": q_doc_wordgram_embeddings,
+        "multimodal_decoded": q_multimodal_decoded,
+        "multimodal_transformed": q_multimodal_transformed,
+        "kg_linked_canonical": q_kg_linked_canonical,
+        "doc_hash_embeddings": q_doc_hash_embeddings,
+        "multimodal_features": q_multimodal_features,
+        "pack_shards": q_pack_shards,
+        "tokenizer_targets": q_tokenizer_targets,
+        "events_asof_prev_click": q_events_asof_prev_click,
+        "events_range_clicks": q_events_range_clicks,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "bm25_top_terms": q_bm25_top_terms,
+        "kg_entity_pagerank": q_kg_entity_pagerank,
+        "doc_length_quantiles": q_doc_length_quantiles,
+        "training_data_prep": q_training_data_prep,
+        # ---------- window boundary (first 50 above) ----------
+        # below: locally oracled on every pytest run. First the 16
+        # r5-checked rows deferred to r8 (registry 114 > 2x50, so a
+        # strict 50/round rotation leaves 14 rows per cycle at
+        # three-round-old evidence — these are the 14 trivial relational
+        # queries green since r1 plus the two static vocab dimensions,
+        # all byte-unchanged since they last passed), then the 50
+        # r6-checked rows (CORRECTNESS_r06, 100% green) minus the two
+        # promoted above.
+        "vocab_words": q_vocab_words,
+        "vocab_chars": q_vocab_chars,
+        "shipdate_pruned_agg": q_shipdate_pruned_agg,
+        "region_revenue": q_region_revenue,
+        "window_top3": q_window_top3,
+        "top_revenue_orders": q_top_revenue_orders,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "rollup_orders": q_rollup_orders,
+        "cube_order_counts": q_cube_order_counts,
+        "orders_topk": q_orders_topk,
+        "map_extract": q_map_extract,
+        "events_json_props": q_events_json_props,
+        "setops_brands": q_setops_brands,
+        "string_folding": q_string_folding,
+        "distinct_brand_type": q_distinct_brand_type,
+        # --- driver-green in r6 (CORRECTNESS_r06), rotates back in r8 ---
         "weighted_sample_docs": q_weighted_sample_docs,
         "user_funnel": q_user_funnel,
         "source_ngram_overlap": q_source_ngram_overlap,
@@ -1610,7 +1691,6 @@ _QUERIES = {
         "source_unimax_weights": q_source_unimax_weights,
         "doc_bigram_lm": q_doc_bigram_lm,
         "kg_entity_kcore": q_kg_entity_kcore,
-        "embedding_semdedup": q_embedding_semdedup,
         "lr_quality_weights": q_lr_quality_weights,
         "doc_lr_scores": q_doc_lr_scores,
         "dsir_log_weights": q_dsir_log_weights,
@@ -1620,11 +1700,9 @@ _QUERIES = {
         "bpe_token_counts": q_bpe_token_counts,
         "doc_length_quantiles_approx": q_doc_length_quantiles_approx,
         "kg_lemmas_transducer": q_kg_lemmas_transducer,
-        "ann_pq_topk": q_ann_pq_topk,
         "kg_entity_communities": q_kg_entity_communities,
         "doc_paragraph_dedup": q_doc_paragraph_dedup,
         "training_corpus_curation": q_training_corpus_curation,
-        # --- aged tail (last driver-checked r4), rotated forward ---
         "near_dup_clusters": q_near_dup_clusters,
         "exact_dups": q_exact_dups,
         "minhash_band_pairs": q_minhash_band_pairs,
@@ -1649,77 +1727,7 @@ _QUERIES = {
         "events_tumbling_window": q_events_tumbling_window,
         "events_sliding_window": q_events_sliding_window,
         "events_hourly": q_events_hourly,
-        # --- relational trivials (green r5) ---
         "pricing_summary": q_pricing_summary,
-        # ---------- window boundary (first 50 above) ----------
-        # below: locally oracled on every pytest run; driver evidence
-        # from r5 or earlier, rotates forward in r7 (newest lead)
-        "doc_ngram_novelty": q_doc_ngram_novelty,
-        "doc_length_histogram": q_doc_length_histogram,
-        "kg_entity_neighborhood": q_kg_entity_neighborhood,
-        "kg_entity_bfs": q_kg_entity_bfs,
-        "search_docs_bm25": q_search_docs_bm25,
-        "doc_readability": q_doc_readability,
-        "rrf_top_terms": q_rrf_top_terms,
-        "user_retention_cohorts": q_user_retention_cohorts,
-        "events_trailing_hour": q_events_trailing_hour,
-        "doc_similar_tfidf": q_doc_similar_tfidf,
-        "doc_containment_dedup": q_doc_containment_dedup,
-        "kg_degree_histogram": q_kg_degree_histogram,
-        "lineitem_profile": q_lineitem_profile,
-        "lineitem_correlations": q_lineitem_correlations,
-        "kg_entity_hits": q_kg_entity_hits,
-        "shipdate_pruned_agg": q_shipdate_pruned_agg,
-        "region_revenue": q_region_revenue,
-        "window_top3": q_window_top3,
-        "top_revenue_orders": q_top_revenue_orders,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
-        "rollup_orders": q_rollup_orders,
-        "cube_order_counts": q_cube_order_counts,
-        "orders_topk": q_orders_topk,
-        "map_extract": q_map_extract,
-        "events_json_props": q_events_json_props,
-        "setops_brands": q_setops_brands,
-        # everything below was driver-green in r5 (CORRECTNESS_r05) and
-        # stays locally oracled on every pytest run; rotates back in r7
-        "string_folding": q_string_folding,
-        "distinct_brand_type": q_distinct_brand_type,
-        "kg_triples": q_kg_triples,
-        "kg_words": q_kg_words,
-        "kg_words_learned": q_kg_words_learned,
-        "kg_heads_learned": q_kg_heads_learned,
-        "kg_head_distribution": q_kg_head_distribution,
-        "kg_deprel_distribution": q_kg_deprel_distribution,
-        "kg_upos_distribution": q_kg_upos_distribution,
-        "kg_tag_distribution": q_kg_tag_distribution,
-        "kg_predicate_counts": q_kg_predicate_counts,
-        "doc_perplexity": q_doc_perplexity,
-        "ann_kmeans_centroids": q_ann_kmeans_centroids,
-        "kg_entity_triangles": q_kg_entity_triangles,
-        "source_sampling_weights": q_source_sampling_weights,
-        "doc_decontaminate": q_doc_decontaminate,
-        "doc_scrub_pii": q_doc_scrub_pii,
-        "doc_repetition_stats": q_doc_repetition_stats,
-        "source_mix": q_source_mix,
-        "doc_length_quantiles_twopass": q_doc_length_quantiles_twopass,
-        "doc_wordgram_embeddings": q_doc_wordgram_embeddings,
-        "multimodal_decoded": q_multimodal_decoded,
-        "multimodal_transformed": q_multimodal_transformed,
-        "kg_linked_canonical": q_kg_linked_canonical,
-        "doc_hash_embeddings": q_doc_hash_embeddings,
-        "vocab_words": q_vocab_words,
-        "vocab_chars": q_vocab_chars,
-        "multimodal_features": q_multimodal_features,
-        "pack_shards": q_pack_shards,
-        "tokenizer_targets": q_tokenizer_targets,
-        "events_asof_prev_click": q_events_asof_prev_click,
-        "events_range_clicks": q_events_range_clicks,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "bm25_top_terms": q_bm25_top_terms,
-        "kg_entity_pagerank": q_kg_entity_pagerank,
-        "doc_length_quantiles": q_doc_length_quantiles,
-        "training_data_prep": q_training_data_prep,
     }
 
 
@@ -2055,13 +2063,15 @@ def _lr_scores_duck(iters: int, m: int, lr: float) -> str:
       FROM documents d LEFT JOIN sm USING (doc_id) CROSS JOIN b{iters}"""
 
 
-def _kmeans_ctes(iters: int = 2, n_c: int = 16, dp: int = 9, src: str = "embeddings") -> str:
+def _kmeans_ctes(iters: int = 2, n_c: int = 16, src: str = "embeddings") -> str:
     """Unrolled Lloyd CTE chain mirroring similarity.kmeans_refine:
     hash-seeded centroids, cosine-argmax assignment, per-dimension mean
-    rounded to dp before the next iteration. Returns the chain WITHOUT
-    the leading WITH (ends at c{iters}) so callers can prepend
-    WITH / WITH RECURSIVE and append their own consumers (_kmeans_duck,
-    _semdedup_duck)."""
+    accumulated as integer NANO-UNITS (exact, summation-order- and
+    engine-independent — see similarity._nano_mean; CAST to BIGINT
+    first because DuckDB sum(BIGINT) widens to HUGEINT while Spark
+    stays BIGINT). Returns the chain WITHOUT the leading WITH (ends at
+    c{iters}) so callers can prepend WITH / WITH RECURSIVE and append
+    their own consumers (_kmeans_duck, _semdedup_duck)."""
     sql = f"""
       c0 AS MATERIALIZED (
         SELECT row_number() OVER (ORDER BY _h) AS centroid_id,
@@ -2084,7 +2094,13 @@ def _kmeans_ctes(iters: int = 2, n_c: int = 16, dp: int = 9, src: str = "embeddi
         ) WHERE rn = 1
       ),
       m{i} AS (
-        SELECT centroid_id, pos, round(avg(CAST(val AS DOUBLE)), {dp}) AS m
+        -- integer nano-unit mean (similarity._nano_mean replay): the sum
+        -- is exact integer arithmetic so any summation order / engine
+        -- gives the same bits; one IEEE division back to double.
+        -- CAST(sum(..) AS BIGINT) because DuckDB widens to HUGEINT.
+        SELECT centroid_id, pos,
+               CAST(CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE)
+               / (CAST(count(*) AS DOUBLE) * 1e9) AS m
         FROM (SELECT centroid_id, unnest(embedding) AS val,
                      generate_subscripts(embedding, 1) AS pos
               FROM a{i})
@@ -2099,10 +2115,10 @@ def _kmeans_ctes(iters: int = 2, n_c: int = 16, dp: int = 9, src: str = "embeddi
     return sql
 
 
-def _kmeans_duck(iters: int = 2, n_c: int = 16, dp: int = 9) -> str:
+def _kmeans_duck(iters: int = 2, n_c: int = 16) -> str:
     """Final centroid table of the unrolled Lloyd chain, one row per
     (centroid, dimension)."""
-    return "WITH " + _kmeans_ctes(iters, n_c, dp) + f"""
+    return "WITH " + _kmeans_ctes(iters, n_c) + f"""
       SELECT centroid_id,
              CAST(generate_subscripts(c_emb, 1) - 1 AS INT) AS pos,
              unnest(c_emb) AS val
@@ -2497,7 +2513,7 @@ _L2_DUCK = """
 def _pq_duck(m: int = 4, d: int = 16, ksub: int = 8, k: int = 5, dp: int = 9) -> str:
     """Unrolled product-quantization replay (one Lloyd iteration):
     hash-seeded per-subspace codebooks -> argmin-L2 assignment ->
-    9dp-rounded recenter -> encode -> ADC distance table -> summed
+    exact nano-unit recenter -> encode -> ADC distance table -> summed
     approximate distances -> top-k. Mirrors similarity.pq_topk's exact
     arithmetic (subvector slices, tie-breaks, rounding points)."""
     dist_c0 = _L2_DUCK.format(a="c.c_emb", b="s.sub_emb")
@@ -2532,7 +2548,11 @@ def _pq_duck(m: int = 4, d: int = 16, ksub: int = 8, k: int = 5, dp: int = 9) ->
         ) WHERE rn = 1
       ),
       m0 AS (
-        SELECT sub_id, centroid_id, pos, round(avg(val), {dp}) AS mval
+        -- integer nano-unit mean (similarity._nano_mean replay; see
+        -- _kmeans_ctes for the exactness argument)
+        SELECT sub_id, centroid_id, pos,
+               CAST(CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE)
+               / (CAST(count(*) AS DOUBLE) * 1e9) AS mval
         FROM (SELECT a.sub_id, a.centroid_id, unnest(s.sub_emb) AS val,
                      generate_subscripts(s.sub_emb, 1) AS pos
               FROM a0 a JOIN subs s USING (vec_id, sub_id))

@@ -81,13 +81,35 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
     ).select(id_col, vec_col, "centroid_id")
 
 
+# One embedding component quantized to integer nano-units: floor(x*1e9+0.5)
+# is round-half-up built from ONLY exact-IEEE double ops (multiply, add,
+# floor), so Spark and DuckDB produce the same integer bit-for-bit — the
+# engine-portable rounding form from the weighted-sum lesson (CLAUDE.md).
+NANO_EXPR = "cast(floor(cast({v} as double) * 1e9 + 0.5d) as bigint)"
+
+
+def _nano_mean(val_col: str) -> F.Column:
+    """Order-independent exact cell mean: SUM of per-element nano-unit
+    BIGINTs (exact integer arithmetic — any summation order, any
+    partitioning, any engine gives the same bits) divided back to double
+    by one deterministic IEEE division. This is the integer-trajectory
+    discipline proven on the LR/DSIR trainers (classifier.py, curate.py),
+    closing the r5/r6 flake surface where round(avg(double)) could
+    straddle a rounding boundary at an unlucky parallelism.
+
+    Overflow bound: |component| <= 9.2 at 1e9 rows per cell (ANSI sum
+    THROWS rather than wraps past 2^63) — at larger cells pre-aggregate
+    per shard or drop to 1e6 units."""
+    s = F.sum(F.expr(NANO_EXPR.format(v=val_col)))
+    return s.cast("double") / (F.count(F.lit(1)).cast("double") * F.lit(1e9))
+
+
 def kmeans_refine(
     vectors: DataFrame,
     n_centroids: int = 16,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    round_dp: int = 9,
 ) -> DataFrame:
     """Lloyd's k-means refinement of the deterministic seed centroids —
     the training half of the IVF index (seed -> assign -> recenter,
@@ -97,19 +119,12 @@ def kmeans_refine(
     element-wise mean per cell via posexplode + one (cell, dim) hash agg
     -> re-assembled with array_sort(collect_list(struct(pos, m))). The
     corpus is scanned once per iteration and never shuffled wider than
-    (n_centroids x dim) rows. Means are rounded to `round_dp` BEFORE the
-    next assignment so the whole trajectory is bit-identical across
-    engines and summation orders (the same determinism discipline as
-    the rank rounding in term_scores); empty cells keep their previous
+    (n_centroids x dim) rows. Cell means accumulate as integer
+    nano-units (_nano_mean) so the whole training trajectory is
+    bit-identical across engines, partitionings and summation orders —
+    no rounding anywhere in the loop; empty cells keep their previous
     centroid (the standard Lloyd degenerate-cell rule). localCheckpoint
-    bounds the plan per iteration like pagerank.
-
-    Known flake surface (r5 ADVICE, accepted): rounding AFTER a
-    non-deterministically-ordered float sum does not strictly guarantee
-    cross-engine identity when the unrounded mean straddles a rounding
-    boundary. Never observed at fixture scale; if the ann_kmeans /
-    ann_pq hash oracles ever flake, the exact fix is a fixed-order sum
-    (collect_list sorted by vec_id + aggregate)."""
+    bounds the plan per iteration like pagerank."""
     cents = (
         deterministic_centroids(vectors, n_centroids, id_col, vec_col)
         .select("centroid_id", F.col("c_emb").cast("array<double>").alias("c_emb"))
@@ -120,7 +135,7 @@ def kmeans_refine(
         means = (
             assigned.select("centroid_id", F.posexplode(vec_col).alias("pos", "val"))
             .groupBy("centroid_id", "pos")
-            .agg(F.round(F.avg(F.col("val").cast("double")), round_dp).alias("m"))
+            .agg(_nano_mean("val").alias("m"))
         )
         new = means.groupBy("centroid_id").agg(
             F.expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)").alias(
@@ -158,7 +173,7 @@ def _subvectors(m: int, vec_col: str) -> F.Column:
 
 def pq_codebooks(
     vectors: DataFrame, m: int = 4, ksub: int = 8, iters: int = 1,
-    id_col: str = "vec_id", vec_col: str = "embedding", round_dp: int = 9,
+    id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """Product-quantization codebooks (Jégou et al. 2011, public
     knowledge): split every vector into m contiguous subvectors, train an
@@ -171,9 +186,10 @@ def pq_codebooks(
     sort over the corpus), and the recenter agg is (m x ksub x subdim)
     rows. Seeds are the ksub hash-smallest vectors' subvectors (the
     deterministic_centroids discipline — same seed ids serve every
-    subspace). Means round to `round_dp` before the next assignment so
-    the training trajectory is engine-portable, and empty cells keep
-    their previous centroid (kmeans_refine's degenerate-cell rule)."""
+    subspace). Means accumulate as integer nano-units (_nano_mean) so
+    the training trajectory is engine- and partitioning-portable with
+    no rounding in the loop, and empty cells keep their previous
+    centroid (kmeans_refine's degenerate-cell rule)."""
     seed_rows = _seed_rows(vectors, ksub, id_col, vec_col)
     cents = (
         seed_rows.select("centroid_id", F.explode(_subvectors(m, vec_col)).alias("s"))
@@ -196,7 +212,7 @@ def pq_codebooks(
         means = (
             assigned.select("sub_id", "centroid_id", F.posexplode("sub_emb").alias("pos", "val"))
             .groupBy("sub_id", "centroid_id", "pos")
-            .agg(F.round(F.avg("val"), round_dp).alias("mval"))
+            .agg(_nano_mean("val").alias("mval"))
         )
         new = means.groupBy("sub_id", "centroid_id").agg(
             F.expr("transform(array_sort(collect_list(struct(pos, mval))), x -> x.mval)").alias(
@@ -251,8 +267,9 @@ def pq_topk(
     (m*ksub*queries rows); the scoring stage is a hash agg over
     (codes x queries) rows carrying one double each. Distance-table
     entries round to 9dp and the final sum to 6dp before ranking (ties
-    break on vec_id) — same cross-engine determinism discipline as
-    kmeans_refine, with the same documented straddle caveat.
+    break on vec_id); the codebooks themselves come from the exact
+    nano-unit Lloyd trajectory (_nano_mean), so every rounded value is
+    a deterministic function of the input — no summation-order flake.
 
     Operationally the index trains ONCE and serves many query batches:
     pass `codebooks` (from pq_codebooks, e.g. read back from parquet)

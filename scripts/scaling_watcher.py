@@ -23,7 +23,9 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-LOG = os.path.join(REPO, "BENCH", "r6", "watcher.log")
+LOG = os.environ.get(
+    "SPARK_GRAFT_WATCHER_LOG", os.path.join(REPO, "BENCH", "r7", "watcher.log")
+)
 
 
 def log(msg: str) -> None:

@@ -493,3 +493,43 @@ def test_containment_catches_subset_duplicate(spark):
     j = D.jaccard_verify_pairs(pairs, docs, threshold=0.0).collect()
     jmap = {(r.doc_a, r.doc_b): r.jaccard for r in j}
     assert jmap[(1, 2)] < 0.5
+
+
+def test_clustering_trajectory_partitioning_invariant(spark):
+    """The r6-verdict flake surface, closed: kmeans_refine /
+    pq_codebooks / semdedup accumulate Lloyd cell means as integer
+    nano-units (similarity._nano_mean), making the training trajectory
+    summation-order independent.  Certify by running each over the SAME
+    corpus at three adversarial partitionings (1 / 3 / 17 partitions —
+    different partial-agg groupings and merge orders) and asserting
+    BIT-identical results, the same sweep discipline the LR/DSIR
+    nano-unit trainers established."""
+    from nlp_cube_spark.operators.similarity import (
+        kmeans_refine,
+        pq_codebooks,
+        semdedup,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def runs(fn):
+        outs = []
+        for n in (1, 3, 17):
+            outs.append(fn(base.repartition(n)))
+        first = outs[0]
+        for other in outs[1:]:
+            assert other == first, "trajectory depends on partitioning"
+        assert first  # non-empty result, the sweep actually saw data
+
+    runs(lambda e: {
+        (r.centroid_id, tuple(r.c_emb))
+        for r in kmeans_refine(e, n_centroids=8, iters=2).collect()
+    })
+    runs(lambda e: {
+        (r.sub_id, r.centroid_id, tuple(r.c_emb))
+        for r in pq_codebooks(e, m=4, ksub=8, iters=1).collect()
+    })
+    runs(lambda e: {
+        (r.vec_id, r.centroid_id, r.centroid_sim, r.component, r.keep)
+        for r in semdedup(e, n_clusters=8, iters=2, eps=0.9).collect()
+    })
