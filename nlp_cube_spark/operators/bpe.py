@@ -47,13 +47,20 @@ from pyspark.sql import DataFrame, Window, functions as F
 # Overlap-safe single-merge application: pad, double every space so
 # consecutive pair occurrences stop sharing boundary spaces, replace the
 # doubled-form pair ' l  r ' with ' lr ', collapse runs, trim.  Greedy
-# left-to-right, matching subword-nmt's re-based merge.
-_MERGE_APPLY = (
-    "trim(regexp_replace("
-    "replace(replace(concat(' ', {sym}, ' '), ' ', '  '), "
-    "concat(' ', {l}, '  ', {r}, ' '), concat(' ', {l}, {r}, ' ')), "
-    "' +', ' '))"
-)
+# left-to-right, matching subword-nmt's re-based merge.  Built from
+# Column expressions (never interpolated SQL literals) so merge symbols
+# containing quotes or backslashes — both reachable from a real web
+# corpus — can never produce an invalid or semantically wrong literal.
+def _merge_apply(sym: F.Column, l: F.Column, r: F.Column) -> F.Column:
+    doubled = F.replace(
+        F.concat(F.lit(" "), sym, F.lit(" ")), F.lit(" "), F.lit("  ")
+    )
+    merged = F.replace(
+        doubled,
+        F.concat(F.lit(" "), l, F.lit("  "), r, F.lit(" ")),
+        F.concat(F.lit(" "), l, r, F.lit(" ")),
+    )
+    return F.trim(F.regexp_replace(merged, " +", " "))
 
 
 def word_freqs(
@@ -129,7 +136,7 @@ def train_bpe(
                 "word",
                 "freq",
                 F.when(F.col("l").isNull(), F.col("sym"))
-                .otherwise(F.expr(_MERGE_APPLY.format(sym="sym", l="l", r="r")))
+                .otherwise(_merge_apply(F.col("sym"), F.col("l"), F.col("r")))
                 .alias("sym"),
             )
             .localCheckpoint(eager=False)
@@ -144,12 +151,13 @@ def segment_words(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
     """Apply a collected merge table (the model — bounded by n_merges) to
     a (word, ...) frame, adding `sym` (subword string) and `n_subwords`.
     Nested static replaces: codegen'd, three string ops per merge per
-    DISTINCT word."""
-    sym = "concat_ws(' ', split(word, ''))"
+    DISTINCT word.  Merge symbols enter as F.lit Columns, never as
+    interpolated SQL text, so quotes/backslashes in corpus tokens are
+    inert data."""
+    sym = F.concat_ws(" ", F.split(F.col("word"), ""))
     for l, r in merges:
-        lq, rq = l.replace("'", "\\'"), r.replace("'", "\\'")
-        sym = _MERGE_APPLY.format(sym=sym, l=f"'{lq}'", r=f"'{rq}'")
-    return words.withColumn("sym", F.expr(sym)).withColumn(
+        sym = _merge_apply(sym, F.lit(l), F.lit(r))
+    return words.withColumn("sym", sym).withColumn(
         "n_subwords", F.size(F.split("sym", " "))
     )
 

@@ -158,7 +158,10 @@ def train_quality_lr(
         bias = (
             bias.crossJoin(F.broadcast(bgrad))
             .crossJoin(F.broadcast(n_docs))
-            .select((F.col("_bn") - step).alias("_bn"))
+            # same coalesce the weight step has: on a degenerate corpus
+            # (no scoreable docs) the sum aggregates to NULL and the bias
+            # must stay put, not silently go NULL (r6 ADVICE)
+            .select((F.col("_bn") - F.coalesce(step, F.lit(0))).alias("_bn"))
             .localCheckpoint(eager=False)
         )
 

@@ -163,19 +163,22 @@ def dsir_weights(
     t_lm = lm(
         feats(target, target_text_col).groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
     )
-    r_lm = lm(
-        feats(docs, text_col, id_col)
-        .groupBy("_b")
-        .agg(F.count(F.lit(1)).alias("_c"))
-    )
-    # absent buckets still carry the smoothed floor k/(N + k*m); attach
-    # each LM's N so the floor is computable after the LEFT join
-    t_n = t_lm.agg(F.max("_N").alias("_tN"))
+    # ONE pass over the corpus: the (id, bucket) counts feed BOTH the
+    # raw-corpus LM (sum of _dc per bucket == the feature count per
+    # bucket) and the per-doc scoring join — checkpointed because two
+    # consumers would otherwise re-run the explode + md5 hashing per
+    # reference (CLAUDE.md shared-subtree rule; r6 ADVICE caught the
+    # double scan)
     doc_b = (
         feats(docs, text_col, id_col)
         .groupBy(id_col, "_b")
         .agg(F.count(F.lit(1)).alias("_dc"))
+        .localCheckpoint(eager=False)
     )
+    r_lm = lm(doc_b.groupBy("_b").agg(F.sum("_dc").alias("_c")))
+    # absent buckets still carry the smoothed floor k/(N + k*m); attach
+    # each LM's N so the floor is computable after the LEFT join
+    t_n = t_lm.agg(F.max("_N").alias("_tN"))
     lp_t = F.coalesce(
         F.col("_lp"),
         F.log(F.lit(k) / (F.col("_tN") + F.lit(k) * F.lit(float(n_buckets)))),

@@ -89,6 +89,11 @@ def exact_substring_spans(
         # hash + drop the gram string BEFORE any shuffle
         .select("_id", "pos", F.expr(_h60("gram")).alias("gh"))
     )
+    if checkpoint:
+        # anchors feeds BOTH the keep agg and the shared join — without
+        # this the gram regex + md5 hashing run twice over the corpus
+        # (r6 ADVICE; same shared-subtree rule as `shared` below)
+        anchors = anchors.localCheckpoint(eager=False)
     keep = (
         anchors.groupBy("gh")
         .agg(F.countDistinct("_id").alias("nd"))

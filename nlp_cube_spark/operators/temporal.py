@@ -300,14 +300,21 @@ def trailing_window_stats(
     included). Complements the bucketed sliding windows in
     events_sliding_window with the exact per-row form.
 
-    The frame key is whole epoch seconds via millis-div-1000 (floor) —
-    Spark's timestamp->long cast truncates while DuckDB's double cast
-    ROUNDS, so the div keeps both engines on the same integer key.
-    Sum rounded 6dp (frame-order float sum, the accepted class).
+    The frame key is whole epoch seconds via floor(millis / 1000.0) —
+    FLOOR division, matching the DuckDB oracle's `epoch_ms // 1000`
+    even for pre-1970 timestamps (Spark's integer `div` truncates
+    toward zero and would shift negative-millis rows onto the wrong
+    second; r6 ADVICE).  The double quotient is safe: |millis| < 4.5e12
+    keeps the rounding error < 2.5e-4, an order under the 1e-3 gap to
+    the nearest floor boundary, and exact multiples of 1000 divide
+    exactly.  Sum rounded 6dp (frame-order float sum, the accepted
+    class).
 
     Plan: ONE user-keyed exchange + per-partition sort; the running
     frame is streamed, never buffered per user beyond the window."""
-    epoch = F.expr(f"unix_millis(cast({ts_col} as timestamp)) div 1000")
+    epoch = F.expr(
+        f"cast(floor(unix_millis(cast({ts_col} as timestamp)) / 1000.0d) as bigint)"
+    )
     w = (
         Window.partitionBy(user_col)
         .orderBy(epoch.alias("__ep"))

@@ -846,8 +846,11 @@ def similar_docs(
     the sparse vectors — pair volume is sum over terms of df(t)^2, and
     `max_df` is the knob that drops stop-like terms (df > cap) before
     the join, the standard sparse-similarity pruning; their tfidf mass
-    is near zero anyway. Norms are doc-dimension; dot products reduce
-    map-side on (a, b)."""
+    is near zero anyway. The filter applies BEFORE the norms too, so
+    cos_sim is the TRUE cosine of the pruned vectors (numerator and
+    denominator over the same term set — r6 ADVICE caught the
+    full-norm denominator deflating similarities when max_df was set).
+    Norms are doc-dimension; dot products reduce map-side on (a, b)."""
     base = _term_stats_base(docs, id_col, text_col)
     vec = base.select(
         F.col(id_col),
@@ -856,12 +859,13 @@ def similar_docs(
         (F.col("tf") * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1)).alias(
             "w"
         ),
-    ).localCheckpoint(eager=False)  # feeds norms AND both join sides
-    norms = vec.groupBy(id_col).agg(
-        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("_nrm")
     )
     if max_df is not None:
         vec = vec.where(F.col("df") <= max_df)
+    vec = vec.localCheckpoint(eager=False)  # feeds norms AND both join sides
+    norms = vec.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("_nrm")
+    )
     a = vec.select(F.col(id_col).alias("_ida"), "term", F.col("w").alias("_wa"))
     b = vec.select(F.col(id_col).alias("_idb"), "term", F.col("w").alias("_wb"))
     dots = (

@@ -100,3 +100,22 @@ def test_token_counts(spark):
         exp = (len(words), sum(len(ref_s[w].split(" ")) for w in words))
         assert tc[r.doc_id] == exp, r.doc_id
     assert tc[4] == (0, 0)  # empty doc present with zeros
+
+
+def test_segment_words_hostile_symbols(spark):
+    """Merge symbols are data, not SQL: quotes and backslashes from a
+    real web corpus (C:\\path, don't, 5'9") must segment correctly.
+    The merge application is built from Column expressions (r6 ADVICE
+    closed the f-string-literal injection surface)."""
+    words = spark.createDataFrame(
+        [("C:\\bin",), ("don't",), ('say"hi',), ("\\\\'x",)], "word string"
+    )
+    merges = [("C", ":"), ("C:", "\\"), ("'", "t"), ('"', "h"), ("\\", "\\")]
+    rows = {r.word: r for r in segment_words(words, merges).collect()}
+    # lossless round-trip for every word, no exception, no dropped chars
+    for w, r in rows.items():
+        assert r.sym.replace(" ", "") == w, (w, r.sym)
+    # the merges actually applied: 'C', ':' then 'C:', '\' fused
+    assert rows["C:\\bin"].sym.startswith("C:\\ "), rows["C:\\bin"].sym
+    assert "' t" not in rows["don't"].sym  # ("'","t") merge applied
+    assert rows["\\\\'x"].sym.split(" ")[0] == "\\\\"  # ("\\","\\") applied
