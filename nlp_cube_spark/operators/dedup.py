@@ -433,6 +433,7 @@ def winnow_fingerprints(
     text_col: str = "text",
     k: int = 8,
     w: int = 4,
+    hash_impl: str = "md5",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     SIGMOD 2003 — the MOSS local fingerprinting algorithm; public
@@ -459,13 +460,25 @@ def winnow_fingerprints(
     winnowing is positional (cf. the ngrams_sql note: the regex trick
     cannot carry positions). Everything else is narrow; downstream
     matching joins on fp (see winnow_match_pairs). Cost note (measured
-    sf0.1: 20s for 10M grams): the per-gram md5 is the dominant term —
-    it exists for DuckDB-oracle portability; on a production run where
-    cross-engine replay is not needed, substitute Spark's built-in
-    xxhash64 for an order-of-magnitude cheaper gram hash with an
-    identical plan."""
+    sf0.1: 20s for 10M grams): the per-gram hash is the dominant term.
+    `hash_impl` picks it: 'md5' (default) exists for DuckDB-oracle
+    portability; 'xxhash64' is Spark's codegen'd 64-bit hash, an order
+    of magnitude cheaper per gram with an identical plan — the
+    production setting whenever cross-engine replay is not needed.
+    Winnowing's guarantee (any shared substring of >= k + w - 1 chars
+    yields a shared fingerprint) holds under ANY gram hash, so
+    downstream match semantics are preserved; only the incidental
+    fingerprint values differ."""
     if k < 1 or w < 1:
         raise ValueError("winnow_fingerprints: k and w must be >= 1")
+    if hash_impl == "md5":
+        gram_hash = "cast(conv(substr(md5(gram), 1, 10), 16, 10) as bigint)"
+    elif hash_impl == "xxhash64":
+        # mask to the same 40-bit field md5 uses so the (hash, pos)
+        # bigint packing below is impl-independent
+        gram_hash = f"xxhash64(gram) & {(1 << 40) - 1}"
+    else:
+        raise ValueError(f"winnow_fingerprints: unknown hash_impl {hash_impl!r}")
     norm = f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"
     grams = docs.select(
         F.col(id_col),
@@ -492,10 +505,7 @@ def winnow_fingerprints(
             ).cast("bigint"),
         )
         .otherwise(
-            F.expr("cast(conv(substr(md5(gram), 1, 10), 16, 10) as bigint)")
-            * F.lit(1 << 22)
-            + F.col("_p0")
-            + 1
+            F.expr(gram_hash) * F.lit(1 << 22) + F.col("_p0") + 1
         )
         .alias("_key"),
     )
@@ -525,6 +535,7 @@ def winnow_match_pairs(
     w: int = 4,
     min_shared: int = 2,
     max_bucket: int | None = 64,
+    hash_impl: str = "md5",
 ) -> DataFrame:
     """Document pairs sharing >= min_shared winnowing fingerprints —
     the overlap-detection join over winnow_fingerprints. Same blocked
@@ -532,8 +543,10 @@ def winnow_match_pairs(
     all-pairs), with ubiquitous fingerprints (boilerplate k-grams hot
     enough to exceed `max_bucket` docs) dropped before the join — the
     lsh_candidate_pairs cap discipline; coverage loss is boilerplate
-    only, and the cap is the knob to turn at 100 TB."""
-    fps = winnow_fingerprints(docs, id_col, text_col, k, w).select(
+    only, and the cap is the knob to turn at 100 TB.  `hash_impl`
+    passes through to winnow_fingerprints ('xxhash64' for production,
+    'md5' for oracle replay)."""
+    fps = winnow_fingerprints(docs, id_col, text_col, k, w, hash_impl).select(
         id_col, "fp"
     ).dropDuplicates()
     if max_bucket is not None:

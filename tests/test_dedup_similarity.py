@@ -533,3 +533,33 @@ def test_clustering_trajectory_partitioning_invariant(spark):
         (r.vec_id, r.centroid_id, r.centroid_sim, r.component, r.keep)
         for r in semdedup(e, n_clusters=8, iters=2, eps=0.9).collect()
     })
+
+
+def test_winnow_hash_impl_guarantee_parity(spark):
+    """winnow's guarantee — any shared substring of >= k + w - 1 chars
+    yields a shared fingerprint — holds under EITHER gram hash, so the
+    planted duplicate pair must surface on both the md5 (oracle) and
+    xxhash64 (production) paths; fingerprint VALUES legitimately differ
+    (different hash => different window minima)."""
+    shared = "the winnowing guarantee holds for any gram hash function"
+    docs = spark.createDataFrame(
+        [
+            (1, "intro text " + shared + " trailing a"),
+            (2, "other prefix " + shared + " closing b"),
+            (3, "completely different content with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    for impl in ("md5", "xxhash64"):
+        pairs = {
+            (r.doc_a, r.doc_b)
+            for r in D.winnow_match_pairs(docs, hash_impl=impl).collect()
+        }
+        assert (1, 2) in pairs and (1, 3) not in pairs, impl
+        fps = D.winnow_fingerprints(docs, hash_impl=impl)
+        # 40-bit field: packing invariant holds for both impls
+        assert fps.where("fp < 0 or fp >= pow(2, 40)").count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        D.winnow_fingerprints(docs, hash_impl="sha1")
