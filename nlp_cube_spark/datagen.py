@@ -157,3 +157,37 @@ def aliases_df(spark, seed: int = 42):
         ]
     )
     return spark.createDataFrame([(r["alias"], r["entity_id"], r["prior"]) for r in gen_aliases(seed)], schema)
+
+
+def zipf_edges(
+    spark,
+    n_edges: int = 1_000_000,
+    n_nodes: int = 100_000,
+    n_hubs: int = 10,
+    hub_every: int = 10,
+):
+    """Deterministic skewed edge set for graph-operator stress tests
+    (r6 verdict item 7): every `hub_every`-th edge's src cycles through
+    `n_hubs` hub nodes (so each hub gets exactly
+    n_edges / hub_every / n_hubs edges — max degree ~10k at the 1M/10/10
+    defaults, ~1000x the background median), the rest land uniformly.
+    Uniforms are md5-hash-derived from the edge id (the repo's no-RNG
+    discipline — 13 hex chars = 52 bits, an exact double), so the graph
+    is reproducible on any engine and any partitioning.  Self-loops are
+    dropped; multi-edges stay (operators dedup internally).
+
+    Returns (src bigint, dst bigint).  Scale shape: one spark.range
+    projection — no shuffle, no driver-side data.
+    """
+    u = "(conv(substr(md5(concat('{salt}:', id)), 1, 13), 16, 10) / {den})".format
+    den = float(1 << 52)
+    src = (
+        f"case when id % {hub_every} = 0 then (id div {hub_every}) % {n_hubs} "
+        f"else {n_hubs} + cast(floor({u(salt='s', den=den)} * {n_nodes - n_hubs}) as bigint) end"
+    )
+    dst = f"cast(floor({u(salt='d', den=den)} * {n_nodes}) as bigint)"
+    return (
+        spark.range(n_edges)
+        .selectExpr(f"{src} as src", f"{dst} as dst")
+        .where("src <> dst")
+    )
