@@ -191,3 +191,62 @@ def zipf_edges(
         .selectExpr(f"{src} as src", f"{dst} as dst")
         .where("src <> dst")
     )
+
+
+# ------------------------------------------------- open-vocabulary corpus
+
+_OV_ONSETS = ["br", "cl", "dr", "fl", "gr", "pl", "pr", "sk", "sl", "sp",
+              "st", "tr", "ch", "sh", "th", "v", "m", "n", "r", "z"]
+_OV_NUCLEI = ["a", "e", "i", "o", "u", "ai", "ea", "oo", "ou"]
+_OV_CODAS = ["b", "ck", "d", "g", "l", "m", "n", "p", "r", "s",
+             "t", "x", "nd", "nt", "st"]
+_OV_DETS = ["the", "a", "every", "some", "this", "that"]
+_OV_PREPS = ["over", "under", "across", "near", "through", "between"]
+_OV_CONTR = ["don't", "can't", "it's", "they're", "we've", "isn't"]
+
+
+def _ov_stem(rng: random.Random) -> str:
+    return (
+        rng.choice(_OV_ONSETS) + rng.choice(_OV_NUCLEI) + rng.choice(_OV_CODAS)
+    )
+
+
+def _ov_sentence(rng: random.Random) -> str:
+    """One pseudo-English sentence over an effectively unbounded lexicon
+    (2700 stems x inflections), with function words, occasional
+    contractions (MWT pressure), numbers and varied terminators — NOT the
+    31-token salad grammar and NOT the gen_pages fixture grammar."""
+    noun = lambda: _ov_stem(rng) + rng.choice(["", "s", "er", "ers"])
+    verb = lambda: _ov_stem(rng) + rng.choice(["s", "ed", "ing"])
+    adj = lambda: _ov_stem(rng) + rng.choice(["y", "ous", "al", "ish"])
+    adv = lambda: adj() + "ly"
+    parts = [rng.choice(_OV_DETS).capitalize(), adj(), noun(), verb()]
+    if rng.random() < 0.3:
+        parts.append(rng.choice(_OV_CONTR))
+    parts += [rng.choice(_OV_DETS), noun()]
+    if rng.random() < 0.5:
+        parts += [rng.choice(_OV_PREPS), "the", adj(), noun()]
+    if rng.random() < 0.25:
+        parts += ["and", str(rng.randint(2, 9999)), noun()]
+    if rng.random() < 0.2:
+        parts += [",", "while", noun(), verb(), adv()]
+    sent = " ".join(parts).replace(" ,", ",") + rng.choice([".", ".", ".", "!", "?"])
+    return sent
+
+
+def open_pages(
+    n_docs: int, seed: int = 4242, sents_per_doc: tuple[int, int] = (8, 16)
+) -> list[dict]:
+    """Open-vocabulary corpus for entry-point-B evaluation at scale
+    (r6 verdict item 6): (url, text, lang) rows whose content words the
+    micro-model trainers have never seen.  ~12 words/sentence, so 100k
+    words needs ~700 docs at the default sents_per_doc."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_docs):
+        k = rng.randint(*sents_per_doc)
+        text = " ".join(_ov_sentence(rng) for _ in range(k))
+        rows.append(
+            {"url": f"https://openvocab{seed}.example/{i}", "text": text, "lang": "en"}
+        )
+    return rows
