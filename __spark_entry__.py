@@ -346,6 +346,64 @@ def q_doc_quality(spark, sf_dir):
     )
 
 
+def q_doc_c4_lines(spark, sf_dir):
+    """C4 line-level cleanup verdicts (Raffel et al. 2020 §2.2;
+    operators/webclean.c4_line_verdicts). The salad docs are single-line,
+    so the query manufactures lines deterministically — every run of 8
+    tokens becomes a line, and every 37th doc gets a 'lorem ipsum' line
+    prepended — exercising the split / min-words / blocklist rules
+    end-to-end; the punctuation and brace rules are planted-fixture
+    tested (test_webclean)."""
+    from nlp_cube_spark.operators.webclean import c4_line_verdicts
+
+    lined = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(
+            "text", r"(\S+ \S+ \S+ \S+ \S+ \S+ \S+ \S+) ", "$1\n"
+        ).alias("text"),
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 37 == 0,
+            F.concat(F.lit("this page uses lorem ipsum filler\n"), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return c4_line_verdicts(lined, require_terminal_punct=False).select(
+        "doc_id", "line_id", "line", "n_words", "keep", "reason"
+    )
+
+
+def q_doc_gopher_quality(spark, sf_dir):
+    """Gopher §A1.1 document-quality gates (Rae et al. 2021;
+    operators/webclean.gopher_quality): word-count bounds, mean word
+    length, symbol ratio, alphabetic fraction, stop-word presence.
+    min_words=30 / min_stop_hits=1 split the salad corpus non-trivially
+    (short docs fail the count gate, 'the'-free docs fail the stop
+    gate)."""
+    from nlp_cube_spark.operators.webclean import gopher_quality
+
+    return gopher_quality(
+        _t(spark, sf_dir, "documents"), min_words=30, min_stop_hits=1
+    ).select(
+        "doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "alpha_frac", "stop_hits", "keep", "reason",
+    )
+
+
+def q_docs_capped_per_source(spark, sf_dir):
+    """Per-source contribution cap (RefinedWeb/CCNet practice;
+    operators/webclean.cap_per_source): top 10 docs per source by
+    n_chars DESC, ties to the smaller doc_id — one window over the
+    source key."""
+    from nlp_cube_spark.operators.webclean import cap_per_source
+
+    return cap_per_source(_t(spark, sf_dir, "documents"), n=10).select(
+        "doc_id", "source", "n_chars", "rank"
+    )
+
+
 def _docs_with_dups(spark, sf_dir):
     """sf documents have no exact duplicates; re-inject every 25th doc under
     a shifted id so the dedup operators have real dup groups to find."""
@@ -1621,6 +1679,10 @@ _QUERIES = {
         "ann_kmeans_centroids": q_ann_kmeans_centroids,
         "ann_pq_topk": q_ann_pq_topk,
         "embedding_semdedup": q_embedding_semdedup,
+        # --- r7-new operators (webclean: C4 / Gopher / source caps) ---
+        "doc_c4_lines": q_doc_c4_lines,
+        "doc_gopher_quality": q_doc_gopher_quality,
+        "docs_capped_per_source": q_docs_capped_per_source,
         # --- last driver-checked r5, rotated forward ---
         "kg_triples": q_kg_triples,
         "kg_words": q_kg_words,
@@ -1651,18 +1713,19 @@ _QUERIES = {
         "events_range_clicks": q_events_range_clicks,
         "tfidf_top_terms": q_tfidf_top_terms,
         "bm25_top_terms": q_bm25_top_terms,
-        "kg_entity_pagerank": q_kg_entity_pagerank,
-        "doc_length_quantiles": q_doc_length_quantiles,
-        "training_data_prep": q_training_data_prep,
         # ---------- window boundary (first 50 above) ----------
-        # below: locally oracled on every pytest run. First the 16
-        # r5-checked rows deferred to r8 (registry 114 > 2x50, so a
-        # strict 50/round rotation leaves 14 rows per cycle at
-        # three-round-old evidence — these are the 14 trivial relational
+        # below: locally oracled on every pytest run. First the 3
+        # r5-checked rows the r7-new webclean queries displaced, then
+        # the 16 r5-checked rows deferred to r8 (registry 117 > 2x50, so
+        # a strict 50/round rotation leaves ~17 rows per cycle at
+        # three-round-old evidence — mostly the trivial relational
         # queries green since r1 plus the two static vocab dimensions,
         # all byte-unchanged since they last passed), then the 50
         # r6-checked rows (CORRECTNESS_r06, 100% green) minus the two
         # promoted above.
+        "kg_entity_pagerank": q_kg_entity_pagerank,
+        "doc_length_quantiles": q_doc_length_quantiles,
+        "training_data_prep": q_training_data_prep,
         "vocab_words": q_vocab_words,
         "vocab_chars": q_vocab_chars,
         "shipdate_pruned_agg": q_shipdate_pruned_agg,
@@ -3138,6 +3201,98 @@ def oracle_sql() -> dict[str, str]:
                  floor((alpha_ratio * 0.5 + stopword_ratio * 0.3
                        + (CASE WHEN mean_token_len BETWEEN 3 AND 10 THEN 0.2 ELSE 0.0 END)) * 1e6 + 0.5) / 1e6 AS quality
           FROM base
+        """,
+        "doc_c4_lines": """
+          -- C4 line verdicts replay (webclean.c4_line_verdicts with
+          -- require_terminal_punct=False over the manufactured lines)
+          WITH lined AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 37 = 0
+                        THEN 'this page uses lorem ipsum filler' || chr(10) || t
+                        ELSE t END AS text
+            FROM (SELECT doc_id,
+                         regexp_replace(text,
+                           '(\\S+ \\S+ \\S+ \\S+ \\S+ \\S+ \\S+ \\S+) ',
+                           '\\1' || chr(10), 'g') AS t
+                  FROM documents)
+          ),
+          lines AS (
+            SELECT doc_id,
+                   CAST(generate_subscripts(ls, 1) - 1 AS INT) AS line_id,
+                   trim(unnest(ls)) AS line
+            FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined)
+          ),
+          v AS (
+            SELECT doc_id, line_id, line,
+                   CAST(len(list_filter(string_split_regex(line, ' +'), t -> t <> '')) AS BIGINT) AS n_words
+            FROM lines
+          )
+          SELECT doc_id, line_id, line, n_words,
+                 reason IS NULL AS keep, reason
+          FROM (
+            SELECT *,
+                   CASE WHEN line = '' THEN 'empty'
+                        WHEN n_words < 3 THEN 'too_short'
+                        WHEN contains(line, '{') THEN 'brace'
+                        WHEN contains(lower(line), 'lorem ipsum')
+                             OR contains(lower(line), 'javascript') THEN 'blocklist'
+                   END AS reason
+            FROM v)
+        """,
+        "doc_gopher_quality": """
+          -- Gopher document gates replay (webclean.gopher_quality,
+          -- min_words=30, min_stop_hits=1); every ratio is one IEEE
+          -- division of exact integers + the portable floor rounding
+          WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks,
+                   text AS t
+            FROM documents
+          ),
+          m AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_words,
+                   CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+                     / nullif(CAST(len(toks) AS DOUBLE), 0.0) AS mwl_raw,
+                   (length(t) - length(regexp_replace(t, '[#]|\\.\\.\\.', '', 'g')))
+                     / nullif(CAST(len(toks) AS DOUBLE), 0.0) AS sym_raw,
+                   len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+                     / nullif(CAST(len(toks) AS DOUBLE), 0.0) AS alpha_raw,
+                   CAST(len(list_intersect(list_distinct(toks),
+                        ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS BIGINT) AS stop_hits
+            FROM base
+          ),
+          r AS (
+            SELECT doc_id, n_words,
+                   floor(mwl_raw * 1e6 + 0.5) / 1e6 AS mean_word_len,
+                   floor(sym_raw * 1e6 + 0.5) / 1e6 AS symbol_ratio,
+                   floor(alpha_raw * 1e6 + 0.5) / 1e6 AS alpha_frac,
+                   stop_hits,
+                   -- gates replay the Spark operator EXACTLY: the mean
+                   -- gate sees the rounded value (the operator computes
+                   -- reason over its rounded mean_word_len column), the
+                   -- ratio gates see the raw quotients
+                   CASE WHEN n_words < 30 THEN 'too_few_words'
+                        WHEN n_words > 100000 THEN 'too_many_words'
+                        WHEN floor(mwl_raw * 1e6 + 0.5) / 1e6 < 3.0 THEN 'mean_word_len_low'
+                        WHEN floor(mwl_raw * 1e6 + 0.5) / 1e6 > 10.0 THEN 'mean_word_len_high'
+                        WHEN sym_raw > 0.1 THEN 'symbol_ratio'
+                        WHEN alpha_raw < 0.8 THEN 'alpha_frac'
+                        WHEN stop_hits < 1 THEN 'stop_words'
+                   END AS reason
+            FROM m
+          )
+          SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+                 stop_hits, reason IS NULL AS keep, reason
+          FROM r
+        """,
+        "docs_capped_per_source": """
+          SELECT doc_id, source, n_chars, rank FROM (
+            SELECT doc_id, source, n_chars,
+                   CAST(row_number() OVER (PARTITION BY source
+                                           ORDER BY n_chars DESC, doc_id) AS INT) AS rank
+            FROM documents
+          ) WHERE rank <= 10
         """,
         "stratified_sample": f"""
           SELECT doc_id, lang FROM documents

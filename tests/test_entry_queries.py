@@ -144,6 +144,7 @@ FLOAT_SENSITIVE = [
     "user_retention_cohorts",
     "events_trailing_hour",
     "doc_similar_tfidf",
+    "doc_gopher_quality",
     "doc_containment_dedup",
     "kg_degree_histogram",
     "lineitem_profile",
