@@ -879,6 +879,41 @@ def q_bm25_top_terms(spark, sf_dir):
     return _q_term_scores(spark, sf_dir, "bm25")
 
 
+def q_kg_link_prediction(spark, sf_dir):
+    """Adamic-Adar link prediction over the KG entity graph
+    (operators/graphstats.link_prediction — Liben-Nowell & Kleinberg
+    2003): every non-adjacent 2-hop entity pair scored by
+    sum 1/ln(deg(mid)) with integer nano-unit accumulation, the
+    KG-completion candidate generator. The oracle replays the wedge
+    join + nano sum over the relational triple replay."""
+    from nlp_cube_spark.operators import annotate as A
+    from nlp_cube_spark.operators.graphstats import link_prediction
+
+    trip = A.fused_triples(_docs_as_pages(spark, sf_dir))
+    edges = trip.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    return link_prediction(edges, metric="adamic_adar").select(
+        F.col("node_a").alias("entity_a"),
+        F.col("node_b").alias("entity_b"),
+        "n_common",
+        "score",
+    )
+
+
+def q_kg_negative_samples(spark, sf_dir):
+    """Deterministic TransE-protocol negative sampling over the triple
+    store (operators/kgtrain.corrupt_triples — Bordes 2013, filtered
+    setting): 2 hash-derived corruptions per distinct triple, side and
+    replacement entity both md5 functions of (s, p, o, sample_id), true
+    triples and no-op replacements dropped."""
+    from nlp_cube_spark.operators import annotate as A
+    from nlp_cube_spark.operators.kgtrain import corrupt_triples
+
+    trip = A.fused_triples(_docs_as_pages(spark, sf_dir)).select(
+        "subj", "pred", "obj"
+    )
+    return corrupt_triples(trip, k=2)
+
+
 def q_kg_entity_pagerank(spark, sf_dir):
     """PageRank over the KG entity graph (distinct subj->obj edges from
     the fused triple pipeline), 3 synchronous iterations with uniform
@@ -1679,10 +1714,13 @@ _QUERIES = {
         "ann_kmeans_centroids": q_ann_kmeans_centroids,
         "ann_pq_topk": q_ann_pq_topk,
         "embedding_semdedup": q_embedding_semdedup,
-        # --- r7-new operators (webclean: C4 / Gopher / source caps) ---
+        # --- r7-new operators (webclean: C4 / Gopher / source caps;
+        # KG link prediction + negative sampling) ---
         "doc_c4_lines": q_doc_c4_lines,
         "doc_gopher_quality": q_doc_gopher_quality,
         "docs_capped_per_source": q_docs_capped_per_source,
+        "kg_link_prediction": q_kg_link_prediction,
+        "kg_negative_samples": q_kg_negative_samples,
         # --- last driver-checked r5, rotated forward ---
         "kg_triples": q_kg_triples,
         "kg_words": q_kg_words,
@@ -1711,18 +1749,18 @@ _QUERIES = {
         "tokenizer_targets": q_tokenizer_targets,
         "events_asof_prev_click": q_events_asof_prev_click,
         "events_range_clicks": q_events_range_clicks,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "bm25_top_terms": q_bm25_top_terms,
         # ---------- window boundary (first 50 above) ----------
-        # below: locally oracled on every pytest run. First the 3
-        # r5-checked rows the r7-new webclean queries displaced, then
-        # the 16 r5-checked rows deferred to r8 (registry 117 > 2x50, so
-        # a strict 50/round rotation leaves ~17 rows per cycle at
+        # below: locally oracled on every pytest run. First the 5
+        # r5-checked rows the r7-new queries displaced, then the 16
+        # r5-checked rows deferred to r8 (registry 119 > 2x50, so a
+        # strict 50/round rotation leaves ~19 rows per cycle at
         # three-round-old evidence — mostly the trivial relational
         # queries green since r1 plus the two static vocab dimensions,
         # all byte-unchanged since they last passed), then the 50
         # r6-checked rows (CORRECTNESS_r06, 100% green) minus the two
         # promoted above.
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "bm25_top_terms": q_bm25_top_terms,
         "kg_entity_pagerank": q_kg_entity_pagerank,
         "doc_length_quantiles": q_doc_length_quantiles,
         "training_data_prep": q_training_data_prep,
@@ -3620,6 +3658,72 @@ def oracle_sql() -> dict[str, str]:
           FROM deg JOIN agg USING (node)""".replace("{kg}", _KG_TRIPLES_DUCK),
         "kg_entity_hits": _hits_duck(),
         "kg_entity_pagerank": _pagerank_duck(),
+        "kg_link_prediction": f"""
+          -- graphstats.link_prediction (adamic_adar) replay: canonical
+          -- simple edges -> symmetric adjacency -> per-mid nano weight
+          -- floor(1/ln(deg)*1e9+0.5) -> wedge join -> exact BIGINT sum
+          -- -> anti-join existing edges -> /1e9 then 6dp floor-round
+          WITH clean AS MATERIALIZED (
+            SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+            FROM ({_KG_TRIPLES_DUCK})
+            WHERE subj IS NOT NULL AND obj IS NOT NULL AND subj <> obj
+          ),
+          sym AS (SELECT a AS z, b AS n FROM clean
+                  UNION ALL SELECT b, a FROM clean),
+          deg AS (SELECT z, count(*) AS d FROM sym GROUP BY z),
+          mids AS (
+            SELECT s.z, s.n,
+                   CAST(floor(1.0 / nullif(ln(CAST(d AS DOUBLE)), 0.0) * 1e9 + 0.5) AS BIGINT) AS w
+            FROM sym s JOIN deg USING (z)
+          ),
+          pr AS (
+            SELECT l.n AS entity_a, r.n AS entity_b,
+                   CAST(count(*) AS BIGINT) AS n_common,
+                   CAST(sum(l.w) AS BIGINT) AS aa
+            FROM mids l JOIN mids r ON l.z = r.z AND l.n < r.n
+            GROUP BY 1, 2
+          )
+          SELECT entity_a, entity_b, n_common,
+                 floor((CAST(aa AS DOUBLE) / 1e9) * 1e6 + 0.5) / 1e6 AS score
+          FROM pr LEFT JOIN clean ON pr.entity_a = clean.a AND pr.entity_b = clean.b
+          WHERE clean.a IS NULL
+        """,
+        "kg_negative_samples": f"""
+          -- kgtrain.corrupt_triples replay (k=2, filtered setting):
+          -- hash-derived side + replacement rank, dense entity rank,
+          -- no-op and true-triple negatives dropped
+          WITH trips AS MATERIALIZED (
+            SELECT DISTINCT subj, pred, obj FROM ({_KG_TRIPLES_DUCK})
+            WHERE subj IS NOT NULL AND pred IS NOT NULL AND obj IS NOT NULL
+          ),
+          ents AS (
+            SELECT entity, CAST(row_number() OVER (ORDER BY entity) - 1 AS BIGINT) AS rnk
+            FROM (SELECT subj AS entity FROM trips UNION SELECT obj FROM trips)
+          ),
+          nn AS (SELECT count(*) AS _n FROM ents),
+          exp AS (
+            SELECT subj, pred, obj, CAST(sample_id AS INT) AS sample_id,
+                   ('0x' || substr(md5(subj || chr(1) || pred || chr(1) || obj
+                                       || chr(1) || CAST(sample_id AS VARCHAR)), 1, 15))::BIGINT AS h
+            FROM trips, (SELECT unnest(range(1, 3)) AS sample_id)
+          ),
+          repl AS (
+            SELECT e.subj, e.pred, e.obj, e.sample_id,
+                   CASE WHEN e.h % 2 = 0 THEN 'subj' ELSE 'obj' END AS corrupted,
+                   CASE WHEN e.h % 2 = 0 THEN en.entity ELSE e.subj END AS neg_subj,
+                   CASE WHEN e.h % 2 = 0 THEN e.obj ELSE en.entity END AS neg_obj
+            FROM exp e
+            CROSS JOIN nn
+            JOIN ents en ON en.rnk = (e.h // 2) % nn._n
+          )
+          SELECT r.subj, r.pred, r.obj, r.sample_id, r.corrupted,
+                 r.neg_subj, r.neg_obj
+          FROM repl r
+          LEFT JOIN trips t
+            ON r.neg_subj = t.subj AND r.pred = t.pred AND r.neg_obj = t.obj
+          WHERE t.subj IS NULL
+            AND (r.neg_subj <> r.subj OR r.neg_obj <> r.obj)
+        """,
         "ann_kmeans_centroids": _kmeans_duck(),
         "ann_pq_topk": _pq_duck(),
         "kg_entity_communities": _lpa_duck(),

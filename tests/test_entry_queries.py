@@ -145,6 +145,7 @@ FLOAT_SENSITIVE = [
     "events_trailing_hour",
     "doc_similar_tfidf",
     "doc_gopher_quality",
+    "kg_link_prediction",
     "doc_containment_dedup",
     "kg_degree_histogram",
     "lineitem_profile",

@@ -405,3 +405,38 @@ def test_hits_rejects_zero_iters(spark):
     edges = spark.createDataFrame([("a", "b")], "src string, dst string")
     with _pytest.raises(ValueError):
         hits(edges, iters=0)
+
+
+def test_link_prediction_planted(spark):
+    """Path 1-2-3-4 plus 2-5 (hand-computable): every 2-hop pair scored,
+    no existing edge re-proposed, AA weight = 1/ln(deg(mid)), jaccard =
+    |common| / |union|, and a mid-degree cap drops exactly the pairs
+    whose only witness is the hot mid."""
+    from nlp_cube_spark.operators.graphstats import link_prediction
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (2, 5)], "src long, dst long"
+    )
+    aa = {(r.node_a, r.node_b): r.score for r in link_prediction(e).collect()}
+    import math
+
+    w2 = math.floor(1 / math.log(3) * 1e9 + 0.5) / 1e9  # deg(2) = 3
+    w3 = math.floor(1 / math.log(2) * 1e9 + 0.5) / 1e9  # deg(3) = 2
+    assert aa == {
+        (1, 3): math.floor(w2 * 1e6 + 0.5) / 1e6,
+        (1, 5): math.floor(w2 * 1e6 + 0.5) / 1e6,
+        (3, 5): math.floor(w2 * 1e6 + 0.5) / 1e6,
+        (2, 4): math.floor(w3 * 1e6 + 0.5) / 1e6,
+    }
+    jc = {(r.node_a, r.node_b): r.score
+          for r in link_prediction(e, metric="jaccard").collect()}
+    assert jc[(1, 5)] == 1.0 and jc[(1, 3)] == 0.5 and jc[(2, 4)] == 0.333333
+    # cap at degree 2: mid 2 (deg 3) is dropped, only (2, 4) survives
+    capped = {(r.node_a, r.node_b)
+              for r in link_prediction(e, max_mid_degree=2).collect()}
+    assert capped == {(2, 4)}
+    # no existing edge is ever proposed; determinism across partitionings
+    assert not ({(1, 2), (2, 3), (3, 4), (2, 5)} & set(aa))
+    again = {(r.node_a, r.node_b): r.score
+             for r in link_prediction(e.repartition(7)).collect()}
+    assert again == aa
