@@ -914,6 +914,23 @@ def q_kg_negative_samples(spark, sf_dir):
     return corrupt_triples(trip, k=2)
 
 
+def q_kg_transe_embeddings(spark, sf_dir):
+    """Full-batch TransE over the KG triple store (operators/kgtrain
+    .transe_train — Bordes 2013, squared-L2 dissimilarity, hash-derived
+    negatives, integer micro-unit trajectory): 2 training iterations,
+    dim 4. The oracle unrolls the ENTIRE trajectory — init hash,
+    negative sampling, per-pair margin mask, gradient sums, updates —
+    as a DuckDB CTE chain, hash-certifying KG-embedding training the
+    way kg_entity_pagerank certifies power iteration."""
+    from nlp_cube_spark.operators import annotate as A
+    from nlp_cube_spark.operators.kgtrain import transe_train
+
+    trip = A.fused_triples(_docs_as_pages(spark, sf_dir)).select(
+        "subj", "pred", "obj"
+    )
+    return transe_train(trip, dim=4, iters=2)
+
+
 def q_kg_entity_pagerank(spark, sf_dir):
     """PageRank over the KG entity graph (distinct subj->obj edges from
     the fused triple pipeline), 3 synchronous iterations with uniform
@@ -1721,6 +1738,7 @@ _QUERIES = {
         "docs_capped_per_source": q_docs_capped_per_source,
         "kg_link_prediction": q_kg_link_prediction,
         "kg_negative_samples": q_kg_negative_samples,
+        "kg_transe_embeddings": q_kg_transe_embeddings,
         # --- last driver-checked r5, rotated forward ---
         "kg_triples": q_kg_triples,
         "kg_words": q_kg_words,
@@ -1748,9 +1766,8 @@ _QUERIES = {
         "pack_shards": q_pack_shards,
         "tokenizer_targets": q_tokenizer_targets,
         "events_asof_prev_click": q_events_asof_prev_click,
-        "events_range_clicks": q_events_range_clicks,
         # ---------- window boundary (first 50 above) ----------
-        # below: locally oracled on every pytest run. First the 5
+        # below: locally oracled on every pytest run. First the 6
         # r5-checked rows the r7-new queries displaced, then the 16
         # r5-checked rows deferred to r8 (registry 119 > 2x50, so a
         # strict 50/round rotation leaves ~19 rows per cycle at
@@ -1759,6 +1776,7 @@ _QUERIES = {
         # all byte-unchanged since they last passed), then the 50
         # r6-checked rows (CORRECTNESS_r06, 100% green) minus the two
         # promoted above.
+        "events_range_clicks": q_events_range_clicks,
         "tfidf_top_terms": q_tfidf_top_terms,
         "bm25_top_terms": q_bm25_top_terms,
         "kg_entity_pagerank": q_kg_entity_pagerank,
@@ -2724,6 +2742,99 @@ def _lpa_duck(iters: int = 3) -> str:
       SELECT node AS entity, label AS community FROM l{iters}"""
 
 
+def _transe_duck(iters: int = 2, dim: int = 4, lr: float = 0.01) -> str:
+    """Unrolled full-batch TransE replay mirroring kgtrain.transe_train:
+    hash init in integer micro-units, k=1 hash-derived filtered
+    negatives, per-pair squared-L2 margin mask on exact integers,
+    gradient sums per (kind, name, pos), floor(lr * G + 0.5) updates.
+    Every arithmetic step is either exact integer or a single IEEE
+    double op shared by both engines."""
+    margin_mu2 = 10**12  # margin 1.0 in micro^2 units
+    neg_h = (
+        "('0x' || substr(md5(subj || chr(1) || pred || chr(1) || obj"
+        " || chr(1) || CAST(sample_id AS VARCHAR)), 1, 15))::BIGINT"
+    )
+    init_h = (
+        "('0x' || substr(md5(kind || chr(1) || name || chr(1)"
+        " || CAST(pos AS VARCHAR)), 1, 13))::BIGINT"
+    )
+    sql = f"""
+      WITH trips AS MATERIALIZED (
+        SELECT DISTINCT subj, pred, obj FROM ({_KG_TRIPLES_DUCK})
+        WHERE subj IS NOT NULL AND pred IS NOT NULL AND obj IS NOT NULL
+      ),
+      entnames AS (SELECT subj AS name FROM trips UNION SELECT obj FROM trips),
+      ents AS (SELECT name, CAST(row_number() OVER (ORDER BY name) - 1 AS BIGINT) AS rnk
+               FROM entnames),
+      nn AS (SELECT count(*) AS _n FROM ents),
+      pairs AS MATERIALIZED (
+        SELECT r.subj, r.pred, r.obj, r.sample_id, r.neg_subj, r.neg_obj
+        FROM (
+          SELECT e.subj, e.pred, e.obj, CAST(e.sample_id AS INT) AS sample_id,
+                 CASE WHEN e.h % 2 = 0 THEN en.name ELSE e.subj END AS neg_subj,
+                 CASE WHEN e.h % 2 = 0 THEN e.obj ELSE en.name END AS neg_obj
+          FROM (SELECT subj, pred, obj, sample_id, {neg_h} AS h
+                FROM trips, (SELECT unnest(range(1, 2)) AS sample_id)) e
+          CROSS JOIN nn JOIN ents en ON en.rnk = (e.h // 2) % nn._n
+        ) r
+        LEFT JOIN trips t
+          ON r.neg_subj = t.subj AND r.pred = t.pred AND r.neg_obj = t.obj
+        WHERE t.subj IS NULL AND (r.neg_subj <> r.subj OR r.neg_obj <> r.obj)
+      ),
+      allparams AS (
+        SELECT 'entity' AS kind, name FROM entnames
+        UNION ALL
+        SELECT 'relation', pred FROM (SELECT DISTINCT pred FROM trips)
+      ),
+      e0 AS MATERIALIZED (
+        SELECT kind, name, pos, {init_h} % 2000001 - 1000000 AS v
+        FROM allparams, (SELECT CAST(unnest(range({dim})) AS INT) AS pos)
+      )"""
+    for i in range(iters):
+        join_m = (
+            f"JOIN m{i} m ON b.subj = m.subj AND b.pred = m.pred"
+            f" AND b.obj = m.obj AND b.sample_id = m.sample_id"
+        )
+        sql += f""",
+      b{i} AS MATERIALIZED (
+        SELECT p.subj, p.pred, p.obj, p.sample_id, p.neg_subj, p.neg_obj,
+               s.pos, s.v + rr.v - oo.v AS rp, n1.v + rr.v - n2.v AS rn
+        FROM pairs p
+        JOIN e{i} s  ON s.kind  = 'entity'   AND s.name  = p.subj
+        JOIN e{i} rr ON rr.kind = 'relation' AND rr.name = p.pred     AND rr.pos = s.pos
+        JOIN e{i} oo ON oo.kind = 'entity'   AND oo.name = p.obj      AND oo.pos = s.pos
+        JOIN e{i} n1 ON n1.kind = 'entity'   AND n1.name = p.neg_subj AND n1.pos = s.pos
+        JOIN e{i} n2 ON n2.kind = 'entity'   AND n2.name = p.neg_obj  AND n2.pos = s.pos
+      ),
+      m{i} AS (
+        SELECT subj, pred, obj, sample_id FROM b{i}
+        GROUP BY 1, 2, 3, 4
+        HAVING sum(rp * rp) + {margin_mu2} > sum(rn * rn)
+      ),
+      g{i} AS (
+        SELECT kind, name, pos, CAST(sum(g) AS BIGINT) AS g FROM (
+          SELECT 'entity' AS kind, b.subj AS name, b.pos, 2 * b.rp AS g
+          FROM b{i} b {join_m}
+          UNION ALL SELECT 'entity', b.obj, b.pos, -2 * b.rp
+          FROM b{i} b {join_m}
+          UNION ALL SELECT 'relation', b.pred, b.pos, 2 * (b.rp - b.rn)
+          FROM b{i} b {join_m}
+          UNION ALL SELECT 'entity', b.neg_subj, b.pos, -2 * b.rn
+          FROM b{i} b {join_m}
+          UNION ALL SELECT 'entity', b.neg_obj, b.pos, 2 * b.rn
+          FROM b{i} b {join_m}
+        ) GROUP BY 1, 2, 3
+      ),
+      e{i + 1} AS MATERIALIZED (
+        SELECT e.kind, e.name, e.pos,
+               e.v - CAST(coalesce(floor({lr} * g.g + 0.5), 0) AS BIGINT) AS v
+        FROM e{i} e LEFT JOIN g{i} g
+          ON e.kind = g.kind AND e.name = g.name AND e.pos = g.pos
+      )"""
+    return sql + f"""
+      SELECT kind, name, pos, CAST(v AS DOUBLE) / 1e6 AS val FROM e{iters}"""
+
+
 def _pagerank_duck(iters: int = 3, d: float = 0.85) -> str:
     """Unrolled power-iteration CTE chain over the relational triple
     replay — mirrors graphstats.pagerank's exact double arithmetic
@@ -3658,6 +3769,7 @@ def oracle_sql() -> dict[str, str]:
           FROM deg JOIN agg USING (node)""".replace("{kg}", _KG_TRIPLES_DUCK),
         "kg_entity_hits": _hits_duck(),
         "kg_entity_pagerank": _pagerank_duck(),
+        "kg_transe_embeddings": _transe_duck(),
         "kg_link_prediction": f"""
           -- graphstats.link_prediction (adamic_adar) replay: canonical
           -- simple edges -> symmetric adjacency -> per-mid nano weight

@@ -119,3 +119,150 @@ def corrupt_triples(
     return repl.join(truth, ["neg_subj", pred_col, "neg_obj"], "left_anti").select(
         subj_col, pred_col, obj_col, "sample_id", "corrupted", "neg_subj", "neg_obj"
     )
+
+
+# 52-bit md5 prefix: an EXACT double (the repo's hash-uniform discipline)
+_H52 = "cast(conv(substr(md5({x}), 1, 13), 16, 10) as bigint)"
+
+
+def transe_train(
+    triples: DataFrame,
+    dim: int = 4,
+    iters: int = 2,
+    lr: float = 0.01,
+    margin: float = 1.0,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Full-batch TransE training (Bordes et al. 2013) over the triple
+    store — KG embeddings ON Spark, the step after corrupt_triples in an
+    embedding-training pipeline.  No counterpart in the reference.
+
+    Model: entity/relation vectors e in R^dim, dissimilarity
+    d(s, p, o) = ||s + p - o||^2 (the paper's L2 flavour, squared —
+    equivalent subgradients), margin ranking loss over (positive,
+    hash-corrupted negative) pairs from corrupt_triples(k=1), full-batch
+    subgradient descent (the deterministic batch form of the paper's
+    SGD; negatives fixed across iterations, the paper's per-epoch
+    resampling being an RNG device this engine replaces with hashing).
+    The paper's unit-norm projection is deliberately dropped (it would
+    put a sqrt on the trajectory); at 2-3 demo iterations the margin
+    term keeps the geometry — document-level consumers wanting the
+    constraint can normalize the OUTPUT once.
+
+    Determinism (the LR/DSIR integer-trajectory discipline): embeddings
+    live as integer MICRO-units (1e-6).  Residuals r = s + p - o are
+    exact integers; squared distances sum r^2 exactly (|r| <= ~4e6, dim
+    small => < 2^53 and < 2^63); the margin test compares integers; the
+    per-parameter gradient is an exact BIGINT sum over violated pairs
+    (any summation order); the update v -= floor(lr * G + 0.5) is one
+    double multiply + floor, bit-identical on any engine.  The whole
+    iters-step trajectory is therefore hash-certifiable by an unrolled
+    DuckDB CTE chain.
+
+    Returns (kind 'entity'|'relation', name, pos, val DOUBLE) — the
+    trained vectors, val = micro / 1e6 (one exact division).
+
+    Scale shape: per iteration the pair table joins the embedding
+    dimension 5 times on (name, pos) equi-keys (broadcast at fixture
+    scale, AQE shuffle joins at web scale), one pair-keyed hash agg for
+    the margin mask, one stack + hash agg for gradients, and the
+    embedding table is localCheckpointed per round (5 consumers; the
+    CLAUDE.md shared-subtree rule).  Nothing is ever all-pairs and
+    nothing collects to the driver."""
+    trips = (
+        triples.select(subj_col, pred_col, obj_col)
+        .where(
+            F.col(subj_col).isNotNull()
+            & F.col(pred_col).isNotNull()
+            & F.col(obj_col).isNotNull()
+        )
+        .dropDuplicates()
+        .localCheckpoint(eager=False)
+    )
+    pairs = corrupt_triples(trips, k=1, subj_col=subj_col,
+                            pred_col=pred_col, obj_col=obj_col).localCheckpoint(
+        eager=False
+    )
+    ents = (
+        trips.select(F.col(subj_col).alias("name"))
+        .unionByName(trips.select(F.col(obj_col).alias("name")))
+        .dropDuplicates()
+        .select(F.lit("entity").alias("kind"), "name")
+    )
+    rels = trips.select(
+        F.lit("relation").alias("kind"), F.col(pred_col).alias("name")
+    ).dropDuplicates()
+    h = _H52.format(x="concat(kind, chr(1), name, chr(1), pos)")
+    emb = (
+        ents.unionByName(rels)
+        .select("kind", "name", F.explode(F.expr(f"sequence(0, {dim - 1})")).alias("pos"))
+        .select("kind", "name", "pos", F.expr(f"{h} % 2000001 - 1000000").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    margin_mu2 = int(round(margin * 1e12))  # micro^2 units, exact for sane margins
+    for _ in range(iters):
+        es = emb.where(F.col("kind") == "entity").select("name", "pos", "v")
+        rs = emb.where(F.col("kind") == "relation").select("name", "pos", "v")
+        b = (
+            pairs.join(es.select(F.col("name").alias(subj_col), "pos",
+                                 F.col("v").alias("_vs")), [subj_col])
+            .join(rs.select(F.col("name").alias(pred_col), "pos",
+                            F.col("v").alias("_vp")), [pred_col, "pos"])
+            .join(es.select(F.col("name").alias(obj_col), "pos",
+                            F.col("v").alias("_vo")), [obj_col, "pos"])
+            .join(es.select(F.col("name").alias("neg_subj"), "pos",
+                            F.col("v").alias("_vns")), ["neg_subj", "pos"])
+            .join(es.select(F.col("name").alias("neg_obj"), "pos",
+                            F.col("v").alias("_vno")), ["neg_obj", "pos"])
+            .select(
+                subj_col, pred_col, obj_col, "sample_id", "neg_subj", "neg_obj",
+                "pos",
+                (F.col("_vs") + F.col("_vp") - F.col("_vo")).alias("_rp"),
+                (F.col("_vns") + F.col("_vp") - F.col("_vno")).alias("_rn"),
+            )
+            .localCheckpoint(eager=False)  # feeds the mask agg AND the grads
+        )
+        keys = [subj_col, pred_col, obj_col, "sample_id"]
+        mask = (
+            b.groupBy(*keys)
+            .agg(
+                F.sum(F.col("_rp") * F.col("_rp")).alias("_dp"),
+                F.sum(F.col("_rn") * F.col("_rn")).alias("_dn"),
+            )
+            .where(F.col("_dp") + F.lit(margin_mu2) > F.col("_dn"))
+            .select(*keys)
+        )
+        grads = (
+            b.join(mask, keys)
+            .select(
+                "pos",
+                F.expr(
+                    f"stack(5, 'entity', {subj_col}, 2 * _rp,"
+                    f" 'entity', {obj_col}, -2 * _rp,"
+                    f" 'relation', {pred_col}, 2 * (_rp - _rn),"
+                    " 'entity', neg_subj, -2 * _rn,"
+                    " 'entity', neg_obj, 2 * _rn) as (kind, name, g)"
+                ),
+            )
+            .groupBy("kind", "name", "pos")
+            .agg(F.sum("g").alias("_g"))
+        )
+        emb = (
+            emb.join(grads, ["kind", "name", "pos"], "left")
+            .select(
+                "kind", "name", "pos",
+                (
+                    F.col("v")
+                    - F.coalesce(
+                        F.floor(F.lit(lr) * F.col("_g") + F.lit(0.5)).cast("bigint"),
+                        F.lit(0),
+                    )
+                ).alias("v"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return emb.select(
+        "kind", "name", "pos", (F.col("v").cast("double") / F.lit(1e6)).alias("val")
+    )

@@ -146,6 +146,7 @@ FLOAT_SENSITIVE = [
     "doc_similar_tfidf",
     "doc_gopher_quality",
     "kg_link_prediction",
+    "kg_transe_embeddings",
     "doc_containment_dedup",
     "kg_degree_histogram",
     "lineitem_profile",

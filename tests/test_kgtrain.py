@@ -49,3 +49,44 @@ def test_degenerate_inputs(spark):
     # single entity: every corruption is a no-op replacement -> dropped
     one = spark.createDataFrame([("x", "p", "x")], "subj string, pred string, obj string")
     assert corrupt_triples(one, k=4).count() == 0
+
+
+def test_transe_training_properties(spark):
+    import math
+
+    from nlp_cube_spark.operators.kgtrain import transe_train
+
+    t = _triples(spark)
+    out = transe_train(t, dim=4, iters=2)
+    rows = {(r.kind, r.name, r.pos): r.val for r in out.collect()}
+    # shape: (3 entities + 2 relations) x 4 dims
+    assert len(rows) == 5 * 4
+    assert {k for k, _, _ in rows} == {"entity", "relation"}
+    # init values are the documented hash formula (iters=0 == emb0)
+    import hashlib
+
+    init = {(r.kind, r.name, r.pos): r.val
+            for r in transe_train(t, dim=4, iters=0).collect()}
+    h = int(hashlib.md5("entity\x01a\x010".encode()).hexdigest()[:13], 16)
+    assert init[("entity", "a", 0)] == (h % 2000001 - 1000000) / 1e6
+    # training moved parameters, deterministically across partitionings
+    assert rows != init
+    again = {(r.kind, r.name, r.pos): r.val
+             for r in transe_train(t.repartition(5), dim=4, iters=2).collect()}
+    assert again == rows
+
+    # full-batch margin loss does not increase on the planted graph
+    def loss(emb):
+        from nlp_cube_spark.operators.kgtrain import corrupt_triples
+
+        pairs = corrupt_triples(t, k=1).collect()
+        tot = 0.0
+        for p in pairs:
+            dp = sum((emb[("entity", p.subj, j)] + emb[("relation", p.pred, j)]
+                      - emb[("entity", p.obj, j)]) ** 2 for j in range(4))
+            dn = sum((emb[("entity", p.neg_subj, j)] + emb[("relation", p.pred, j)]
+                      - emb[("entity", p.neg_obj, j)]) ** 2 for j in range(4))
+            tot += max(0.0, 1.0 + dp - dn)
+        return tot
+
+    assert loss(rows) <= loss(init) + 1e-9, (loss(rows), loss(init))
