@@ -934,10 +934,12 @@ def q_kg_transe_embeddings(spark, sf_dir):
 def q_kg_entity_pagerank(spark, sf_dir):
     """PageRank over the KG entity graph (distinct subj->obj edges from
     the fused triple pipeline), 3 synchronous iterations with uniform
-    dangling redistribution (operators/graphstats.pagerank). The oracle
-    replays the SAME double arithmetic as an unrolled CTE chain over the
-    relational triple replay — a hash match certifies the whole stack:
-    annotation kernels -> triple emission -> iterative graph analytics."""
+    dangling redistribution (operators/graphstats.pagerank — r7: the
+    whole trajectory is integer nano-units, summation-order exact).
+    The oracle replays the SAME integer arithmetic as an unrolled CTE
+    chain over the relational triple replay — a hash match certifies
+    the whole stack: annotation kernels -> triple emission -> iterative
+    graph analytics."""
     from nlp_cube_spark.operators import annotate as A
     from nlp_cube_spark.operators.graphstats import pagerank
 
@@ -945,7 +947,8 @@ def q_kg_entity_pagerank(spark, sf_dir):
     edges = trip.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
     pr = pagerank(edges, iters=3)
     return pr.select(
-        F.col("node").alias("entity"), F.round("rank", 6).alias("pagerank")
+        F.col("node").alias("entity"),
+        (F.floor(F.col("rank") * 1e6 + F.lit(0.5)) / 1e6).alias("pagerank"),
     )
 
 
@@ -2837,28 +2840,33 @@ def _transe_duck(iters: int = 2, dim: int = 4, lr: float = 0.01) -> str:
 
 def _pagerank_duck(iters: int = 3, d: float = 0.85) -> str:
     """Unrolled power-iteration CTE chain over the relational triple
-    replay — mirrors graphstats.pagerank's exact double arithmetic
-    ((1 - d)/N + d*(contrib + dangling/N), CAST(d AS DOUBLE) so DuckDB
-    doesn't route the constants through DECIMAL)."""
-    dd = f"CAST({d} AS DOUBLE)"
+    replay — mirrors graphstats.pagerank's r7 integer NANO-unit
+    trajectory: BIGINT ranks, `rank // deg` edge contributions (exact,
+    order-free), `dang // n` redistribution, and per iteration exactly
+    two floor(x + 0.5) double constants whose operand order matches
+    the Spark expressions token for token."""
+    bd = repr(1.0 - d)  # python-double repr round-trips bit-exactly
     sql = f"""
       WITH e AS MATERIALIZED (SELECT DISTINCT subj AS src, obj AS dst FROM ({_KG_TRIPLES_DUCK})),
       nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
       degt AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
       nd AS MATERIALIZED (SELECT node, coalesce(deg, 0) AS deg FROM nodes LEFT JOIN degt ON node = src),
       nc AS (SELECT count(*) AS n FROM nd),
-      r0 AS (SELECT node, deg, CAST(1.0 AS DOUBLE) / n AS rank FROM nd CROSS JOIN nc)"""
+      r0 AS (SELECT node, deg, 1000000000 // n AS rn FROM nd CROSS JOIN nc)"""
     for i in range(iters):
         sql += f""",
-      dang{i} AS (SELECT coalesce(sum(rank), 0.0) AS dm FROM r{i} WHERE deg = 0),
-      contrib{i} AS (SELECT e.dst AS node, sum(r.rank / r.deg) AS c
+      dang{i} AS (SELECT CAST(coalesce(sum(rn), 0) AS BIGINT) AS dm FROM r{i} WHERE deg = 0),
+      contrib{i} AS (SELECT e.dst AS node, CAST(sum(r.rn // r.deg) AS BIGINT) AS c
                      FROM r{i} r JOIN e ON r.node = e.src GROUP BY e.dst),
       r{i + 1} AS (SELECT nd.node, nd.deg,
-                   (1 - {dd}) / n + {dd} * (coalesce(c.c, 0.0) + dang{i}.dm / n) AS rank
+                   CAST(floor({bd} * 1e9 / n + 0.5) AS BIGINT)
+                   + CAST(floor({d!r} * (coalesce(c.c, 0) + dang{i}.dm // n) + 0.5) AS BIGINT) AS rn
                    FROM nd CROSS JOIN nc CROSS JOIN dang{i}
                    LEFT JOIN contrib{i} c ON nd.node = c.node)"""
     return sql + f"""
-      SELECT node AS entity, round(rank, 6) AS pagerank FROM r{iters}"""
+      SELECT node AS entity,
+             floor((CAST(rn AS DOUBLE) / 1e9) * 1e6 + 0.5) / 1e6 AS pagerank
+      FROM r{iters}"""
 
 
 def _bfs_duck(max_hops: int = 4) -> str:

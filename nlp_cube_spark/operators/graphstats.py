@@ -35,8 +35,18 @@ def pagerank(
     damping: float = 0.85,
 ) -> DataFrame:
     """(node, pagerank) after `iters` synchronous iterations over the
-    DISTINCT edge set. Double arithmetic is kept in the exact shape the
-    DuckDB oracle replays: (1 - d)/N + d * (contrib + dangling/N)."""
+    DISTINCT edge set: rank' = (1 - d)/N + d * (contrib + dangling/N).
+
+    The trajectory is integer NANO-units end-to-end (r7 — the same
+    discipline as the LR/DSIR/k-means trainers): ranks are BIGINT
+    nano; per-edge contributions are `rank div deg` (integer division
+    — exact and order-free, truncating < 1 nano per edge, so total
+    mass decays by < |E| * iters nano — a harmless, DEFINED part of
+    the algorithm); the dangling share is `dang div N`; and the only
+    float ops are two floor(x + 0.5) constants per iteration shared
+    bit-for-bit with the DuckDB replay.  The previous form summed raw
+    double contributions — a summation-order flake surface that 6dp
+    output rounding merely masked."""
     # lazy checkpoint: e is referenced by nodes/deg AND by every
     # iteration's contrib join — unmaterialized, an expensive upstream
     # plan (e.g. the fused triple kernel) would re-run once per iteration
@@ -58,15 +68,18 @@ def pagerank(
     )
     nc = nd.agg(F.count(F.lit(1)).alias("n"))
     ranks = nd.crossJoin(F.broadcast(nc)).select(
-        "node", "deg", (F.lit(1.0) / F.col("n")).alias("rank")
+        "node", "deg", F.expr("1000000000 div n").alias("_rn")
+    )
+    base = F.floor(F.lit(1.0 - damping) * F.lit(1e9) / F.col("n") + F.lit(0.5)).cast(
+        "bigint"
     )
     for _ in range(iters):
         dang = ranks.where(F.col("deg") == 0).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+            F.coalesce(F.sum("_rn"), F.lit(0)).cast("bigint").alias("dm")
         )
         contrib = (
             ranks.join(e, ranks["node"] == e["src"])
-            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .select("dst", F.expr("_rn div deg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("c"))
         )
@@ -78,13 +91,22 @@ def pagerank(
                 "node",
                 "deg",
                 (
-                    (1 - damping) / F.col("n")
-                    + damping * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") / F.col("n"))
-                ).alias("rank"),
+                    base
+                    + F.floor(
+                        F.lit(damping)
+                        * (
+                            F.coalesce(F.col("c"), F.lit(0))
+                            + F.expr("dm div n")
+                        )
+                        + F.lit(0.5)
+                    ).cast("bigint")
+                ).alias("_rn"),
             )
             .localCheckpoint(eager=False)
         )
-    return ranks.select("node", "rank")
+    return ranks.select(
+        "node", (F.col("_rn").cast("double") / F.lit(1e9)).alias("rank")
+    )
 
 def _directed_simple_edges(
     edges: DataFrame, src: str, dst: str, degree_ordered: bool

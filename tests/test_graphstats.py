@@ -7,19 +7,25 @@ from nlp_cube_spark.operators.graphstats import pagerank
 
 
 def _pr_eager(edges, iters=3, d=0.85):
-    """Independent driver-side power iteration for cross-checking."""
+    """Independent driver-side power iteration mirroring the engine's
+    integer nano-unit trajectory (r7): BIGINT ranks, truncating integer
+    divisions for edge contributions and dangling redistribution, two
+    floor(x + 0.5) constants per round. Exact-equality comparable."""
+    import math
+
     e = sorted(set(edges))
     nodes = sorted({u for u, _ in e} | {v for _, v in e})
     deg = {u: sum(1 for a, _ in e if a == u) for u in nodes}
     n = len(nodes)
-    r = {u: 1.0 / n for u in nodes}
+    r = {u: 1_000_000_000 // n for u in nodes}
+    base = math.floor((1.0 - d) * 1e9 / n + 0.5)
     for _ in range(iters):
         dm = sum(r[u] for u in nodes if deg[u] == 0)
-        c = {u: 0.0 for u in nodes}
+        c = {u: 0 for u in nodes}
         for u, v in e:
-            c[v] += r[u] / deg[u]
-        r = {u: (1 - d) / n + d * (c[u] + dm / n) for u in nodes}
-    return r
+            c[v] += r[u] // deg[u]
+        r = {u: base + math.floor(d * (c[u] + dm // n) + 0.5) for u in nodes}
+    return {u: rn / 1e9 for u, rn in r.items()}
 
 
 @pytest.mark.parametrize(
@@ -36,15 +42,16 @@ def test_pagerank_matches_eager(spark, edges):
     got = {r.node: r.rank for r in pagerank(df).collect()}
     want = _pr_eager(edges)
     assert set(got) == set(want)
-    for k in want:
-        assert got[k] == pytest.approx(want[k], abs=1e-12)
-    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)  # mass conserved
+    assert got == want  # EXACT: both sides run the same integer trajectory
+    # mass conserved up to the documented truncation (< (|E|+N)*iters nano)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
 
 
 def test_pagerank_cycle_is_uniform(spark):
     df = spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string")
     got = {r.node: r.rank for r in pagerank(df, iters=5).collect()}
-    assert all(v == pytest.approx(1 / 3, abs=1e-12) for v in got.values())
+    # nano quantization: 1/3 lands on 0.333333333 exactly (fixpoint)
+    assert all(v == 333333333 / 1e9 for v in got.values())
 
 
 def test_pagerank_duplicate_edges_ignored(spark):
@@ -52,9 +59,7 @@ def test_pagerank_duplicate_edges_ignored(spark):
         [("a", "b"), ("a", "b"), ("b", "a")], "src string, dst string"
     )
     got = {r.node: r.rank for r in pagerank(df).collect()}
-    want = _pr_eager([("a", "b"), ("b", "a")])
-    for k in want:
-        assert got[k] == pytest.approx(want[k], abs=1e-12)
+    assert got == _pr_eager([("a", "b"), ("b", "a")])
 
 
 def test_graph_facade(spark):
@@ -440,3 +445,16 @@ def test_link_prediction_planted(spark):
     again = {(r.node_a, r.node_b): r.score
              for r in link_prediction(e.repartition(7)).collect()}
     assert again == aa
+
+
+def test_pagerank_partitioning_invariant(spark):
+    """The r7 nano trajectory is summation-order independent: identical
+    output bits at adversarial partitionings (the clustering-family
+    sweep discipline)."""
+    edges = [("h", f"l{i}") for i in range(20)] + [(f"l{i}", "h") for i in range(10)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    outs = [
+        {r.node: r.rank for r in pagerank(df.repartition(n)).collect()}
+        for n in (1, 3, 17)
+    ]
+    assert outs[0] == outs[1] == outs[2]
