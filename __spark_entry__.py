@@ -2897,33 +2897,39 @@ def _bfs_duck(max_hops: int = 4) -> str:
       SELECT node AS entity, CAST(level AS INT) AS level FROM l{max_hops}"""
 
 
-def _hits_duck(iters: int = 3, dp: int = 9) -> str:
-    """Unrolled HITS trajectory mirroring graphstats.hits: per
-    half-step, neighbor-sum rounded dp -> L2 norm -> normalized score
-    rounded dp; nullif'd norms."""
+def _hits_duck(iters: int = 3) -> str:
+    """Unrolled HITS trajectory mirroring graphstats.hits' r7 integer
+    MICRO-unit form: exact BIGINT neighbor sums, squared-norm sums in
+    HUGEINT (the exact-integer twin of Spark's DECIMAL(38,0)), one
+    int->double cast + sqrt + floor(r / nz * 1e6 + 0.5) per half-step;
+    nullif'd norms."""
     sql = f"""
       WITH e AS MATERIALIZED (
         SELECT DISTINCT subj AS src, obj AS dst FROM ({_KG_TRIPLES_DUCK})
         WHERE subj IS NOT NULL AND obj IS NOT NULL
       ),
       nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-      h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM nodes)"""
+      h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub FROM nodes)"""
     for i in range(iters):
         sql += f""",
-      ar{i} AS (SELECT e.dst AS node, round(sum(h.hub), {dp}) AS r
+      ar{i} AS (SELECT e.dst AS node, CAST(sum(h.hub) AS BIGINT) AS r
                 FROM e JOIN h{i} h ON h.node = e.src GROUP BY e.dst),
-      an{i} AS (SELECT sqrt(sum(r * r)) AS nz FROM ar{i}),
+      an{i} AS (SELECT sqrt(CAST(sum(CAST(r AS HUGEINT) * r) AS DOUBLE)) AS nz FROM ar{i}),
       a{i} AS (SELECT nodes.node,
-                      round(coalesce(ar{i}.r, 0.0) / nullif(an{i}.nz, 0.0), {dp}) AS authority
+                      CAST(floor(CAST(coalesce(ar{i}.r, 0) AS DOUBLE)
+                                 / nullif(an{i}.nz, 0.0) * 1e6 + 0.5) AS BIGINT) AS authority
                FROM nodes CROSS JOIN an{i} LEFT JOIN ar{i} ON nodes.node = ar{i}.node),
-      hr{i} AS (SELECT e.src AS node, round(sum(a.authority), {dp}) AS r
+      hr{i} AS (SELECT e.src AS node, CAST(sum(a.authority) AS BIGINT) AS r
                 FROM e JOIN a{i} a ON a.node = e.dst GROUP BY e.src),
-      hn{i} AS (SELECT sqrt(sum(r * r)) AS nz FROM hr{i}),
+      hn{i} AS (SELECT sqrt(CAST(sum(CAST(r AS HUGEINT) * r) AS DOUBLE)) AS nz FROM hr{i}),
       h{i + 1} AS (SELECT nodes.node,
-                          round(coalesce(hr{i}.r, 0.0) / nullif(hn{i}.nz, 0.0), {dp}) AS hub
+                          CAST(floor(CAST(coalesce(hr{i}.r, 0) AS DOUBLE)
+                                     / nullif(hn{i}.nz, 0.0) * 1e6 + 0.5) AS BIGINT) AS hub
                    FROM nodes CROSS JOIN hn{i} LEFT JOIN hr{i} ON nodes.node = hr{i}.node)"""
     return sql + f"""
-      SELECT h{iters}.node AS entity, h{iters}.hub, a{iters - 1}.authority
+      SELECT h{iters}.node AS entity,
+             CAST(h{iters}.hub AS DOUBLE) / 1e6 AS hub,
+             CAST(a{iters - 1}.authority AS DOUBLE) / 1e6 AS authority
       FROM h{iters} JOIN a{iters - 1} ON h{iters}.node = a{iters - 1}.node"""
 
 

@@ -491,7 +491,6 @@ def hits(
     src: str = "src",
     dst: str = "dst",
     iters: int = 3,
-    round_dp: int = 9,
 ) -> DataFrame:
     """HITS hubs-and-authorities (Kleinberg 1999, public knowledge) by
     synchronous power iteration over the DISTINCT directed edge set:
@@ -500,13 +499,17 @@ def hits(
     pagerank with the directed-endorsement view (who aggregates vs who
     is cited) over the same entity graph.
 
-    Determinism: per-node raw sums AND the normalized scores are
-    rounded to `round_dp` each half-step (the kmeans trajectory
-    discipline — stronger than pagerank's final-only rounding), so the
-    unrolled DuckDB oracle replays the whole trajectory; the L2 norm is
-    a 1-row broadcast, never a driver collect. Fixed `iters` (no
-    convergence test) keeps the trajectory oracle-replayable; plans
-    stay iteration-sized via localCheckpoint. Returns (node, hub,
+    Determinism (r7, the nano-trajectory discipline — previously each
+    half-step ROUNDED a double sum, the straddle class): scores live as
+    integer MICRO-units (1e-6); the neighbor sum is an exact BIGINT agg
+    (any order); the squared-norm sum runs in DECIMAL(38,0) (exact —
+    BIGINT would overflow at raw^2 ~ 1e22); the only double ops per
+    half-step are one cast of that exact integer (IEEE int->double is
+    correctly rounded on both engines — the DuckDB side casts the same
+    integer from HUGEINT), one sqrt, and one floor(r / nz * 1e6 + 0.5)
+    re-quantization.  The L2 norm is a 1-row broadcast, never a driver
+    collect. Fixed `iters` keeps the trajectory oracle-replayable;
+    plans stay iteration-sized via localCheckpoint. Returns (node, hub,
     authority) for every node incident to an edge; a side with zero
     mass (no in-edges anywhere) yields NULL via the nullif'd norm
     rather than an ANSI /0 throw."""
@@ -524,27 +527,35 @@ def hits(
         .dropDuplicates()
         .localCheckpoint(eager=False)
     )
-    h = nodes.select("node", F.lit(1.0).alias("hub"))
+    h = nodes.select("node", F.lit(1_000_000).cast("bigint").alias("hub"))
 
     def _half(scores: DataFrame, score_col: str, join_on: str, group_to: str, out: str) -> DataFrame:
         raw = (
             e.join(scores.withColumnRenamed("node", join_on), join_on)
             .groupBy(group_to)
-            .agg(F.round(F.sum(score_col), round_dp).alias("_r"))
+            .agg(F.sum(score_col).alias("_r"))  # exact BIGINT, order-free
             # raw feeds the norm agg AND the node join — checkpoint or the
             # edge-join+agg subtree re-runs per reference (CLAUDE.md)
             .localCheckpoint(eager=False)
         )
-        norm = raw.agg(F.sqrt(F.sum(F.col("_r") * F.col("_r"))).alias("_nz"))
+        norm = raw.agg(
+            F.sqrt(
+                F.sum(F.col("_r").cast("decimal(38,0)") * F.col("_r")).cast("double")
+            ).alias("_nz")
+        )
         return (
             nodes.join(raw.withColumnRenamed(group_to, "node"), "node", "left")
             .crossJoin(F.broadcast(norm))
             .select(
                 "node",
-                F.round(
-                    F.coalesce("_r", F.lit(0.0)) / F.nullif(F.col("_nz"), F.lit(0.0)),
-                    round_dp,
-                ).alias(out),
+                F.floor(
+                    F.coalesce(F.col("_r"), F.lit(0)).cast("double")
+                    / F.nullif(F.col("_nz"), F.lit(0.0))
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                .cast("bigint")
+                .alias(out),
             )
             .localCheckpoint(eager=False)
         )
@@ -552,7 +563,11 @@ def hits(
     for _ in range(iters):
         a = _half(h, "hub", "src", "dst", "authority")
         h = _half(a, "authority", "dst", "src", "hub")
-    return h.join(a, "node").select("node", "hub", "authority")
+    return h.join(a, "node").select(
+        "node",
+        (F.col("hub").cast("double") / F.lit(1e6)).alias("hub"),
+        (F.col("authority").cast("double") / F.lit(1e6)).alias("authority"),
+    )
 
 
 def neighborhood_stats(

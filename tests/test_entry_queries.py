@@ -134,6 +134,7 @@ FLOAT_SENSITIVE = [
     "user_funnel",
     "weighted_sample_docs",
     "kg_entity_hits",
+    "kg_entity_pagerank",
     "doc_ngram_novelty",
     "doc_length_histogram",
     "kg_entity_neighborhood",
