@@ -931,6 +931,27 @@ def q_kg_transe_embeddings(spark, sf_dir):
     return transe_train(trip, dim=4, iters=2)
 
 
+def q_kg_completion_topk(spark, sf_dir):
+    """KG-completion ranking with the trained TransE vectors
+    (operators/kgtrain.transe_completion_topk — Bordes 2013 filtered
+    protocol): for every distinct (subj, pred) query, the top-3
+    candidate tail entities by exact integer squared distance, known
+    true triples excluded. The oracle reuses the unrolled training
+    chain and re-ranks on the same BIGINT distances — train-then-serve
+    certified end to end."""
+    from nlp_cube_spark.operators import annotate as A
+    from nlp_cube_spark.operators.kgtrain import (
+        transe_completion_topk,
+        transe_train,
+    )
+
+    trip = A.fused_triples(_docs_as_pages(spark, sf_dir)).select(
+        "subj", "pred", "obj"
+    ).localCheckpoint()  # feeds training AND the truth exclusion
+    emb = transe_train(trip, dim=4, iters=2)
+    return transe_completion_topk(emb, trip, k=3)
+
+
 def q_kg_entity_pagerank(spark, sf_dir):
     """PageRank over the KG entity graph (distinct subj->obj edges from
     the fused triple pipeline), 3 synchronous iterations with uniform
@@ -1742,6 +1763,7 @@ _QUERIES = {
         "kg_link_prediction": q_kg_link_prediction,
         "kg_negative_samples": q_kg_negative_samples,
         "kg_transe_embeddings": q_kg_transe_embeddings,
+        "kg_completion_topk": q_kg_completion_topk,
         # --- last driver-checked r5, rotated forward ---
         "kg_triples": q_kg_triples,
         "kg_words": q_kg_words,
@@ -1768,9 +1790,8 @@ _QUERIES = {
         "multimodal_features": q_multimodal_features,
         "pack_shards": q_pack_shards,
         "tokenizer_targets": q_tokenizer_targets,
-        "events_asof_prev_click": q_events_asof_prev_click,
         # ---------- window boundary (first 50 above) ----------
-        # below: locally oracled on every pytest run. First the 6
+        # below: locally oracled on every pytest run. First the 7
         # r5-checked rows the r7-new queries displaced, then the 16
         # r5-checked rows deferred to r8 (registry 119 > 2x50, so a
         # strict 50/round rotation leaves ~19 rows per cycle at
@@ -1779,6 +1800,7 @@ _QUERIES = {
         # all byte-unchanged since they last passed), then the 50
         # r6-checked rows (CORRECTNESS_r06, 100% green) minus the two
         # promoted above.
+        "events_asof_prev_click": q_events_asof_prev_click,
         "events_range_clicks": q_events_range_clicks,
         "tfidf_top_terms": q_tfidf_top_terms,
         "bm25_top_terms": q_bm25_top_terms,
@@ -2745,13 +2767,15 @@ def _lpa_duck(iters: int = 3) -> str:
       SELECT node AS entity, label AS community FROM l{iters}"""
 
 
-def _transe_duck(iters: int = 2, dim: int = 4, lr: float = 0.01) -> str:
+def _transe_ctes(iters: int = 2, dim: int = 4, lr: float = 0.01) -> str:
     """Unrolled full-batch TransE replay mirroring kgtrain.transe_train:
     hash init in integer micro-units, k=1 hash-derived filtered
     negatives, per-pair squared-L2 margin mask on exact integers,
     gradient sums per (kind, name, pos), floor(lr * G + 0.5) updates.
     Every arithmetic step is either exact integer or a single IEEE
-    double op shared by both engines."""
+    double op shared by both engines.  Returns the chain WITH the
+    leading WITH, ending at e{iters} (+ trips), so consumers append
+    their own final CTE/SELECT (_transe_duck, the completion ranker)."""
     margin_mu2 = 10**12  # margin 1.0 in micro^2 units
     neg_h = (
         "('0x' || substr(md5(subj || chr(1) || pred || chr(1) || obj"
@@ -2834,8 +2858,43 @@ def _transe_duck(iters: int = 2, dim: int = 4, lr: float = 0.01) -> str:
         FROM e{i} e LEFT JOIN g{i} g
           ON e.kind = g.kind AND e.name = g.name AND e.pos = g.pos
       )"""
-    return sql + f"""
+    return sql
+
+
+def _transe_duck(iters: int = 2, dim: int = 4, lr: float = 0.01) -> str:
+    """Final trained-vector table of the unrolled TransE chain."""
+    return _transe_ctes(iters, dim, lr) + f"""
       SELECT kind, name, pos, CAST(v AS DOUBLE) / 1e6 AS val FROM e{iters}"""
+
+
+def _transe_completion_duck(iters: int = 2, dim: int = 4, k: int = 3) -> str:
+    """kgtrain.transe_completion_topk replay over the trained chain:
+    e{iters}.v IS the micro integer the Spark side recovers via its
+    lossless floor(val*1e6+0.5) round trip, so the squared distances
+    are the same exact BIGINTs and the rank is integer-decided."""
+    return _transe_ctes(iters, dim) + f""",
+      sq AS (
+        SELECT q.subj, q.pred, c.name AS candidate,
+               CAST(sum((s.v + r.v - c.v) * (s.v + r.v - c.v)) AS BIGINT) AS d
+        FROM (SELECT DISTINCT subj, pred FROM trips) q
+        JOIN e{iters} s ON s.kind = 'entity'   AND s.name = q.subj
+        JOIN e{iters} r ON r.kind = 'relation' AND r.name = q.pred AND r.pos = s.pos
+        JOIN e{iters} c ON c.kind = 'entity'   AND c.pos = s.pos
+        GROUP BY 1, 2, 3
+      ),
+      fl AS (
+        SELECT sq.* FROM sq
+        LEFT JOIN trips t
+          ON sq.subj = t.subj AND sq.pred = t.pred AND sq.candidate = t.obj
+        WHERE t.subj IS NULL
+      )
+      SELECT subj, pred, candidate, CAST(d AS DOUBLE) / 1e12 AS dist, rank
+      FROM (
+        SELECT subj, pred, candidate, d,
+               CAST(row_number() OVER (PARTITION BY subj, pred
+                                       ORDER BY d, candidate) AS INT) AS rank
+        FROM fl
+      ) WHERE rank <= {k}"""
 
 
 def _pagerank_duck(iters: int = 3, d: float = 0.85) -> str:
@@ -3784,6 +3843,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_hits": _hits_duck(),
         "kg_entity_pagerank": _pagerank_duck(),
         "kg_transe_embeddings": _transe_duck(),
+        "kg_completion_topk": _transe_completion_duck(),
         "kg_link_prediction": f"""
           -- graphstats.link_prediction (adamic_adar) replay: canonical
           -- simple edges -> symmetric adjacency -> per-mid nano weight

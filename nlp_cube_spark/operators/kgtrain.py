@@ -266,3 +266,94 @@ def transe_train(
     return emb.select(
         "kind", "name", "pos", (F.col("v").cast("double") / F.lit(1e6)).alias("val")
     )
+
+
+def transe_completion_topk(
+    embeddings: DataFrame,
+    triples: DataFrame,
+    k: int = 3,
+    queries: DataFrame | None = None,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Link-prediction ranking with trained TransE vectors — the
+    standard KG-completion protocol (Bordes 2013 §4 'filtered'
+    evaluation): for each (subj, pred) query rank every candidate
+    entity by d(s + p - e) ascending, EXCLUDING candidates that form a
+    known true triple, and keep the top k (ties to the lexicographically
+    smaller entity).
+
+    `embeddings` is transe_train's output.  Scoring is EXACT integer
+    arithmetic end-to-end: components recover their micro-units via
+    floor(val * 1e6 + 0.5) (a lossless round trip of the trainer's
+    v / 1e6), residuals and squared distances are BIGINT sums — the
+    rank can never be decided by a float ulp, on any engine or
+    partitioning.  Returns (subj, pred, candidate, dist, rank) with
+    dist = micro^2 units / 1e12 (one exact division).
+
+    Scale shape: the score space is |queries| x |entities| x dim — the
+    ranking is INHERENTLY candidate-exhaustive (that is the protocol);
+    bound it by the queries frame, and at web scale serve candidates
+    from the ANN family instead (pq_topk over s + p as the query
+    vector) — this operator is the exact re-ranker at the end of that
+    funnel.  Joins are all equi (name/pos keys); the known-truth
+    exclusion is one anti-join."""
+    micro = embeddings.select(
+        "kind",
+        "name",
+        "pos",
+        F.floor(F.col("val") * F.lit(1e6) + F.lit(0.5)).cast("bigint").alias("m"),
+    ).localCheckpoint(eager=False)  # 3 consumers below
+    ent = micro.where(F.col("kind") == "entity").select("name", "pos", "m")
+    rel = micro.where(F.col("kind") == "relation").select("name", "pos", "m")
+    trips = triples.select(subj_col, pred_col, obj_col).dropDuplicates()
+    qs = (
+        queries
+        if queries is not None
+        else trips.select(subj_col, pred_col).dropDuplicates()
+    )
+    scored = (
+        qs.join(
+            ent.select(F.col("name").alias(subj_col), "pos", F.col("m").alias("_ms")),
+            [subj_col],
+        )
+        .join(
+            rel.select(F.col("name").alias(pred_col), "pos", F.col("m").alias("_mp")),
+            [pred_col, "pos"],
+        )
+        .join(
+            ent.select(F.col("name").alias("candidate"), "pos", F.col("m").alias("_me")),
+            ["pos"],
+        )
+        .select(
+            subj_col,
+            pred_col,
+            "candidate",
+            ((F.col("_ms") + F.col("_mp") - F.col("_me"))
+             * (F.col("_ms") + F.col("_mp") - F.col("_me"))).alias("_r2"),
+        )
+        .groupBy(subj_col, pred_col, "candidate")
+        .agg(F.sum("_r2").alias("_d"))
+        .join(
+            trips.select(
+                subj_col, pred_col, F.col(obj_col).alias("candidate")
+            ),
+            [subj_col, pred_col, "candidate"],
+            "left_anti",
+        )
+    )
+    w = Window.partitionBy(subj_col, pred_col).orderBy(
+        F.asc("_d"), F.asc("candidate")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            subj_col,
+            pred_col,
+            "candidate",
+            (F.col("_d").cast("double") / F.lit(1e12)).alias("dist"),
+            "rank",
+        )
+    )

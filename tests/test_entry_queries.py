@@ -148,6 +148,7 @@ FLOAT_SENSITIVE = [
     "doc_gopher_quality",
     "kg_link_prediction",
     "kg_transe_embeddings",
+    "kg_completion_topk",
     "doc_containment_dedup",
     "kg_degree_histogram",
     "lineitem_profile",

@@ -90,3 +90,32 @@ def test_transe_training_properties(spark):
         return tot
 
     assert loss(rows) <= loss(init) + 1e-9, (loss(rows), loss(init))
+
+
+def test_completion_topk_protocol(spark):
+    from nlp_cube_spark.operators.kgtrain import (
+        transe_completion_topk,
+        transe_train,
+    )
+
+    t = _triples(spark)
+    emb = transe_train(t, dim=4, iters=2).localCheckpoint()
+    out = transe_completion_topk(emb, t, k=2).collect()
+    truth = set(TRUTH)
+    by_q = {}
+    for r in out:
+        # filtered protocol: no known true triple is ever proposed
+        assert (r.subj, r.pred, r.candidate) not in truth
+        assert r.dist >= 0.0
+        by_q.setdefault((r.subj, r.pred), []).append((r.rank, r.dist))
+    # ranks are dense from 1 and distances non-decreasing within a query
+    for ranks in by_q.values():
+        ranks.sort()
+        assert [x[0] for x in ranks] == list(range(1, len(ranks) + 1))
+        assert all(a[1] <= b[1] for a, b in zip(ranks, ranks[1:]))
+    # ('a','likes') has truths b and c: only candidate 'a' remains
+    assert len(by_q[("a", "likes")]) == 1
+    # determinism across partitionings
+    again = sorted(map(tuple, transe_completion_topk(
+        emb, t.repartition(5), k=2).collect()))
+    assert again == sorted(map(tuple, out))
