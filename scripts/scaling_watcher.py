@@ -53,6 +53,19 @@ def attempt() -> dict | None:
     return json.loads(lines[-1]) if lines else None
 
 
+def bench_once() -> dict | None:
+    """One bench.py pass (min-of-BENCH_RUNS inside bench.py itself) —
+    the quiet-window driver-bench record (r6 verdict item 5); written
+    to BENCH/r7/bench_quiet.json with the firing probe alongside."""
+    env = dict(os.environ, BENCH_RUNS=os.environ.get("BENCH_RUNS", "3"))
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, timeout=2400, env=env, cwd=REPO,
+    )
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    return json.loads(lines[-1]) if lines else None
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--hours", type=float, default=3.0)
@@ -88,7 +101,18 @@ def main() -> None:
                 r["value"] >= args.gate_eff
                 and (r.get("bare_probe_efficiency") or 0) >= args.gate_probe
             ):
-                log("GATE PASSED — formal evidence written to BENCH/scaling_latest.md; stopping")
+                log("GATE PASSED — formal evidence written to BENCH/scaling_latest.md")
+                try:
+                    b = bench_once()
+                    if b is not None:
+                        b["_fired_at_probe"] = p
+                        path = os.path.join(os.path.dirname(LOG), "bench_quiet.json")
+                        with open(path, "w") as f:
+                            json.dump(b, f)
+                        log(f"quiet-window bench: total={b.get('value')}s -> {path}")
+                except Exception as exc:
+                    log(f"quiet bench failed: {exc}")
+                log("stopping")
                 return
         time.sleep(args.interval)
     log("watcher deadline reached without a gated pass")
