@@ -2654,7 +2654,7 @@ _L2_DUCK = """
 """
 
 
-def _pq_duck(m: int = 4, d: int = 16, ksub: int = 8, k: int = 5, dp: int = 9) -> str:
+def _pq_duck(m: int = 4, d: int = 16, ksub: int = 8, k: int = 5) -> str:
     """Unrolled product-quantization replay (one Lloyd iteration):
     hash-seeded per-subspace codebooks -> argmin-L2 assignment ->
     exact nano-unit recenter -> encode -> ADC distance table -> summed
@@ -2718,11 +2718,14 @@ def _pq_duck(m: int = 4, d: int = 16, ksub: int = 8, k: int = 5, dp: int = 9) ->
       ),
       q AS (SELECT vec_id AS q_id, sub_id, sub_emb AS q_sub FROM subs WHERE vec_id < 6),
       dtab AS (
-        SELECT q.q_id, c.sub_id, c.centroid_id AS code, round({dist_q}, {dp}) AS _d
+        -- nano-unit ADC entries: the m-way sum below is exact integer
+        SELECT q.q_id, c.sub_id, c.centroid_id AS code,
+               CAST(floor(({dist_q}) * 1e9 + 0.5) AS BIGINT) AS dn
         FROM q JOIN c1 c USING (sub_id)
       ),
       scored AS (
-        SELECT t.q_id, codes.vec_id, round(sum(t._d), 6) AS approx_dist
+        SELECT t.q_id, codes.vec_id,
+               floor((CAST(CAST(sum(t.dn) AS BIGINT) AS DOUBLE) / 1e9) * 1e6 + 0.5) / 1e6 AS approx_dist
         FROM codes JOIN dtab t USING (sub_id, code)
         GROUP BY t.q_id, codes.vec_id
       )

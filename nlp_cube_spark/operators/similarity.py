@@ -265,11 +265,13 @@ def pq_topk(
 
     100 TB shape: codebooks and distance tables are broadcast dimensions
     (m*ksub*queries rows); the scoring stage is a hash agg over
-    (codes x queries) rows carrying one double each. Distance-table
-    entries round to 9dp and the final sum to 6dp before ranking (ties
-    break on vec_id); the codebooks themselves come from the exact
-    nano-unit Lloyd trajectory (_nano_mean), so every rounded value is
-    a deterministic function of the input — no summation-order flake.
+    (codes x queries) rows carrying one BIGINT each. Distance-table
+    entries quantize to integer nano-units and the m-way per-candidate
+    sum is exact integer arithmetic (any order, any engine); the final
+    6dp floor re-quantization happens once, after the sum, before
+    ranking (ties break on vec_id). Codebooks come from the exact
+    nano-unit Lloyd trajectory (_nano_mean) — the whole index-train +
+    search path has no summation-order surface left.
 
     Operationally the index trains ONCE and serves many query batches:
     pass `codebooks` (from pq_codebooks, e.g. read back from parquet)
@@ -286,12 +288,32 @@ def pq_topk(
         F.col(q_id_col), F.explode(_subvectors(m, vec_col)).alias("s")
     ).select(q_id_col, "s.sub_id", F.col("s.sub_emb").alias("q_sub"))
     dist = F.expr(L2_EXPR.format(a="c_emb", b="q_sub"))
+    # ADC entries quantize to integer NANO-units so the m-way sum is
+    # exact at any aggregation order (the r7 trajectory discipline —
+    # previously this summed m rounded doubles, a residual straddle
+    # surface); one floor re-quantization to 6dp after the exact sum
     dtab = qsubs.join(F.broadcast(books), "sub_id").select(
-        q_id_col, "sub_id", F.col("centroid_id").alias("code"), F.round(dist, 9).alias("_d")
+        q_id_col,
+        "sub_id",
+        F.col("centroid_id").alias("code"),
+        F.floor(dist * F.lit(1e9) + F.lit(0.5)).cast("bigint").alias("_dn"),
     )
-    scored = codes.join(F.broadcast(dtab), ["sub_id", "code"]).groupBy(
-        q_id_col, id_col
-    ).agg(F.round(F.sum("_d"), 6).alias("approx_dist"))
+    scored = (
+        codes.join(F.broadcast(dtab), ["sub_id", "code"])
+        .groupBy(q_id_col, id_col)
+        .agg(F.sum("_dn").alias("_sn"))
+        .select(
+            q_id_col,
+            id_col,
+            (
+                F.floor(
+                    (F.col("_sn").cast("double") / F.lit(1e9)) * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("approx_dist"),
+        )
+    )
     w = Window.partitionBy(q_id_col).orderBy(F.asc("approx_dist"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
