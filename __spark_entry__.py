@@ -1713,6 +1713,22 @@ def q_embedding_semdedup(spark, sf_dir):
     )
 
 
+_CMS_DEPTH, _CMS_WIDTH = 3, 16
+
+
+def q_cms_term_counts(spark, sf_dir):
+    """Count-Min sketch term frequencies (operators/sketches.py, Cormode &
+    Muthukrishnan 2005): d x w linear sketch of the whitespace-token
+    stream, point-queried for every distinct term, reported as est vs
+    exact with the one-sided overestimate. width=16 forces real
+    collisions so the min-over-rows estimate path is exercised. The
+    sketch is d*w cells regardless of corpus size (the 100 TB shape)."""
+    from nlp_cube_spark.operators.sketches import cms_term_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return cms_term_counts(docs, depth=_CMS_DEPTH, width=_CMS_WIDTH)
+
+
 def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_shipped(spark)
@@ -1800,6 +1816,8 @@ _QUERIES = {
         # all byte-unchanged since they last passed), then the 50
         # r6-checked rows (CORRECTNESS_r06, 100% green) minus the two
         # promoted above.
+        # --- r7 additions past the window cut (driver-check in r8) ---
+        "cms_term_counts": q_cms_term_counts,
         "events_asof_prev_click": q_events_asof_prev_click,
         "events_range_clicks": q_events_range_clicks,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -3246,6 +3264,30 @@ def _learned_tagger_duck() -> str:
 def oracle_sql() -> dict[str, str]:
     sw_en, sw_es, sw_fr = _sw_hits(_SW_EN), _sw_hits(_SW_ES), _sw_hits(_SW_FR)
     return {
+        "cms_term_counts": f"""
+          WITH toks AS (
+            SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                      x -> x <> '')) AS term
+            FROM documents
+          ),
+          exact AS (SELECT term, count(*) AS exact_count FROM toks GROUP BY term),
+          hashed AS (
+            SELECT term, exact_count AS c, r,
+                   ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || term), 1, 13))::BIGINT
+                     % {_CMS_WIDTH} AS bucket
+            FROM exact, range(0, {_CMS_DEPTH}) t(r)
+          ),
+          sketch AS (SELECT r, bucket, sum(c) AS cell FROM hashed GROUP BY r, bucket),
+          est AS (
+            SELECT h.term, min(coalesce(s.cell, 0)) AS est_count
+            FROM hashed h LEFT JOIN sketch s ON h.r = s.r AND h.bucket = s.bucket
+            GROUP BY h.term
+          )
+          SELECT e.term, CAST(e.exact_count AS BIGINT) AS exact_count,
+                 CAST(est.est_count AS BIGINT) AS est_count,
+                 CAST(est.est_count - e.exact_count AS BIGINT) AS overestimate
+          FROM exact e JOIN est USING (term)
+        """,
         "pricing_summary": """
           SELECT l_returnflag, l_linestatus,
                  round(sum(l_quantity), 2) AS sum_qty,
