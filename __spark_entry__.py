@@ -1714,6 +1714,77 @@ def q_embedding_semdedup(spark, sf_dir):
 
 
 _CMS_DEPTH, _CMS_WIDTH = 3, 16
+_DOREMI_ROUNDS, _DOREMI_ETA, _DOREMI_C_MICRO = 5, 1.0, 1000
+
+
+def q_source_doremi_weights(spark, sf_dir):
+    """DoReMi domain reweighting (operators/curate.doremi_weights, Xie
+    et al. 2023): Group-DRO multiplicative-weights mixture over the 20
+    sources, with per-domain excess cross-entropy under the corpus
+    unigram LM as the loss signal. The n_rounds trajectory is exact
+    integer micro-units; the corpus-sized work is one (domain, term)
+    hash agg + a term-keyed LM join (open vocab — not broadcast)."""
+    from nlp_cube_spark.operators.curate import doremi_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return doremi_weights(
+        docs,
+        n_rounds=_DOREMI_ROUNDS,
+        eta=_DOREMI_ETA,
+        smoothing=_DOREMI_C_MICRO / 1e6,
+    )
+
+
+def _doremi_duck(
+    n_rounds: int = _DOREMI_ROUNDS,
+    eta: float = _DOREMI_ETA,
+    c_micro: int = _DOREMI_C_MICRO,
+    max_excess_nano: int = 2_000_000_000,
+    k: float = 0.5,
+) -> str:
+    rounds, prev = [], "w0"
+    for t in range(1, n_rounds + 1):
+        rounds.append(f"""
+          r{t} AS (
+            SELECT _dom, n_tokens, exc_nano, boost, nd,
+                   CAST((({1000000 - c_micro} * ((raw * 1000000) // S)) // 1000000)
+                        + ({c_micro} // nd) AS BIGINT) AS w
+            FROM (SELECT *, w * boost AS raw,
+                         sum(w * boost) OVER () AS S FROM {prev})
+          )""")
+        prev = f"r{t}"
+    return f"""
+      WITH toks AS (
+        SELECT source AS _dom,
+               unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS t
+        FROM documents
+      ),
+      dc AS (SELECT _dom, t, count(*) AS c FROM toks GROUP BY 1, 2),
+      lm AS (SELECT t, sum(c) AS tc FROM dc GROUP BY 1),
+      nv AS (SELECT sum(tc) AS N, count(*) AS V FROM lm),
+      lp AS (SELECT t, CAST(floor(ln((tc + {k}) / (N + {k} * V)) * 1e9 + 0.5) AS BIGINT) AS lp_nano
+             FROM lm CROSS JOIN nv),
+      dnum AS (SELECT _dom, CAST(sum(c) AS BIGINT) AS n_tokens,
+                      CAST(-sum(c * lp_nano) AS BIGINT) AS num
+               FROM dc JOIN lp USING (t) GROUP BY 1),
+      ref AS (SELECT CAST(sum(num) AS BIGINT) // CAST(sum(n_tokens) AS BIGINT) AS ref_ce
+              FROM dnum),
+      exc AS (SELECT _dom, n_tokens,
+                     least(greatest((num // n_tokens) - ref_ce, 0), {max_excess_nano}) AS exc_nano
+              FROM dnum CROSS JOIN ref),
+      bst AS (SELECT _dom, n_tokens, exc_nano,
+                     CAST(floor(exp({eta} * (exc_nano / 1e9)) * 1e6 + 0.5) AS BIGINT) AS boost
+              FROM exc),
+      nd AS (SELECT count(*) AS nd FROM bst),
+      w0 AS (SELECT _dom, n_tokens, exc_nano, boost, nd,
+                    CAST(1000000 // nd AS BIGINT) AS w
+             FROM bst CROSS JOIN nd),
+      {",".join(rounds)}
+      SELECT _dom AS source, n_tokens,
+             CAST(exc_nano // 1000 AS BIGINT) / 1e6 AS excess_ce,
+             w / 1e6 AS weight
+      FROM {prev}
+    """
 
 
 def q_cms_term_counts(spark, sf_dir):
@@ -1818,6 +1889,7 @@ _QUERIES = {
         # promoted above.
         # --- r7 additions past the window cut (driver-check in r8) ---
         "cms_term_counts": q_cms_term_counts,
+        "source_doremi_weights": q_source_doremi_weights,
         "events_asof_prev_click": q_events_asof_prev_click,
         "events_range_clicks": q_events_range_clicks,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -3264,6 +3336,7 @@ def _learned_tagger_duck() -> str:
 def oracle_sql() -> dict[str, str]:
     sw_en, sw_es, sw_fr = _sw_hits(_SW_EN), _sw_hits(_SW_ES), _sw_hits(_SW_FR)
     return {
+        "source_doremi_weights": _doremi_duck(),
         "cms_term_counts": f"""
           WITH toks AS (
             SELECT unnest(list_filter(string_split_regex(text, '\\s+'),

@@ -211,3 +211,120 @@ def dsir_weights(
         "log_weight",
         "log_weight_per_feat",
     )
+
+
+def doremi_weights(
+    docs: DataFrame,
+    text_col: str = "text",
+    domain_col: str = "source",
+    n_rounds: int = 5,
+    eta: float = 1.0,
+    smoothing: float = 1e-3,
+    k: float = 0.5,
+    max_excess: float = 2.0,
+) -> DataFrame:
+    """DoReMi domain reweighting (Xie et al. 2023, "DoReMi: Optimizing
+    Data Mixtures Speeds Up Language Model Pretraining"): the Group-DRO
+    multiplicative-weights update that up-weights training domains with
+    high EXCESS loss.  The paper's proxy/reference models are stood in
+    for by the deterministic device this repo already uses for quality
+    scoring: per-domain cross-entropy under the corpus's own add-k
+    unigram LM, with the corpus-wide mean CE as the reference; excess_i
+    = clamp(CE_i - CE_ref, 0, max_excess) (DoReMi clips at 0; the upper
+    clamp bounds the integer trajectory).
+
+    Update, n_rounds times from uniform:
+        w'_i  = w_i * exp(eta * excess_i)         (multiplicative step)
+        w''_i = w'_i / sum_j w'_j                 (normalize)
+        w_i   = (1-smoothing) * w''_i + smoothing / n_domains
+
+    Returns (domain_col, n_tokens, excess_ce, weight) — the final
+    sampling mixture for composing the training corpus.
+
+    100 TB shape: the only corpus-sized work is the per-domain CE (one
+    (domain, term) hash agg, a term-keyed join against the open-vocab
+    LM — deliberately NOT broadcast — and one domain agg); the n_rounds
+    iteration runs on the DOMAIN dimension (tens of rows, like the
+    paper's 22 Pile domains) via per-round broadcast normalizers.
+
+    Exactness: per-term ln p is floor-quantized to nano-units once
+    (the dsir_weights device), every CE/excess is a BIGINT, the single
+    exp() per domain is floor-quantized to micro-units, and the whole
+    n_rounds trajectory is integer micro-unit arithmetic (floor
+    divisions on positives match DuckDB `//`) — summation-order
+    independent, so the mixture is bit-identical at any parallelism.
+    Magnitude guard: boost <= e^(eta*max_excess) micro = 7.4e6, so
+    raw*1e6 <= 1e6 * 7.4e6 * 1e6 = 7.4e18 < 2^63.
+    """
+    c_micro = int(smoothing * 1e6)
+    max_excess_nano = int(max_excess * 1e9)
+    toks = docs.select(
+        F.col(domain_col).alias("_dom"),
+        F.explode(F.split(F.col(text_col), "\\s+")).alias("_t"),
+    ).where(F.col("_t") != "")
+    dc = toks.groupBy("_dom", "_t").agg(F.count(F.lit(1)).alias("_c"))
+    lm = dc.groupBy("_t").agg(F.sum("_c").alias("_tc"))
+    nv = lm.agg(F.sum("_tc").alias("_N"), F.count(F.lit(1)).alias("_V"))
+    lp = lm.crossJoin(F.broadcast(nv)).select(
+        "_t",
+        F.floor(
+            F.log((F.col("_tc") + k) / (F.col("_N") + k * F.col("_V"))) * 1e9
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("_lp_nano"),
+    )
+    dnum = (
+        dc.join(lp, "_t")
+        .groupBy("_dom")
+        .agg(
+            F.sum("_c").alias("n_tokens"),
+            (-F.sum(F.col("_c") * F.col("_lp_nano"))).alias("_num"),
+        )
+    )
+    ref = dnum.agg(
+        F.expr("sum(_num) div sum(n_tokens)").alias("_ref_ce")
+    )
+    dom = (
+        dnum.crossJoin(F.broadcast(ref))
+        .select(
+            "_dom",
+            "n_tokens",
+            F.least(
+                F.greatest(
+                    F.expr("_num div n_tokens") - F.col("_ref_ce"), F.lit(0)
+                ),
+                F.lit(max_excess_nano),
+            ).alias("_exc_nano"),
+        )
+        .withColumn(
+            "_boost",
+            F.floor(F.exp(F.lit(eta) * (F.col("_exc_nano") / F.lit(1e9))) * 1e6 + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        )
+    )
+    nd = dom.agg(F.count(F.lit(1)).alias("_nd"))
+    dom = dom.crossJoin(F.broadcast(nd)).withColumn(
+        "_w", F.expr("1000000L div _nd")
+    )
+    for _ in range(n_rounds):
+        dom = dom.withColumn("_raw", F.col("_w") * F.col("_boost"))
+        s = dom.agg(F.sum("_raw").alias("_S"))
+        dom = (
+            dom.crossJoin(F.broadcast(s))
+            .withColumn(
+                "_w",
+                F.expr(
+                    f"(({1000000 - c_micro}L * ((_raw * 1000000L) div _S))"
+                    f" div 1000000L) + ({c_micro}L div _nd)"
+                ),
+            )
+            .drop("_raw", "_S")
+        )
+    return dom.select(
+        F.col("_dom").alias(domain_col),
+        "n_tokens",
+        ((F.expr("_exc_nano div 1000L")) / F.lit(1e6)).alias("excess_ce"),
+        (F.col("_w") / F.lit(1e6)).alias("weight"),
+    )

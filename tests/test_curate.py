@@ -96,3 +96,56 @@ def test_dsir_lms_broadcast(spark):
     plan = dsir_weights(docs, target)._jdf.queryExecution().executedPlan().toString()
     # fixed bucket space -> LM joins are broadcast, never a sort-merge
     assert "BroadcastHashJoin" in plan
+
+
+def test_doremi_upweights_high_loss_domain(spark):
+    from nlp_cube_spark.operators.curate import doremi_weights
+
+    # domain 'rare' uses low-frequency tokens -> high CE under the
+    # corpus LM -> positive excess -> weight above uniform; 'common'
+    # repeats the corpus-dominant token -> below uniform.
+    rows = (
+        [(i, "alpha alpha alpha alpha", "common") for i in range(8)]
+        + [(100 + i, f"zeta{i} eta{i} theta{i}", "rare") for i in range(3)]
+        + [(200, "alpha beta gamma delta", "mid")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in doremi_weights(docs, n_rounds=3).collect()}
+    assert set(out) == {"common", "rare", "mid"}
+    assert out["rare"].excess_ce > 0
+    assert out["common"].excess_ce == 0.0  # clamped at 0
+    assert out["rare"].weight > 1 / 3 > out["common"].weight
+    # mixture ~sums to 1 (floor-division shortfall < n_domains ulps)
+    assert abs(sum(r.weight for r in out.values()) - 1.0) < 1e-4
+    for r in out.values():
+        assert r.weight >= 1e-3 / 3 - 1e-9  # smoothing floor
+
+
+def test_doremi_uniform_when_losses_equal(spark):
+    from nlp_cube_spark.operators.curate import doremi_weights
+
+    docs = spark.createDataFrame(
+        [(1, "x y", "a"), (2, "x y", "b")],
+        "doc_id long, text string, source string",
+    )
+    out = doremi_weights(docs, n_rounds=4).collect()
+    ws = [r.weight for r in out]
+    assert abs(ws[0] - ws[1]) < 1e-5 and all(abs(w - 0.5) < 1e-4 for w in ws)
+
+
+def test_doremi_parallelism_invariant(spark):
+    from nlp_cube_spark.operators.curate import doremi_weights
+
+    rows = [
+        (i, f"tok{i % 17} tok{i % 5} tok{i % 3} filler", f"d{i % 7}")
+        for i in range(120)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    outs = []
+    for parts in (1, 3, 17):
+        outs.append(
+            sorted(
+                doremi_weights(docs.repartition(parts), n_rounds=5).collect()
+            )
+        )
+    assert outs[0] == outs[1] == outs[2]
