@@ -1735,6 +1735,18 @@ def q_source_doremi_weights(spark, sf_dir):
     )
 
 
+def q_doc_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity terciles per language
+    (operators/webclean.ccnet_ppl_buckets, Wenzek 2020 §4.4): per-doc
+    cross-entropy under the per-language corpus unigram LM as exact
+    integer nano-units, tercile rank via the no-global-sort
+    exclusive-prefix-sum device + closed-form ntile(3)."""
+    from nlp_cube_spark.operators.webclean import ccnet_ppl_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    return ccnet_ppl_buckets(docs)
+
+
 def _doremi_duck(
     n_rounds: int = _DOREMI_ROUNDS,
     eta: float = _DOREMI_ETA,
@@ -1890,6 +1902,7 @@ _QUERIES = {
         # --- r7 additions past the window cut (driver-check in r8) ---
         "cms_term_counts": q_cms_term_counts,
         "source_doremi_weights": q_source_doremi_weights,
+        "doc_ccnet_buckets": q_doc_ccnet_buckets,
         "events_asof_prev_click": q_events_asof_prev_click,
         "events_range_clicks": q_events_range_clicks,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -3337,6 +3350,31 @@ def oracle_sql() -> dict[str, str]:
     sw_en, sw_es, sw_fr = _sw_hits(_SW_EN), _sw_hits(_SW_ES), _sw_hits(_SW_FR)
     return {
         "source_doremi_weights": _doremi_duck(),
+        "doc_ccnet_buckets": """
+          WITH toks AS (
+            SELECT doc_id, lang,
+                   unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS t
+            FROM documents
+          ),
+          tf AS (SELECT lang, doc_id, t, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
+          lm AS (SELECT lang, t, sum(tf) AS c FROM tf GROUP BY 1, 2),
+          nv AS (SELECT lang, sum(c) AS N, count(*) AS V FROM lm GROUP BY 1),
+          lp AS (SELECT lang, t,
+                        CAST(floor(ln((c + 0.5) / (N + 0.5 * V)) * 1e9 + 0.5) AS BIGINT)
+                          AS lp_nano
+                 FROM lm JOIN nv USING (lang)),
+          ce AS (
+            SELECT tf.lang, tf.doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                   CAST(-sum(tf * lp_nano) AS BIGINT) // CAST(sum(tf) AS BIGINT) AS ce_nano
+            FROM tf JOIN lp USING (lang, t) GROUP BY 1, 2
+          )
+          SELECT doc_id, lang, n_tokens,
+                 CAST(ce_nano // 1000 AS BIGINT) / 1e6 AS cross_entropy,
+                 CASE ntile(3) OVER (PARTITION BY lang ORDER BY ce_nano, doc_id)
+                   WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+                 END AS ppl_bucket
+          FROM ce
+        """,
         "cms_term_counts": f"""
           WITH toks AS (
             SELECT unnest(list_filter(string_split_regex(text, '\\s+'),

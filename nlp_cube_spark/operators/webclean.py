@@ -224,3 +224,91 @@ def cap_per_source(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= n)
     )
+
+
+def ccnet_ppl_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    k: float = 0.5,
+) -> DataFrame:
+    """CCNet perplexity bucketing (Wenzek et al. 2020, "CCNet: Extracting
+    High Quality Monolingual Datasets from Web Crawl Data", §4.4): split
+    each language's documents into head / middle / tail terciles of LM
+    perplexity — the head tercile is what the paper keeps for training.
+    The paper's per-language KenLM is stood in for by the corpus's own
+    per-language add-k unigram LM (the deterministic device of
+    unigram_perplexity / doremi_weights).
+
+    Returns (id_col, lang_col, n_tokens, cross_entropy, ppl_bucket) for
+    every document with at least one token (CCNet drops empty pages).
+
+    100 TB shape: per-language LM by one (lang, term) hash agg; scoring
+    joins on (lang, term) — the open-vocab LM dimension is deliberately
+    NOT broadcast; the per-language normalizers (nv) are a
+    languages-sized broadcast. Tercile assignment needs a per-language
+    GLOBAL rank — done WITHOUT a single-task sort via the shared
+    exclusive-prefix-sum device (content-derived range buckets +
+    broadcast offsets, operators/ranges.py), then the closed-form ntile
+    formula; the oracle replays it as plain ntile(3) OVER (PARTITION BY
+    lang), which is provably identical on the (ce_nano, id) total order.
+
+    Exactness: per-doc cross-entropy is BIGINT nano-units (quantized
+    per-term ln once, integer sums, floor div) — summation-order
+    independent, so tercile MEMBERSHIP cannot flip with partitioning.
+    """
+    from .ranges import exclusive_prefix_sum
+
+    toks = docs.select(
+        F.col(id_col), F.col(lang_col),
+        F.explode(F.split(F.col(text_col), "\\s+")).alias("_t"),
+    ).where(F.col("_t") != "")
+    tf = toks.groupBy(lang_col, id_col, "_t").agg(F.count(F.lit(1)).alias("_tf"))
+    lm = tf.groupBy(lang_col, "_t").agg(F.sum("_tf").alias("_c"))
+    nv = lm.groupBy(lang_col).agg(
+        F.sum("_c").alias("_N"), F.count(F.lit(1)).alias("_V")
+    )
+    lp = lm.join(F.broadcast(nv), lang_col).select(
+        lang_col, "_t",
+        F.floor(
+            F.log((F.col("_c") + k) / (F.col("_N") + k * F.col("_V"))) * 1e9
+            + F.lit(0.5)
+        ).cast("bigint").alias("_lp_nano"),
+    )
+    ce = (
+        tf.join(lp, [lang_col, "_t"])
+        .groupBy(lang_col, id_col)
+        .agg(
+            F.sum("_tf").alias("n_tokens"),
+            (-F.sum(F.col("_tf") * F.col("_lp_nano"))).alias("_num"),
+        )
+        .withColumn("_ce_nano", F.expr("_num div n_tokens"))
+    )
+    ranked = exclusive_prefix_sum(
+        ce.select(lang_col, id_col, "n_tokens", "_ce_nano"),
+        [F.col(lang_col), F.col("_ce_nano"), F.col(id_col)],
+        F.lit(1),
+        out_col="_pre",
+    )
+    dims = ranked.groupBy(lang_col).agg(
+        F.min("_pre").alias("_off"), F.count(F.lit(1)).alias("_n")
+    )
+    out = ranked.join(F.broadcast(dims), lang_col).withColumn(
+        "_rk1", F.col("_pre") - F.col("_off") + 1
+    )
+    # closed-form ntile(3): n = 3q + r; first r tiles take q+1 rows.
+    # q = 0 is safe: rank1 <= n = r keeps evaluation in the first branch.
+    tile = F.expr(
+        "CASE WHEN _rk1 <= (_n div 3 + 1) * (_n % 3) "
+        "     THEN (_rk1 - 1) div (_n div 3 + 1) + 1 "
+        "     ELSE _n % 3 + (_rk1 - (_n div 3 + 1) * (_n % 3) - 1) div (_n div 3) + 1 END"
+    )
+    return out.select(
+        id_col, lang_col, "n_tokens",
+        ((F.expr("_ce_nano div 1000L")) / F.lit(1e6)).alias("cross_entropy"),
+        F.when(tile == 1, F.lit("head"))
+        .when(tile == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )

@@ -108,6 +108,7 @@ def test_rows_only_queries_run(spark, name):
 # divergence was caught (one doc at sf0.001, none at sf0.01).
 FLOAT_SENSITIVE = [
     "source_doremi_weights",
+    "doc_ccnet_buckets",
     "doc_quality",
     "training_corpus_curation",
     "doc_length_quantiles_twopass",

@@ -90,3 +90,51 @@ def test_cap_per_source(spark):
         ("s0", 1): 0, ("s0", 2): 2, ("s0", 3): 4,
         ("s1", 1): 1, ("s1", 2): 3, ("s1", 3): 5,
     }
+
+
+def test_ccnet_buckets_tercile_sizes_and_order(spark):
+    # 9 docs in one lang: doc i repeats a common token plus i rare ones,
+    # so CE rises with i -> head = lowest-CE third.
+    rows = [
+        (i, " ".join(["common"] * 12 + [f"rare{i}_{j}" for j in range(i)]), "en")
+        for i in range(9)
+    ] + [(100, "", "en"), (101, "solo token", "fr")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = W.ccnet_ppl_buckets(docs).collect()
+    en = {r.doc_id: r for r in out if r.lang == "en"}
+    fr = [r for r in out if r.lang == "fr"]
+    assert 100 not in en  # empty doc dropped
+    assert len(en) == 9 and len(fr) == 1
+    buckets = [en[i].ppl_bucket for i in range(9)]
+    assert buckets == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    assert fr[0].ppl_bucket == "head"  # n=1: single doc lands in tile 1
+    ces = [en[i].cross_entropy for i in range(9)]
+    assert ces == sorted(ces)
+
+
+def test_ccnet_closed_form_matches_spark_ntile(spark):
+    # The closed-form tile formula must agree with Spark's own ntile(3)
+    # on an awkward n (not divisible by 3) across two languages.
+    rows = [
+        (i, f"w{i % 13} w{i % 7} w{i % 3}", "en" if i % 2 else "de")
+        for i in range(23)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = W.ccnet_ppl_buckets(docs)
+    from pyspark.sql import Window, functions as F
+    w = Window.partitionBy("lang").orderBy("cross_entropy", "doc_id")
+    chk = out.withColumn("tile", F.ntile(3).over(w)).collect()
+    lab = {1: "head", 2: "middle", 3: "tail"}
+    assert all(r.ppl_bucket == lab[r.tile] for r in chk)
+
+
+def test_ccnet_parallelism_invariant(spark):
+    rows = [
+        (i, f"a{i % 11} b{i % 5} c", "en" if i % 3 else "es") for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    outs = [
+        sorted(W.ccnet_ppl_buckets(docs.repartition(p)).collect())
+        for p in (1, 4, 17)
+    ]
+    assert outs[0] == outs[1] == outs[2]
