@@ -549,6 +549,19 @@ def q_ann_pq_topk(spark, sf_dir):
     )
 
 
+def q_ann_recall_ivf(spark, sf_dir):
+    """Recall@5 of the IVF index vs the exact scan
+    (similarity.ann_recall_at_k) at the same settings as the
+    ann_cosine_topk / ann_ivf_topk driver queries — the oracle unrolls
+    BOTH search paths and intersects them, so the recall numerator is
+    hash-certified end to end."""
+    from nlp_cube_spark.operators.similarity import ann_recall_at_k
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id < 8").select(F.col("vec_id").alias("q_id"), "embedding")
+    return ann_recall_at_k(emb, q, k=5, n_centroids=16, nprobe=4)
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     from nlp_cube_spark.operators.similarity import ivf_topk
 
@@ -1903,6 +1916,7 @@ _QUERIES = {
         "cms_term_counts": q_cms_term_counts,
         "source_doremi_weights": q_source_doremi_weights,
         "doc_ccnet_buckets": q_doc_ccnet_buckets,
+        "ann_recall_ivf": q_ann_recall_ivf,
         "events_asof_prev_click": q_events_asof_prev_click,
         "events_range_clicks": q_events_range_clicks,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -4833,6 +4847,58 @@ def oracle_sql() -> dict[str, str]:
           SELECT vec_a, vec_b, round({_COS_DUCK.format(a="emb_a", b="emb_b")}, 6) AS cos_sim
           FROM pairs
           WHERE round({_COS_DUCK.format(a="emb_a", b="emb_b")}, 6) >= 0.99
+        """,
+        "ann_recall_ivf": f"""
+          WITH cents AS (
+            SELECT row_number() OVER (ORDER BY _h) AS centroid_id, embedding AS c_emb
+            FROM (
+              SELECT vec_id, embedding,
+                     CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS VARCHAR) AS _h
+              FROM embeddings ORDER BY _h LIMIT 16
+            )
+          ),
+          assigned AS (
+            SELECT vec_id, embedding, centroid_id FROM (
+              SELECT v.vec_id, v.embedding, c.centroid_id,
+                     row_number() OVER (PARTITION BY v.vec_id
+                                        ORDER BY {_COS_DUCK.format(a="c_emb", b="v.embedding")} DESC,
+                                                 c.centroid_id) AS rn
+              FROM embeddings v, cents c
+            ) WHERE rn = 1
+          ),
+          q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+          probes AS (
+            SELECT q_id, q_emb, centroid_id FROM (
+              SELECT q.q_id, q.q_emb, c.centroid_id,
+                     row_number() OVER (PARTITION BY q.q_id
+                                        ORDER BY {_COS_DUCK.format(a="c_emb", b="q.q_emb")} DESC,
+                                                 c.centroid_id) AS rn
+              FROM q, cents c
+            ) WHERE rn <= 4
+          ),
+          ivf AS (
+            SELECT q_id, vec_id FROM (
+              SELECT q_id, vec_id,
+                     row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rank
+              FROM (SELECT p.q_id, a.vec_id,
+                           round({_COS_DUCK.format(a="p.q_emb", b="a.embedding")}, 6) AS cos_sim
+                    FROM assigned a JOIN probes p USING (centroid_id))
+            ) WHERE rank <= 5
+          ),
+          ex AS (
+            SELECT q_id, vec_id FROM (
+              SELECT q_id, vec_id,
+                     row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rank
+              FROM (SELECT q_id, vec_id,
+                           round({_COS_DUCK.format(a="q_emb", b="embedding")}, 6) AS cos_sim
+                    FROM embeddings, q)
+            ) WHERE rank <= 5
+          ),
+          hits AS (SELECT q_id, count(*) AS n_hits
+                   FROM ex JOIN ivf USING (q_id, vec_id) GROUP BY q_id)
+          SELECT q.q_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                 coalesce(h.n_hits, 0) / 5.0 AS recall
+          FROM q LEFT JOIN hits h USING (q_id)
         """,
         "ann_ivf_topk": f"""
           WITH cents AS (

@@ -495,3 +495,54 @@ def semdedup(
         "component",
         (F.col(id_col) == F.col("_keep_id")).alias("keep"),
     )
+
+
+def ann_recall_at_k(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the IVF index against the exact cosine top-k — the
+    standard ANN quality meter (Jégou et al. 2011 report IVF settings
+    as recall@k curves): per query, the fraction of the true top-k the
+    probed search returned.
+
+    Returns (q_id_col, n_hits, recall) for every query, recall = hits/k
+    in [0, 1]; a query whose probed cells miss the true neighbors scores
+    0, never NULL.
+
+    100 TB shape: both sides reuse the query frame broadcast; the exact
+    side is the one-pass brute-force scan (run it on a SAMPLE of queries
+    in production — recall estimation doesn't need every query), the IVF
+    side touches only nprobe/n_centroids of the corpus; the intersection
+    is a (q_id, vec_id)-keyed join of two k-row-per-query frames.
+
+    Determinism: both rankings round cosine at 6dp and tie-break on
+    vec_id (the established device), so membership — and therefore the
+    recall numerator — is reproducible at any parallelism.
+    """
+    exact = cosine_topk(vectors, queries, k, id_col, q_id_col, vec_col).select(
+        q_id_col, id_col
+    )
+    approx = ivf_topk(
+        vectors, queries, k, n_centroids, nprobe, id_col, q_id_col, vec_col
+    ).select(q_id_col, id_col)
+    hits = (
+        exact.join(approx, [q_id_col, id_col])
+        .groupBy(q_id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        queries.select(q_id_col)
+        .join(hits, q_id_col, "left")
+        .select(
+            q_id_col,
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) / F.lit(float(k))).alias("recall"),
+        )
+    )

@@ -563,3 +563,24 @@ def test_winnow_hash_impl_guarantee_parity(spark):
 
     with _pytest.raises(ValueError):
         D.winnow_fingerprints(docs, hash_impl="sha1")
+
+
+def test_ann_recall_at_k_operator(spark):
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").localCheckpoint()
+    q = emb.where("vec_id < 5").select(F.col("vec_id").alias("q_id"), "embedding")
+    out = {r.q_id: r for r in
+           S.ann_recall_at_k(emb, q, k=3, n_centroids=8, nprobe=4).collect()}
+    assert set(out) == set(range(5))
+    # cross-check the numerator against the two rankings directly
+    exact = {(r.q_id, r.vec_id) for r in S.cosine_topk(emb, q, k=3).collect()}
+    approx = {(r.q_id, r.vec_id)
+              for r in S.ivf_topk(emb, q, k=3, n_centroids=8, nprobe=4).collect()}
+    for qid, r in out.items():
+        want = len({p for p in exact if p[0] == qid}
+                   & {p for p in approx if p[0] == qid})
+        assert r.n_hits == want and r.recall == want / 3.0
+        assert 0.0 <= r.recall <= 1.0
+    # probing every cell makes IVF exact -> recall 1.0 everywhere
+    full = S.ann_recall_at_k(emb, q, k=3, n_centroids=8, nprobe=8).collect()
+    assert all(r.recall == 1.0 for r in full)

@@ -109,6 +109,7 @@ def test_rows_only_queries_run(spark, name):
 FLOAT_SENSITIVE = [
     "source_doremi_weights",
     "doc_ccnet_buckets",
+    "ann_recall_ivf",
     "doc_quality",
     "training_corpus_curation",
     "doc_length_quantiles_twopass",
