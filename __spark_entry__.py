@@ -562,6 +562,19 @@ def q_ann_recall_ivf(spark, sf_dir):
     return ann_recall_at_k(emb, q, k=5, n_centroids=16, nprobe=4)
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (similarity.hard_negative_topk): top-5
+    most-similar DIFFERENT-label vectors per anchor — the contrastive-
+    training miner. Anchor set broadcast, one corpus scan."""
+    from nlp_cube_spark.operators.similarity import hard_negative_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.where("vec_id < 8").select(
+        F.col("vec_id").alias("q_id"), "embedding", "label"
+    )
+    return hard_negative_topk(emb, a, k=5).select("q_id", "vec_id", "rank")
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     from nlp_cube_spark.operators.similarity import ivf_topk
 
@@ -1917,6 +1930,7 @@ _QUERIES = {
         "source_doremi_weights": q_source_doremi_weights,
         "doc_ccnet_buckets": q_doc_ccnet_buckets,
         "ann_recall_ivf": q_ann_recall_ivf,
+        "hard_negatives": q_hard_negatives,
         "events_asof_prev_click": q_events_asof_prev_click,
         "events_range_clicks": q_events_range_clicks,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -4847,6 +4861,18 @@ def oracle_sql() -> dict[str, str]:
           SELECT vec_a, vec_b, round({_COS_DUCK.format(a="emb_a", b="emb_b")}, 6) AS cos_sim
           FROM pairs
           WHERE round({_COS_DUCK.format(a="emb_a", b="emb_b")}, 6) >= 0.99
+        """,
+        "hard_negatives": f"""
+          WITH a AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+                     FROM embeddings WHERE vec_id < 8),
+          scored AS (
+            SELECT q_id, vec_id,
+                   round({_COS_DUCK.format(a="q_emb", b="embedding")}, 6) AS cos_sim
+            FROM embeddings, a WHERE label <> q_label)
+          SELECT q_id, vec_id, rank FROM (
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rank
+            FROM scored) WHERE rank <= 5
         """,
         "ann_recall_ivf": f"""
           WITH cents AS (

@@ -546,3 +546,46 @@ def ann_recall_at_k(
             (F.coalesce("n_hits", F.lit(0)) / F.lit(float(k))).alias("recall"),
         )
     )
+
+
+def hard_negative_topk(
+    vectors: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training (the
+    standard miner of the dense-retrieval / SimCLR literature, e.g.
+    Robinson et al. 2021 "Contrastive Learning with Hard Negative
+    Samples"): for each anchor, the k most-similar vectors with a
+    DIFFERENT label — the negatives that most confuse the current
+    embedding space, which is exactly what the next training round
+    should see.
+
+    anchors: (q_id_col, vec_col, label_col). Returns
+    (q_id, vec_id, cos_sim, rank), rank 1 = hardest negative.
+
+    100 TB shape: identical to cosine_topk (anchor set broadcast, one
+    corpus scan, per-anchor window over k-bounded candidates) — mine
+    from an IVF-probed candidate set instead of the full scan when the
+    corpus is the whole training set. Same 6dp-round + id tie-break
+    determinism device.
+    """
+    a = anchors.select(
+        F.col(q_id_col),
+        F.col(vec_col).alias("_q_emb"),
+        F.col(label_col).alias("_q_label"),
+    )
+    cos = F.expr(COS_EXPR.format(a="_q_emb", b=vec_col))
+    scored = (
+        vectors.join(F.broadcast(a))
+        .where(F.col(label_col) != F.col("_q_label"))
+        .select(F.col(q_id_col), F.col(id_col), F.round(cos, 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

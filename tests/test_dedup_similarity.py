@@ -584,3 +584,26 @@ def test_ann_recall_at_k_operator(spark):
     # probing every cell makes IVF exact -> recall 1.0 everywhere
     full = S.ann_recall_at_k(emb, q, k=3, n_centroids=8, nprobe=8).collect()
     assert all(r.recall == 1.0 for r in full)
+
+
+def test_hard_negative_topk(spark):
+    # anchor is label 0; its nearest overall neighbor shares the label
+    # and must be excluded, so the top negative is the next-closest
+    # different-label vector.
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),   # anchor
+        (1, [0.99, 0.14, 0.0], 0), # same label: excluded
+        (2, [0.9, 0.43, 0.0], 1),  # hardest negative
+        (3, [0.0, 1.0, 0.0], 1),
+        (4, [-1.0, 0.0, 0.0], 2),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    anchors = vecs.where("vec_id = 0").select(
+        F.col("vec_id").alias("q_id"), "embedding", "label"
+    )
+    out = S.hard_negative_topk(vecs, anchors, k=2).orderBy("rank").collect()
+    assert [r.vec_id for r in out] == [2, 3]
+    assert all(r.q_id == 0 for r in out)
+    # no same-label vector leaks in even at k > candidates
+    big = S.hard_negative_topk(vecs, anchors, k=10).collect()
+    assert {r.vec_id for r in big} == {2, 3, 4}

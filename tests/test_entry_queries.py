@@ -110,6 +110,7 @@ FLOAT_SENSITIVE = [
     "source_doremi_weights",
     "doc_ccnet_buckets",
     "ann_recall_ivf",
+    "hard_negatives",
     "doc_quality",
     "training_corpus_curation",
     "doc_length_quantiles_twopass",
