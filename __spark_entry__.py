@@ -562,6 +562,58 @@ def q_ann_recall_ivf(spark, sf_dir):
     return ann_recall_at_k(emb, q, k=5, n_centroids=16, nprobe=4)
 
 
+_PCA_ITERS = 6
+
+
+def q_embedding_pca_component(spark, sf_dir):
+    """Top principal component of the embedding table by integer-exact
+    power iteration (similarity.pca_top_component): milli-quantized,
+    integer-mean-centered outer-product matrix (one d^2-key map-side
+    agg over the corpus), then a dimension-sized matvec loop — every
+    intermediate a BIGINT, so the eigenvector is bit-identical at any
+    parallelism. The oracle unrolls the full trajectory."""
+    from nlp_cube_spark.operators.similarity import pca_top_component
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pca_top_component(emb, n_iters=_PCA_ITERS)
+
+
+def _pca_duck(n_iters: int = _PCA_ITERS) -> str:
+    rounds, prev = [], "v0"
+    for t in range(1, n_iters + 1):
+        rounds.append(f"""
+          w{t} AS (SELECT a.i, CAST(sum(a.a * v._v) AS BIGINT) AS w
+                   FROM a JOIN {prev} v ON a.j = v.j GROUP BY a.i),
+          v{t} AS (SELECT i AS j,
+                          CAST(CASE WHEN w >= 0 THEN abs(w) // l1m
+                               ELSE -(abs(w) // l1m) END AS BIGINT) AS _v
+                   FROM w{t} CROSS JOIN (
+                     SELECT greatest(CAST(sum(abs(w)) AS BIGINT) // 1000000, 1) AS l1m
+                     FROM w{t}))""")
+        prev = f"v{t}"
+    return f"""
+      WITH ex AS (
+        SELECT vec_id, i - 1 AS i,
+               CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS xm
+        FROM (SELECT vec_id, unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings)
+      ),
+      n AS (SELECT count(*) AS n FROM embeddings),
+      mu AS (SELECT i, CAST(CASE WHEN s >= 0 THEN s // n
+                            ELSE -((-s) // n) END AS BIGINT) AS mu
+             FROM (SELECT i, CAST(sum(xm) AS BIGINT) AS s FROM ex GROUP BY i)
+                  CROSS JOIN n),
+      c AS (SELECT vec_id, ex.i, xm - mu AS c FROM ex JOIN mu USING (i)),
+      a AS (SELECT x.i AS i, y.i AS j, CAST(sum(x.c * y.c) AS BIGINT) AS a
+            FROM c x JOIN c y USING (vec_id) GROUP BY 1, 2),
+      d AS (SELECT count(*) AS d FROM mu),
+      v0 AS (SELECT i AS j, CAST(1000000 // d AS BIGINT) AS _v FROM mu CROSS JOIN d),
+      {",".join(rounds)}
+      SELECT j AS dim_idx, _v / 1e6 AS loading FROM {prev}
+    """
+
+
 def q_hard_negatives(spark, sf_dir):
     """Hard-negative mining (similarity.hard_negative_topk): top-5
     most-similar DIFFERENT-label vectors per anchor — the contrastive-
@@ -1931,6 +1983,7 @@ _QUERIES = {
         "doc_ccnet_buckets": q_doc_ccnet_buckets,
         "ann_recall_ivf": q_ann_recall_ivf,
         "hard_negatives": q_hard_negatives,
+        "embedding_pca_component": q_embedding_pca_component,
         "events_asof_prev_click": q_events_asof_prev_click,
         "events_range_clicks": q_events_range_clicks,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -4862,6 +4915,7 @@ def oracle_sql() -> dict[str, str]:
           FROM pairs
           WHERE round({_COS_DUCK.format(a="emb_a", b="emb_b")}, 6) >= 0.99
         """,
+        "embedding_pca_component": _pca_duck(),
         "hard_negatives": f"""
           WITH a AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
                      FROM embeddings WHERE vec_id < 8),

@@ -589,3 +589,103 @@ def hard_negative_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+def pca_top_component(
+    vectors: DataFrame,
+    n_iters: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top principal component of an embedding column by power iteration
+    (the textbook method; see Halko et al. 2011 §4 for the family) —
+    the first step of PCA whitening / dimensionality reduction in
+    embedding-pipeline prep.
+
+    The operator is defined on milli-quantized, integer-mean-centered
+    data, which makes EVERY intermediate an exact integer:
+
+      xm      = floor(x * 1e3 + 0.5)                    (BIGINT)
+      mu_i    = truncdiv(sum(xm_i), n)                  (BIGINT)
+      A_ij    = sum over rows of (xm_i - mu_i)(xm_j - mu_j)
+      v_0     = uniform; v_{t+1} = truncdiv(A v_t, truncdiv(L1(A v_t), 1e6))
+
+    so the result is bit-identical at any parallelism / partitioning
+    (no float sum anywhere), at the price of PCA-on-3dp-quantized data
+    — indistinguishable from float PCA for direction estimation.
+    truncdiv is sign-decomposed (sign(x) * (abs(x) div d)) because
+    Spark's `div` truncates toward zero while DuckDB's `//` floors.
+
+    Returns (dim_idx, loading): the L1-normalized dominant eigenvector
+    (sum |loading| ~= 1), loading = v / 1e6 exact.
+
+    100 TB shape: the only corpus-sized work is the (i, j) outer-product
+    aggregation — a self-join co-keyed on id_col over the exploded
+    frame, reduced map-side onto d^2 keys (4096 for d=64; partial
+    aggregation collapses every partition to d^2 rows before the
+    shuffle). |A_ij| <= n * (3e3)^2 stays inside BIGINT past 1e11 rows.
+    The n_iters matvec loop runs on the d^2-row A (localCheckpointed —
+    Spark re-runs shared subtrees per reference, CLAUDE.md) and the
+    d-row v: dimension-sized, free.
+    """
+    ex = (
+        vectors.select(
+            F.col(id_col),
+            F.posexplode(F.col(vec_col)).alias("i", "_x"),
+        )
+        .select(
+            id_col,
+            "i",
+            F.floor(F.col("_x").cast("double") * 1e3 + F.lit(0.5))
+            .cast("bigint")
+            .alias("_xm"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    n = vectors.agg(F.count(F.lit(1)).alias("_n"))
+    mu = (
+        ex.groupBy("i")
+        .agg(F.sum("_xm").alias("_s"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            (
+                F.signum("_s").cast("bigint")
+                * F.expr("abs(_s) div _n")
+            ).alias("_mu"),
+        )
+    )
+    c = ex.join(F.broadcast(mu), "i").select(
+        id_col, "i", (F.col("_xm") - F.col("_mu")).alias("_c")
+    )
+    a = (
+        c.alias("x")
+        .join(c.alias("y"), id_col)
+        .groupBy(F.col("x.i").alias("i"), F.col("y.i").alias("j"))
+        .agg(F.sum(F.col("x._c") * F.col("y._c")).alias("_a"))
+        .localCheckpoint(eager=False)
+    )
+    d_dim = mu.agg(F.count(F.lit(1)).alias("_d"))
+    v = mu.crossJoin(F.broadcast(d_dim)).select(
+        F.col("i").alias("j"), F.expr("1000000L div _d").alias("_v")
+    )
+    for _ in range(n_iters):
+        w = (
+            a.join(F.broadcast(v), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("_a") * F.col("_v")).alias("_w"))
+        )
+        norm = w.agg(
+            F.greatest(F.expr("sum(abs(_w)) div 1000000L"), F.lit(1).cast("bigint")).alias(
+                "_l1m"
+            )
+        )
+        v = w.crossJoin(F.broadcast(norm)).select(
+            F.col("i").alias("j"),
+            (
+                F.signum("_w").cast("bigint") * F.expr("abs(_w) div _l1m")
+            ).alias("_v"),
+        )
+    return v.select(
+        F.col("j").alias("dim_idx"), (F.col("_v") / F.lit(1e6)).alias("loading")
+    )

@@ -607,3 +607,38 @@ def test_hard_negative_topk(spark):
     # no same-label vector leaks in even at k > candidates
     big = S.hard_negative_topk(vecs, anchors, k=10).collect()
     assert {r.vec_id for r in big} == {2, 3, 4}
+
+
+def test_pca_top_component_planted_direction(spark):
+    import numpy as np
+
+    # rows = t * u + small orthogonal noise; dominant eigenvector == u
+    rng = np.random.RandomState(7)
+    u = np.zeros(8); u[0], u[1] = 3.0, 1.0
+    u /= np.linalg.norm(u)
+    X = np.outer(rng.uniform(-2, 2, 200), u)
+    X[:, 2] += rng.uniform(-0.05, 0.05, 200)
+    rows = [(int(i), [float(x) for x in X[i]]) for i in range(200)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sorted(S.pca_top_component(vecs).collect())
+    assert len(out) == 8
+    v = np.array([r.loading for r in out])
+    assert abs(np.sum(np.abs(v)) - 1.0) < 1e-3  # L1-normalized
+    cos = abs(np.dot(v, u)) / (np.linalg.norm(v) * np.linalg.norm(u))
+    assert cos > 0.999
+    # numpy eigendecomposition cross-check on the same quantized data
+    Xm = np.floor(X.astype(np.float32).astype(np.float64) * 1e3 + 0.5)
+    Xc = Xm - np.trunc(Xm.sum(0) / len(Xm))
+    evals, evecs = np.linalg.eigh(Xc.T @ Xc)
+    top = evecs[:, -1]
+    cos2 = abs(np.dot(v, top)) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos2 > 0.999
+
+
+def test_pca_parallelism_invariant(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    outs = [
+        sorted(S.pca_top_component(emb.repartition(p), n_iters=4).collect())
+        for p in (1, 3, 17)
+    ]
+    assert outs[0] == outs[1] == outs[2]
