@@ -562,6 +562,18 @@ def q_ann_recall_ivf(spark, sf_dir):
     return ann_recall_at_k(emb, q, k=5, n_centroids=16, nprobe=4)
 
 
+def q_corpus_pmi_collocations(spark, sf_dir):
+    """PMI collocation mining (textstats.pmi_collocations, Church &
+    Hanks 1990): top-50 adjacent-bigram collocations by nano-quantized
+    PMI with a min-count floor. Two map-side-combined aggs + two
+    open-vocab term joins; the ranking window runs over the
+    min_count-filtered pair dimension only."""
+    from nlp_cube_spark.operators.textstats import pmi_collocations
+
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_collocations(docs, min_count=5, top_k=50)
+
+
 _PCA_ITERS = 6
 
 
@@ -1984,6 +1996,7 @@ _QUERIES = {
         "ann_recall_ivf": q_ann_recall_ivf,
         "hard_negatives": q_hard_negatives,
         "embedding_pca_component": q_embedding_pca_component,
+        "corpus_pmi_collocations": q_corpus_pmi_collocations,
         "events_asof_prev_click": q_events_asof_prev_click,
         "events_range_clicks": q_events_range_clicks,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -4916,6 +4929,39 @@ def oracle_sql() -> dict[str, str]:
           WHERE round({_COS_DUCK.format(a="emb_a", b="emb_b")}, 6) >= 0.99
         """,
         "embedding_pca_component": _pca_duck(),
+        "corpus_pmi_collocations": """
+          WITH tk AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+            FROM documents
+          ),
+          uni AS (SELECT t, count(*) AS c
+                  FROM (SELECT unnest(toks) AS t FROM tk) GROUP BY t),
+          bi_all AS (
+            SELECT term_a, term_b, count(*) AS n_pair FROM (
+              SELECT toks[i] AS term_a, toks[i + 1] AS term_b
+              FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM tk)
+            ) GROUP BY 1, 2
+          ),
+          scal AS (SELECT (SELECT sum(c) FROM uni) AS N,
+                          (SELECT sum(n_pair) FROM bi_all) AS B),
+          scored AS (
+            SELECT term_a, term_b, n_pair,
+                   CAST(floor(ln((n_pair / B) / ((ca / N) * (cb / N))) * 1e9 + 0.5)
+                        AS BIGINT) AS pmi_nano
+            FROM bi_all
+            JOIN (SELECT t AS term_a, c AS ca FROM uni) USING (term_a)
+            JOIN (SELECT t AS term_b, c AS cb FROM uni) USING (term_b)
+            CROSS JOIN scal
+            WHERE n_pair >= 5
+          )
+          SELECT term_a, term_b, CAST(n_pair AS BIGINT) AS n_pair,
+                 CAST(pmi_nano // 1000 AS BIGINT) / 1e6 AS pmi, rank
+          FROM (SELECT *, row_number() OVER (ORDER BY pmi_nano DESC, term_a, term_b)
+                            AS rank
+                FROM scored)
+          WHERE rank <= 50
+        """,
         "hard_negatives": f"""
           WITH a AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
                      FROM embeddings WHERE vec_id < 8),

@@ -894,3 +894,86 @@ def similar_docs(
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("cos_sim"), F.asc("other_id"))
     return sym.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Pointwise-mutual-information collocation mining (Church & Hanks
+    1990, "Word Association Norms, Mutual Information, and
+    Lexicography") — the classic phrase detector (word2vec's phrase
+    pass uses the same score):
+
+        pmi(x, y) = ln( (c_xy / B) / ((c_x / N) * (c_y / N)) )
+
+    over adjacent whitespace bigrams; c_xy from the shared ngrams_sql
+    definition, B = total bigrams, N = total tokens. Pairs below
+    min_count are dropped (PMI's known low-count pathology). Returns
+    (term_a, term_b, n_pair, pmi) — optionally only the top_k by
+    (pmi desc, pair) with rank.
+
+    100 TB shape: one token agg + one bigram agg (both map-side
+    combined), two term-keyed joins against the open-vocab unigram
+    dimension (deliberately NOT broadcast), scalars by broadcast cross
+    join; top_k (if set) via one window over the min_count-filtered
+    survivors. PMI is floor-quantized to nano-units (single ln per
+    surviving pair), so ranking ties cannot straddle engines.
+    """
+    toks = docs.select(
+        F.explode(F.split(F.col(text_col), "\\s+")).alias("_t")
+    ).where(F.col("_t") != "")
+    uni = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+    # ONE corpus bigram pass: the unfiltered pair counts (a vocab^2-bounded
+    # dimension) feed BOTH the total-bigram scalar and the min_count
+    # survivors — no second explode over the corpus (the dsir/ADVICE
+    # shared-subtree rule); checkpointed because two consumers reference it
+    bi_all = (
+        docs.select(F.explode(F.expr(ngrams_sql(text_col, 2))).alias("_g"))
+        .select(
+            F.split(F.col("_g"), " ")[0].alias("term_a"),
+            F.split(F.col("_g"), " ")[1].alias("term_b"),
+        )
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .localCheckpoint(eager=False)
+    )
+    bi = bi_all.where(F.col("n_pair") >= min_count)
+    scal = uni.agg(F.sum("_c").alias("_N")).crossJoin(
+        bi_all.agg(F.sum("n_pair").alias("_B"))
+    )
+    scored = (
+        bi.join(uni.select(F.col("_t").alias("term_a"), F.col("_c").alias("_ca")), "term_a")
+        .join(uni.select(F.col("_t").alias("term_b"), F.col("_c").alias("_cb")), "term_b")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "term_a",
+            "term_b",
+            "n_pair",
+            F.floor(
+                F.log(
+                    (F.col("n_pair") / F.col("_B"))
+                    / ((F.col("_ca") / F.col("_N")) * (F.col("_cb") / F.col("_N")))
+                )
+                * 1e9
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("_pmi_nano"),
+        )
+    )
+    out = scored.select(
+        "term_a",
+        "term_b",
+        "n_pair",
+        ((F.expr("_pmi_nano div 1000L")) / F.lit(1e6)).alias("pmi"),
+        F.col("_pmi_nano").alias("_rankkey"),
+    )
+    if top_k is not None:
+        w = Window.orderBy(F.desc("_rankkey"), F.asc("term_a"), F.asc("term_b"))
+        out = out.withColumn("rank", F.row_number().over(w)).where(
+            F.col("rank") <= top_k
+        )
+    return out.drop("_rankkey")

@@ -111,6 +111,7 @@ FLOAT_SENSITIVE = [
     "doc_ccnet_buckets",
     "ann_recall_ivf",
     "hard_negatives",
+    "corpus_pmi_collocations",
     "doc_quality",
     "training_corpus_curation",
     "doc_length_quantiles_twopass",

@@ -385,3 +385,28 @@ def test_similar_docs_finds_lexical_twin(spark):
     assert out[(1, 1)].cos_sim > 0.5
     # doc 3 shares no terms -> appears only via zero-overlap absence
     assert (3, 1) not in out
+
+
+def test_pmi_collocations_planted(spark):
+    import math
+    from nlp_cube_spark.operators.textstats import pmi_collocations
+
+    # 'new york' always co-occurs; 'the the' is frequent but independent
+    rows = [(i, "new york " + "the and " * 5) for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.term_a, r.term_b): r for r in
+           pmi_collocations(docs, min_count=5).collect()}
+    assert ("new", "york") in out
+    ny = out[("new", "york")]
+    assert ny.n_pair == 6
+    # hand-check pmi: N tokens, B bigrams, c_new = c_york = 6
+    N, B = 12 * 6, 11 * 6
+    want = math.log((6 / B) / ((6 / N) * (6 / N)))
+    assert abs(ny.pmi - want) < 1e-5
+    # collocation outranks the independent frequent pair
+    assert ny.pmi > out[("the", "and")].pmi
+    # below min_count pairs are dropped ('york the' occurs 6x, 'and new' 0)
+    assert all(r.n_pair >= 5 for r in out.values())
+    top = pmi_collocations(docs, min_count=5, top_k=3).collect()
+    assert [t.rank for t in sorted(top, key=lambda r: r.rank)] == [1, 2, 3]
+    assert sorted(top, key=lambda r: r.rank)[0].pmi == max(r.pmi for r in out.values())
