@@ -562,6 +562,28 @@ def q_ann_recall_ivf(spark, sf_dir):
     return ann_recall_at_k(emb, q, k=5, n_centroids=16, nprobe=4)
 
 
+def q_embedding_int8_quant(spark, sf_dir):
+    """Per-vector affine uint8 quantization
+    (similarity.quantize_embeddings_int8): scale/zero-point, the int
+    codes, and the reconstruction bound — a pure per-row projection
+    (no shuffle), every step the same IEEE double expression on both
+    engines. The codes ride as a canonical comma-joined string — the
+    driver's value hash has no defined array rendering."""
+    from nlp_cube_spark.operators.similarity import quantize_embeddings_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = quantize_embeddings_int8(emb)
+    return out.select(
+        "vec_id",
+        "zero_point",
+        "scale",
+        F.array_join(
+            F.transform("qvec", lambda v: v.cast("string")), ","
+        ).alias("qcodes"),
+        "max_abs_err",
+    )
+
+
 def q_corpus_pmi_collocations(spark, sf_dir):
     """PMI collocation mining (textstats.pmi_collocations, Church &
     Hanks 1990): top-50 adjacent-bigram collocations by nano-quantized
@@ -1997,6 +2019,7 @@ _QUERIES = {
         "hard_negatives": q_hard_negatives,
         "embedding_pca_component": q_embedding_pca_component,
         "corpus_pmi_collocations": q_corpus_pmi_collocations,
+        "embedding_int8_quant": q_embedding_int8_quant,
         "events_asof_prev_click": q_events_asof_prev_click,
         "events_range_clicks": q_events_range_clicks,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -4929,6 +4952,30 @@ def oracle_sql() -> dict[str, str]:
           WHERE round({_COS_DUCK.format(a="emb_a", b="emb_b")}, 6) >= 0.99
         """,
         "embedding_pca_component": _pca_duck(),
+        "embedding_int8_quant": """
+          WITH base AS (
+            SELECT vec_id, embedding,
+                   CAST(list_min(embedding) AS DOUBLE) AS zero_point,
+                   (CAST(list_max(embedding) AS DOUBLE)
+                    - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS scale
+            FROM embeddings
+          ),
+          q AS (
+            SELECT vec_id, embedding, zero_point, scale,
+                   [CAST(least(greatest(coalesce(
+                        floor((CAST(x AS DOUBLE) - zero_point)
+                              / nullif(scale, 0.0) + 0.5), 0), 0), 255) AS INT)
+                    FOR x IN embedding] AS qvec
+            FROM base
+          )
+          SELECT vec_id, zero_point, scale,
+                 array_to_string(qvec, ',') AS qcodes,
+                 floor(list_max([abs(CAST(embedding[i] AS DOUBLE)
+                                     - (qvec[i] * scale + zero_point))
+                                 FOR i IN range(1, len(embedding) + 1)]) * 1e6 + 0.5)
+                   / 1e6 AS max_abs_err
+          FROM q
+        """,
         "corpus_pmi_collocations": """
           WITH tk AS (
             SELECT doc_id,

@@ -642,3 +642,28 @@ def test_pca_parallelism_invariant(spark):
         for p in (1, 3, 17)
     ]
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_quantize_embeddings_int8(spark):
+    rows = [
+        (0, [0.0, 1.0, 0.5, 0.25]),
+        (1, [-2.0, 2.0, 0.0, 1.0]),
+        (2, [3.0, 3.0, 3.0, 3.0]),  # flat: scale 0
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in S.quantize_embeddings_int8(vecs).collect()}
+    r0 = out[0]
+    assert r0.zero_point == 0.0 and abs(r0.scale - 1 / 255) < 1e-12
+    assert r0.qvec == [0, 255, 128, 64]  # 0.5 -> 127.5 rounds half-up
+    assert all(0 <= v <= 255 for r in out.values() for v in r.qvec)
+    # reconstruction error bounded by scale/2 (+ rounding slack)
+    for r in out.values():
+        assert r.max_abs_err <= r.scale / 2 + 1e-6
+    flat = out[2]
+    assert flat.scale == 0.0 and flat.qvec == [0, 0, 0, 0]
+    assert flat.max_abs_err == 0.0
+    # dequantization round-trips within the bound
+    import numpy as np
+    x = np.array(rows[1][1], dtype=np.float32).astype(float)
+    deq = np.array(out[1].qvec) * out[1].scale + out[1].zero_point
+    assert np.abs(x - deq).max() <= out[1].scale / 2 + 1e-9

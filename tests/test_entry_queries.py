@@ -112,6 +112,7 @@ FLOAT_SENSITIVE = [
     "ann_recall_ivf",
     "hard_negatives",
     "corpus_pmi_collocations",
+    "embedding_int8_quant",
     "doc_quality",
     "training_corpus_curation",
     "doc_length_quantiles_twopass",
