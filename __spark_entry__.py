@@ -562,6 +562,110 @@ def q_ann_recall_ivf(spark, sf_dir):
     return ann_recall_at_k(emb, q, k=5, n_centroids=16, nprobe=4)
 
 
+_UNI_VOCAB, _UNI_PLEN, _UNI_WLEN = 48, 4, 16
+
+
+def q_unigram_segmentations(spark, sf_dir):
+    """SentencePiece unigram-LM tokenizer (operators/unigramlm.py, Kudo
+    2018): seed candidate vocab from freq-weighted substring stats, then
+    exact Viterbi segmentation of every distinct word — the E-step of
+    the trainer and the encode path of the tokenizer. One corpus pass;
+    the DP loop runs on the distinct-word dimension. The oracle unrolls
+    all 16 DP steps."""
+    from nlp_cube_spark.operators.unigramlm import (
+        unigram_seed_vocab,
+        unigram_segment,
+        word_freqs,
+    )
+
+    words = word_freqs(_t(spark, sf_dir, "documents"))
+    vocab = unigram_seed_vocab(words, _UNI_VOCAB, _UNI_PLEN, _UNI_WLEN)
+    return unigram_segment(words, vocab, _UNI_PLEN, _UNI_WLEN)
+
+
+def q_unigram_em_counts(spark, sf_dir):
+    """One hard-EM M-step of the unigram-LM trainer
+    (unigramlm.unigram_em_counts): freq-weighted piece usage over the
+    Viterbi paths vs the seed counts — unused pieces surface at 0 (the
+    prune candidates of Kudo 2018 §3.2)."""
+    from nlp_cube_spark.operators.unigramlm import (
+        unigram_em_counts,
+        unigram_seed_vocab,
+        word_freqs,
+    )
+
+    words = word_freqs(_t(spark, sf_dir, "documents"))
+    vocab = unigram_seed_vocab(words, _UNI_VOCAB, _UNI_PLEN, _UNI_WLEN)
+    return unigram_em_counts(words, vocab, _UNI_PLEN, _UNI_WLEN)
+
+
+def _unigram_duck(kind: str, vocab_size: int = _UNI_VOCAB,
+                  plen: int = _UNI_PLEN, wlen: int = _UNI_WLEN) -> str:
+    steps = []
+    for t in range(1, wlen + 1):
+        steps.append(f"""
+          dp{t} AS MATERIALIZED (
+            SELECT word, {t} AS j, score, path FROM (
+              SELECT s.word, d.score + s.lp_nano AS score,
+                     list_append(d.path, s.piece) AS path,
+                     row_number() OVER (PARTITION BY s.word
+                                        ORDER BY d.score + s.lp_nano DESC,
+                                                 s.j - s.i DESC) AS rn
+              FROM vspans s JOIN dp_all{t - 1} d
+                ON s.word = d.word AND s.i = d.j AND s.j = {t}
+            ) WHERE rn = 1
+          ),
+          dp_all{t} AS MATERIALIZED (SELECT * FROM dp_all{t - 1} UNION ALL SELECT * FROM dp{t})""")
+    shared = f"""
+      WITH wf AS (
+        SELECT word, count(*) AS freq FROM (
+          SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> '')) AS word
+          FROM documents) GROUP BY word
+      ),
+      ww AS MATERIALIZED (SELECT word, freq FROM wf WHERE length(word) <= {wlen}),
+      spans AS MATERIALIZED (
+        SELECT word, freq, i, j, substr(word, i + 1, j - i) AS piece
+        FROM (SELECT word, freq, i,
+                     unnest(range(i + 1, least(i + {plen}, length(word)) + 1)) AS j
+              FROM (SELECT word, freq, unnest(range(0, length(word))) AS i FROM ww))
+      ),
+      occ AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM spans GROUP BY piece),
+      top AS (SELECT piece, cnt FROM (
+                SELECT piece, cnt,
+                       row_number() OVER (ORDER BY cnt DESC, piece) AS rk FROM occ)
+              WHERE rk <= {vocab_size} OR length(piece) = 1),
+      tot AS (SELECT sum(cnt) AS T FROM top),
+      vocab AS (SELECT piece, cnt,
+                       CAST(floor(ln(cnt / T) * 1e9 + 0.5) AS BIGINT) AS lp_nano
+                FROM top CROSS JOIN tot),
+      vspans AS MATERIALIZED (SELECT s.word, s.i, s.j, s.piece, v.lp_nano
+                 FROM spans s JOIN vocab v USING (piece)),
+      dp0 AS (SELECT word, 0 AS j, CAST(0 AS BIGINT) AS score,
+                     CAST([] AS VARCHAR[]) AS path FROM ww),
+      dp_all0 AS (SELECT * FROM dp0),
+      {",".join(steps)},
+      seg AS MATERIALIZED (SELECT d.word, w.freq, len(d.path) AS n_pieces,
+                     array_to_string(d.path, ' ') AS seg
+              FROM dp_all{wlen} d JOIN ww w
+                ON d.word = w.word AND d.j = length(w.word))
+    """
+    if kind == "seg":
+        return shared + """
+          SELECT word, CAST(freq AS BIGINT) AS freq,
+                 CAST(n_pieces AS BIGINT) AS n_pieces, seg
+          FROM seg
+        """
+    return shared + """
+      , used AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS em_count FROM (
+                   SELECT freq, unnest(string_split(seg, ' ')) AS piece FROM seg)
+                 GROUP BY piece)
+      SELECT v.piece, v.cnt AS seed_count,
+             CAST(coalesce(u.em_count, 0) AS BIGINT) AS em_count
+      FROM vocab v LEFT JOIN used u USING (piece)
+    """
+
+
 def q_embedding_int8_quant(spark, sf_dir):
     """Per-vector affine uint8 quantization
     (similarity.quantize_embeddings_int8): scale/zero-point, the int
@@ -2020,6 +2124,8 @@ _QUERIES = {
         "embedding_pca_component": q_embedding_pca_component,
         "corpus_pmi_collocations": q_corpus_pmi_collocations,
         "embedding_int8_quant": q_embedding_int8_quant,
+        "unigram_segmentations": q_unigram_segmentations,
+        "unigram_em_counts": q_unigram_em_counts,
         "events_asof_prev_click": q_events_asof_prev_click,
         "events_range_clicks": q_events_range_clicks,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -4952,6 +5058,8 @@ def oracle_sql() -> dict[str, str]:
           WHERE round({_COS_DUCK.format(a="emb_a", b="emb_b")}, 6) >= 0.99
         """,
         "embedding_pca_component": _pca_duck(),
+        "unigram_segmentations": _unigram_duck("seg"),
+        "unigram_em_counts": _unigram_duck("em"),
         "embedding_int8_quant": """
           WITH base AS (
             SELECT vec_id, embedding,

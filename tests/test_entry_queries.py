@@ -113,6 +113,8 @@ FLOAT_SENSITIVE = [
     "hard_negatives",
     "corpus_pmi_collocations",
     "embedding_int8_quant",
+    "unigram_segmentations",
+    "unigram_em_counts",
     "doc_quality",
     "training_corpus_curation",
     "doc_length_quantiles_twopass",
