@@ -562,6 +562,18 @@ def q_ann_recall_ivf(spark, sf_dir):
     return ann_recall_at_k(emb, q, k=5, n_centroids=16, nprobe=4)
 
 
+def q_doc_kneser_ney(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram cross-entropy per document
+    (textstats.kneser_ney_scores, Kneser & Ney 1995 / Chen & Goodman
+    1998), self-trained: absolute discounting + continuation-probability
+    backoff. Bigram table built once (localCheckpoint, 4 consumers);
+    nano-quantized ln p, BIGINT sums."""
+    from nlp_cube_spark.operators.textstats import kneser_ney_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return kneser_ney_scores(docs)
+
+
 _UNI_VOCAB, _UNI_PLEN, _UNI_WLEN = 48, 4, 16
 
 
@@ -2126,6 +2138,7 @@ _QUERIES = {
         "embedding_int8_quant": q_embedding_int8_quant,
         "unigram_segmentations": q_unigram_segmentations,
         "unigram_em_counts": q_unigram_em_counts,
+        "doc_kneser_ney": q_doc_kneser_ney,
         "events_asof_prev_click": q_events_asof_prev_click,
         "events_range_clicks": q_events_range_clicks,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -5058,6 +5071,43 @@ def oracle_sql() -> dict[str, str]:
           WHERE round({_COS_DUCK.format(a="emb_a", b="emb_b")}, 6) >= 0.99
         """,
         "embedding_pca_component": _pca_duck(),
+        "doc_kneser_ney": """
+          WITH tk AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+            FROM documents
+          ),
+          db AS (
+            SELECT doc_id, prev, cur, count(*) AS tf FROM (
+              SELECT doc_id, toks[i] AS prev, toks[i + 1] AS cur
+              FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tk)
+            ) GROUP BY 1, 2, 3
+          ),
+          big AS MATERIALIZED (
+            SELECT prev, cur, CAST(sum(tf) AS BIGINT) AS cb FROM db GROUP BY 1, 2
+          ),
+          lft AS (SELECT prev, CAST(sum(cb) AS BIGINT) AS cl,
+                         count(*) AS n1l FROM big GROUP BY prev),
+          rgt AS (SELECT cur, count(*) AS n1r FROM big GROUP BY cur),
+          tot AS (SELECT count(*) AS T FROM big),
+          scored AS (
+            SELECT db.doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+                   CAST(-sum(tf * CAST(floor(ln((greatest(CAST(cb AS DOUBLE) - 0.75, 0)
+                            + 0.75 * CAST(n1l AS DOUBLE)
+                              * (CAST(n1r AS DOUBLE) / CAST(T AS DOUBLE)))
+                          / CAST(cl AS DOUBLE)) * 1e9 + 0.5) AS BIGINT))
+                     AS BIGINT) AS num
+            FROM db JOIN big USING (prev, cur) JOIN lft USING (prev)
+                 JOIN rgt USING (cur) CROSS JOIN tot
+            GROUP BY db.doc_id
+          ),
+          ce AS (SELECT doc_id, n_bigrams, num // n_bigrams AS ce_nano FROM scored)
+          SELECT d.doc_id,
+                 CAST(coalesce(ce.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                 CAST(ce_nano // 1000 AS BIGINT) / 1e6 AS kn_cross_entropy,
+                 floor(exp(ce_nano / 1e9) * 1e6 + 0.5) / 1e6 AS kn_ppl
+          FROM documents d LEFT JOIN ce USING (doc_id)
+        """,
         "unigram_segmentations": _unigram_duck("seg"),
         "unigram_em_counts": _unigram_duck("em"),
         "embedding_int8_quant": """

@@ -977,3 +977,83 @@ def pmi_collocations(
             F.col("rank") <= top_k
         )
     return out.drop("_rankkey")
+
+
+def kneser_ney_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document cross-entropy under an interpolated Kneser-Ney
+    bigram LM (Kneser & Ney 1995; Chen & Goodman 1998 — the principled
+    counterpart to bigram_backoff_scores' Stupid Backoff), trained on
+    the corpus itself:
+
+      p(cur|prev) = (max(c(prev,cur) - D, 0)
+                     + D * N1+(prev,*) * p_cont(cur)) / c(prev,*)
+      p_cont(cur) = N1+(*,cur) / N1+(*,*)
+
+    — absolute discounting with the continuation-probability backoff
+    that makes KN the standard n-gram smoother. Returns
+    (id_col, n_bigrams, kn_cross_entropy, kn_ppl); docs with < 2 tokens
+    get NULL scores with n_bigrams = 0. Self-trained, every scored
+    bigram exists in the LM, so no OOV path fires (train/score split is
+    one parameter away if needed).
+
+    Plan shape mirrors bigram_backoff_scores: grams via THE codegen'd
+    lookahead regex, the bigram table built once and localCheckpointed
+    (FOUR consumers: left totals, continuation counts, type total, the
+    scoring join — the shared-subtree rule), LM dimensions joined on
+    gram/term keys (web-vocab-sized, deliberately NOT broadcast), the
+    type-total scalar broadcast. Per-bigram ln p is floor-quantized to
+    nano-units and accumulated as BIGINT (summation-order independent);
+    p itself is one fixed IEEE expression over integer counts, so the
+    whole score replays exactly cross-engine.
+    """
+    grams = F.explode(F.expr(ngrams_sql(text_col, 2))).alias("gram")
+    big = (
+        docs.select(grams)
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .withColumn("_prev", F.expr("split_part(gram, ' ', 1)"))
+        .withColumn("_cur", F.expr("split_part(gram, ' ', 2)"))
+        .localCheckpoint(eager=False)
+    )
+    left = big.groupBy("_prev").agg(
+        F.sum("cb").alias("cl"), F.count(F.lit(1)).alias("n1l")
+    )
+    right = big.groupBy("_cur").agg(F.count(F.lit(1)).alias("n1r"))
+    tot = big.agg(F.count(F.lit(1)).alias("_T"))
+    doc_big = (
+        docs.select(F.col(id_col), grams)
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    d = repr(float(discount)) + "d"
+    lp_nano = F.expr(
+        f"cast(floor(ln((greatest(cast(cb as double) - {d}, 0d)"
+        f" + {d} * cast(n1l as double) * (cast(n1r as double) / cast(_T as double)))"
+        f" / cast(cl as double)) * 1e9 + 0.5d) as bigint)"
+    )
+    scored = (
+        doc_big.join(big.select("gram", "cb", "_prev", "_cur"), "gram")
+        .join(left, "_prev")
+        .join(right, "_cur")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("_lp", lp_nano)
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            (-F.sum(F.col("tf") * F.col("_lp"))).alias("_num"),
+        )
+        .withColumn("_ce_nano", F.expr("_num div n_bigrams"))
+    )
+    return docs.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        ((F.expr("_ce_nano div 1000L")) / F.lit(1e6)).alias("kn_cross_entropy"),
+        (
+            F.floor(F.exp(F.col("_ce_nano") / F.lit(1e9)) * 1e6 + F.lit(0.5)) / 1e6
+        ).alias("kn_ppl"),
+    )

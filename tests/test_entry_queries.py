@@ -115,6 +115,7 @@ FLOAT_SENSITIVE = [
     "embedding_int8_quant",
     "unigram_segmentations",
     "unigram_em_counts",
+    "doc_kneser_ney",
     "doc_quality",
     "training_corpus_curation",
     "doc_length_quantiles_twopass",

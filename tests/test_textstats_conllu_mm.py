@@ -410,3 +410,52 @@ def test_pmi_collocations_planted(spark):
     top = pmi_collocations(docs, min_count=5, top_k=3).collect()
     assert [t.rank for t in sorted(top, key=lambda r: r.rank)] == [1, 2, 3]
     assert sorted(top, key=lambda r: r.rank)[0].pmi == max(r.pmi for r in out.values())
+
+
+def test_kneser_ney_scores_match_python_replica(spark):
+    import math
+    from nlp_cube_spark.operators.textstats import kneser_ney_scores
+
+    rows = [
+        (1, "a b a b c"),
+        (2, "a b c d"),
+        (3, "d d a"),
+        (4, "x"),      # single token: no bigrams
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in kneser_ney_scores(docs).collect()}
+    assert got[4].n_bigrams == 0 and got[4].kn_ppl is None
+    assert got[5].n_bigrams == 0
+
+    # python replica (same quantization)
+    from collections import Counter
+    D = 0.75
+    bigs = Counter()
+    for _, t in [(1, "a b a b c"), (2, "a b c d"), (3, "d d a")]:
+        toks = t.split()
+        for x, y in zip(toks, toks[1:]):
+            bigs[(x, y)] += 1
+    cl = Counter(); n1l = Counter(); n1r = Counter()
+    for (x, y), c in bigs.items():
+        cl[x] += c; n1l[x] += 1; n1r[y] += 1
+    T = len(bigs)
+
+    def lp_nano(x, y):
+        p = (max(bigs[(x, y)] - D, 0.0) + D * n1l[x] * (n1r[y] / T)) / cl[x]
+        return math.floor(math.log(p) * 1e9 + 0.5)
+
+    for doc_id, t in [(1, "a b a b c"), (2, "a b c d"), (3, "d d a")]:
+        toks = t.split()
+        pairs = list(zip(toks, toks[1:]))
+        num = -sum(lp_nano(x, y) for x, y in pairs)
+        ce_nano = num // len(pairs)
+        assert got[doc_id].n_bigrams == len(pairs)
+        assert got[doc_id].kn_cross_entropy == (ce_nano // 1000) / 1e6
+        assert got[doc_id].kn_ppl == math.floor(math.exp(ce_nano / 1e9) * 1e6 + 0.5) / 1e6
+    # KN proper-normalization sanity: sum over full vocab of p(.|prev) == 1
+    vocab = {y for (_, y) in bigs} | {x for (x, _) in bigs}
+    for x in cl:
+        s = sum((max(bigs.get((x, y), 0) - D, 0.0) + D * n1l[x] * (n1r[y] / T)) / cl[x]
+                for y in vocab if n1r[y] > 0)
+        assert abs(s - 1.0) < 1e-9
