@@ -562,6 +562,17 @@ def q_ann_recall_ivf(spark, sf_dir):
     return ann_recall_at_k(emb, q, k=5, n_centroids=16, nprobe=4)
 
 
+def q_corpus_heaps_fit(spark, sf_dir):
+    """Heaps'-law vocabulary-growth OLS over the 20 sources
+    (textstats.heaps_fit): exact integer sufficient statistics
+    (micro-quantized ln per point, BIGINT sums), one deterministic
+    closed-form evaluation."""
+    from nlp_cube_spark.operators.textstats import heaps_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    return heaps_fit(docs)
+
+
 def q_doc_kneser_ney(spark, sf_dir):
     """Interpolated Kneser-Ney bigram cross-entropy per document
     (textstats.kneser_ney_scores, Kneser & Ney 1995 / Chen & Goodman
@@ -2139,6 +2150,7 @@ _QUERIES = {
         "unigram_segmentations": q_unigram_segmentations,
         "unigram_em_counts": q_unigram_em_counts,
         "doc_kneser_ney": q_doc_kneser_ney,
+        "corpus_heaps_fit": q_corpus_heaps_fit,
         "events_asof_prev_click": q_events_asof_prev_click,
         "events_range_clicks": q_events_range_clicks,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -5071,6 +5083,39 @@ def oracle_sql() -> dict[str, str]:
           WHERE round({_COS_DUCK.format(a="emb_a", b="emb_b")}, 6) >= 0.99
         """,
         "embedding_pca_component": _pca_duck(),
+        "corpus_heaps_fit": """
+          WITH toks AS (
+            SELECT source AS g,
+                   unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS t
+            FROM documents
+          ),
+          per AS (SELECT g, CAST(sum(c) AS BIGINT) AS N, count(*) AS V
+                  FROM (SELECT g, t, count(*) AS c FROM toks GROUP BY 1, 2)
+                  GROUP BY g),
+          pts AS (SELECT CAST(floor(ln(CAST(N AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS x,
+                         CAST(floor(ln(CAST(V AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS y
+                  FROM per),
+          s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                       CAST(sum(x * y) AS BIGINT) AS sxy,
+                       CAST(sum(x * x) AS BIGINT) AS sxx,
+                       CAST(sum(y * y) AS BIGINT) AS syy
+                FROM pts)
+          SELECT n AS n_points,
+                 floor((CAST(n * sxy - sx * sy AS DOUBLE)
+                        / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0)) * 1e6 + 0.5)
+                   / 1e6 AS beta,
+                 floor(((CAST(sy AS DOUBLE)
+                         - (CAST(n * sxy - sx * sy AS DOUBLE)
+                            / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0))
+                           * CAST(sx AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * 1e6)) * 1e6 + 0.5) / 1e6 AS log_k,
+                 floor((CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+                        / (nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0)
+                           * nullif(CAST(n * syy - sy * sy AS DOUBLE), 0.0)))
+                       * 1e6 + 0.5) / 1e6 AS r2
+          FROM s
+        """,
         "doc_kneser_ney": """
           WITH tk AS (
             SELECT doc_id,

@@ -1057,3 +1057,70 @@ def kneser_ney_scores(
             F.floor(F.exp(F.col("_ce_nano") / F.lit(1e9)) * 1e6 + F.lit(0.5)) / 1e6
         ).alias("kn_ppl"),
     )
+
+
+def heaps_fit(
+    docs: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit (Heaps 1978; the companion
+    diagnostic to zipf_fit): V = K * N^beta over per-group
+    (N = tokens, V = distinct terms) points — natural text fits with
+    beta ~ 0.4-0.6 and high r2; template/boilerplate corpora saturate
+    (beta -> 0). OLS on (ln N, ln V). Returns one row
+    (n_points, beta, log_k, r2); < 2 points yields NULL fit values.
+
+    Exactness: unlike zipf_fit's vocab-sized regression (which keeps
+    the accepted unordered-double-sum discipline), the point set here
+    is GROUP-dimension-sized, so the sufficient statistics are exact:
+    ln quantized to integer micro-units per point, all sums/products
+    BIGINT (|ln| <= ~36 -> x*y <= 1.3e15, n*sxy <= 2^63 far above any
+    realistic group count), and the closed form is one deterministic
+    IEEE evaluation of exact integers. Plan: one (group, term) hash
+    agg -> one group agg -> one 1-row agg.
+    """
+    toks = docs.select(
+        F.col(group_col).alias("_g"),
+        F.explode(F.split(F.col(text_col), "\\s+")).alias("_t"),
+    ).where(F.col("_t") != "")
+    per = (
+        toks.groupBy("_g", "_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("_g")
+        .agg(F.sum("_c").alias("_N"), F.count(F.lit(1)).alias("_V"))
+    )
+    pts = per.select(
+        F.floor(F.log(F.col("_N").cast("double")) * 1e6 + F.lit(0.5))
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.log(F.col("_V").cast("double")) * 1e6 + F.lit(0.5))
+        .cast("bigint")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.nullif(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+        F.lit(0.0),
+    )
+    deny = F.nullif(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"),
+        F.lit(0.0),
+    )
+    beta = num / den
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return s.select(
+        F.col("n").cast("bigint").alias("n_points"),
+        r6(beta).alias("beta"),
+        r6(
+            (F.col("sy").cast("double") - beta * F.col("sx").cast("double"))
+            / (F.col("n").cast("double") * F.lit(1e6))
+        ).alias("log_k"),
+        r6(num * num / (den * deny)).alias("r2"),
+    )

@@ -116,6 +116,7 @@ FLOAT_SENSITIVE = [
     "unigram_segmentations",
     "unigram_em_counts",
     "doc_kneser_ney",
+    "corpus_heaps_fit",
     "doc_quality",
     "training_corpus_curation",
     "doc_length_quantiles_twopass",

@@ -459,3 +459,25 @@ def test_kneser_ney_scores_match_python_replica(spark):
         s = sum((max(bigs.get((x, y), 0) - D, 0.0) + D * n1l[x] * (n1r[y] / T)) / cl[x]
                 for y in vocab if n1r[y] > 0)
         assert abs(s - 1.0) < 1e-9
+
+
+def test_heaps_fit_exact_powerlaw_and_degenerate(spark):
+    import math
+    from nlp_cube_spark.operators.textstats import heaps_fit
+
+    # construct groups where V = N^0.5 exactly on the quantized lattice:
+    # group g has V distinct tokens each repeated V times -> N = V^2,
+    # so ln V = 0.5 * ln N exactly -> beta ~ 0.5, r2 ~ 1
+    rows = []
+    for g, v in enumerate([4, 9, 16, 25]):
+        text = " ".join(f"g{g}tok{i}" for i in range(v)) + " "
+        rows.append((g, (text * v).strip(), f"s{g}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = heaps_fit(docs).collect()[0]
+    assert got.n_points == 4
+    assert abs(got.beta - 0.5) < 1e-4
+    assert abs(got.r2 - 1.0) < 1e-6
+    assert abs(math.exp(got.log_k) - 1.0) < 1e-3  # K ~ 1
+    # degenerate: single group -> NULL fit
+    one = heaps_fit(docs.where("source = 's0'")).collect()[0]
+    assert one.n_points == 1 and one.beta is None and one.r2 is None
