@@ -305,8 +305,16 @@ def doremi_weights(
         )
     )
     nd = dom.agg(F.count(F.lit(1)).alias("_nd"))
-    dom = dom.crossJoin(F.broadcast(nd)).withColumn(
-        "_w", F.expr("1000000L div _nd")
+    # checkpoint the domain frame BEFORE the loop (it holds the whole
+    # corpus-CE subtree) and per round: each round references dom twice
+    # (normalizer agg + crossJoin), which would otherwise double the
+    # plan — and re-run the corpus scan — per iteration (CLAUDE.md
+    # shared-subtree rule; caught by plan audit, 146 Exchanges at 2
+    # rounds before, linear after)
+    dom = (
+        dom.crossJoin(F.broadcast(nd))
+        .withColumn("_w", F.expr("1000000L div _nd"))
+        .localCheckpoint(eager=False)
     )
     for _ in range(n_rounds):
         dom = dom.withColumn("_raw", F.col("_w") * F.col("_boost"))
@@ -321,6 +329,7 @@ def doremi_weights(
                 ),
             )
             .drop("_raw", "_S")
+            .localCheckpoint(eager=False)
         )
     return dom.select(
         F.col("_dom").alias(domain_col),

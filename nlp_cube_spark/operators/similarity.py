@@ -680,12 +680,14 @@ def pca_top_component(
                 "_l1m"
             )
         )
+        # w is referenced twice (norm agg + the join below): checkpoint
+        # per round or the matvec subtree doubles per iteration
         v = w.crossJoin(F.broadcast(norm)).select(
             F.col("i").alias("j"),
             (
                 F.signum("_w").cast("bigint") * F.expr("abs(_w) div _l1m")
             ).alias("_v"),
-        )
+        ).localCheckpoint(eager=False)
     return v.select(
         F.col("j").alias("dim_idx"), (F.col("_v") / F.lit(1e6)).alias("loading")
     )
