@@ -113,3 +113,37 @@ def test_segment_parallelism_invariant(spark, docs):
         for p in (1, 3)
     ]
     assert outs[0] == outs[1]
+
+
+def test_unigram_train_em_monotone_likelihood(spark):
+    # corpus Viterbi log-likelihood (freq-weighted path score under the
+    # CURRENT vocab) must not decrease across EM rounds — the
+    # alternating-maximization guarantee, up to quantization slack.
+    rows = [
+        (1, "abab abab abcd"),
+        (2, "ab cd abab abab"),
+        (3, "cd cd dcba b"),
+        (4, "abcd dcba ab"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    words = U.word_freqs(docs)
+
+    def corpus_ll(vocab):
+        segs = U.unigram_segment(words, vocab).collect()
+        lp = {r.piece: r.lp_nano for r in vocab.collect()}
+        return sum(r.freq * sum(lp[p] for p in r.seg.split(" ")) for r in segs)
+
+    v0 = U.unigram_seed_vocab(words, vocab_size=8)
+    lls = [corpus_ll(v0)]
+    for rounds in (1, 2):
+        v = U.unigram_train(docs, n_rounds=rounds, vocab_size=8)
+        lls.append(corpus_ll(v))
+    slack = 1000  # nano-units: ln-quantization + add-k smoothing jitter
+    assert lls[1] >= lls[0] - slack
+    assert lls[2] >= lls[1] - slack
+    # pruning really happens: trained vocab has no zero-usage multi-char piece
+    vf = U.unigram_train(docs, n_rounds=2, vocab_size=8)
+    em = {r.piece: r for r in U.unigram_em_counts(words, vf).collect()}
+    for p, r in em.items():
+        if len(p) > 1:
+            assert r.seed_count > 0
