@@ -481,3 +481,18 @@ def test_heaps_fit_exact_powerlaw_and_degenerate(spark):
     # degenerate: single group -> NULL fit
     one = heaps_fit(docs.where("source = 's0'")).collect()[0]
     assert one.n_points == 1 and one.beta is None and one.r2 is None
+
+
+def test_kneser_ney_parallelism_invariant(spark):
+    from nlp_cube_spark.operators.textstats import kneser_ney_scores
+
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 13}" for j in range(10)))
+        for i in range(80)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    outs = [
+        sorted(kneser_ney_scores(docs.repartition(p)).collect())
+        for p in (1, 3, 17)
+    ]
+    assert outs[0] == outs[1] == outs[2]
