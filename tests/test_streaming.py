@@ -352,3 +352,57 @@ def test_compact_store_rerun_to_finish_after_crash(spark, dirs):
     run()
     surv = {r.url for r in spark.read.parquet(f"{dirs['out']}/survivors").collect()}
     assert "u8" not in surv and "u9" in surv
+
+
+def test_cms_stream_merges_linearly_and_idempotently(spark, dirs):
+    from nlp_cube_spark.operators.sketches import cms_term_counts, count_min_sketch
+    from nlp_cube_spark.streaming import heavyhitters as H
+
+    docs = spark.createDataFrame(
+        [(i, ("hot " * 20 if i % 3 == 0 else f"cold{i} word{i % 5}").strip())
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    # several source files -> several micro-batches
+    for k in range(3):
+        docs.where(F.col("doc_id") % 3 == k).write.mode("append").parquet(dirs["src"])
+
+    q = H.start_cms_stream(spark, dirs["src"], dirs["out"], max_files=1,
+                           checkpoint_dir=dirs["ckpt"])
+    q.awaitTermination(180)
+
+    # linearity: merged streaming sketch == one-shot batch sketch
+    merged = {(r.row, r.bucket): r.cell
+              for r in H.sketch_totals(spark, dirs["out"]).collect()}
+    batch = {(r.row, r.bucket): r.cell
+             for r in count_min_sketch(docs).collect()}
+    assert merged == batch
+
+    # idempotence: re-writing the same batch id overwrites, not doubles
+    import tempfile
+    store2 = tempfile.mkdtemp(prefix="cms_store2_")
+    a = docs.where("doc_id < 10")
+    b = docs.where("doc_id >= 10")
+    H.write_delta(a, 0, store2)
+    H.write_delta(a, 0, store2)  # at-least-once replay of batch 0
+    H.write_delta(b, 1, store2)
+    two = {(r.row, r.bucket): r.cell
+           for r in H.sketch_totals(spark, store2).collect()}
+    assert two == batch  # == one-shot sketch of a UNION b, no doubling
+
+    # empty-batch guard: writing an empty frame must not touch the store
+    H.write_delta(docs.where("doc_id < 0"), 999, dirs["out"])
+    still = {(r.row, r.bucket): r.cell
+             for r in H.sketch_totals(spark, dirs["out"]).collect()}
+    assert still == batch
+
+    # heavy hitters: 'hot' (200 occurrences) crosses, no false negatives
+    terms = docs.select(
+        F.explode(F.split("text", " ")).alias("term")).distinct()
+    hh = {r.term for r in
+          H.heavy_hitters(spark, dirs["out"], terms, min_count=100).collect()}
+    assert "hot" in hh
+    exact = {r.term: r.exact_count for r in cms_term_counts(docs).collect()}
+    for t, c in exact.items():
+        if c >= 100:
+            assert t in hh
