@@ -562,6 +562,78 @@ def q_ann_recall_ivf(spark, sf_dir):
     return ann_recall_at_k(emb, q, k=5, n_centroids=16, nprobe=4)
 
 
+_WP_N_MERGES = 12
+
+
+def q_wordpiece_merges(spark, sf_dir):
+    """WordPiece merge training (bpe.train_wordpiece, Schuster &
+    Nakajima 2012): the BPE loop with likelihood-scored argmax
+    cnt/(cl*cr) — one IEEE division of exact integer counts per
+    candidate, ties on (l, r). The oracle unrolls the full 12-merge
+    trajectory including per-round symbol counts."""
+    from nlp_cube_spark.operators.bpe import train_wordpiece
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, _ = train_wordpiece(docs, n_merges=_WP_N_MERGES)
+    return merges
+
+
+def _wp_train_ctes(n: int) -> str:
+    sql = """
+      WITH wf AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+              FROM documents)
+        GROUP BY word
+      ),
+      s0 AS MATERIALIZED (
+        SELECT word, freq, array_to_string(string_split(word, ''), ' ') AS sym FROM wf
+      )"""
+    for k in range(n):
+        sql += f""",
+      t{k} AS MATERIALIZED (
+        SELECT word, freq, unnest(string_split(sym, ' ')) AS s,
+               generate_subscripts(string_split(sym, ' '), 1) AS pos
+        FROM s{k}
+      ),
+      c{k} AS (SELECT s, CAST(sum(freq) AS BIGINT) AS c FROM t{k} GROUP BY s),
+      p{k} AS (
+        SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+          SELECT word, freq, s AS l,
+                 lead(s) OVER (PARTITION BY word ORDER BY pos) AS r
+          FROM t{k}
+        ) WHERE r IS NOT NULL GROUP BY l, r
+      ),
+      b{k} AS MATERIALIZED (
+        SELECT l, r, cnt,
+               CAST(cnt AS DOUBLE) / (CAST(cl.c AS DOUBLE) * CAST(cr.c AS DOUBLE))
+                 AS score
+        FROM p{k} JOIN c{k} cl ON p{k}.l = cl.s JOIN c{k} cr ON p{k}.r = cr.s
+        ORDER BY score DESC, l, r LIMIT 1
+      ),
+      s{k + 1} AS MATERIALIZED (
+        SELECT word, freq,
+               CASE WHEN b.l IS NULL THEN s.sym ELSE
+                 trim(regexp_replace(
+                   replace(replace(' ' || s.sym || ' ', ' ', '  '),
+                           ' ' || b.l || '  ' || b.r || ' ',
+                           ' ' || b.l || b.r || ' '),
+                   ' +', ' ', 'g'))
+               END AS sym
+        FROM s{k} s LEFT JOIN b{k} b ON TRUE
+      )"""
+    return sql
+
+
+def _wp_merges_duck(n: int = _WP_N_MERGES) -> str:
+    parts = " UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS merge_rank, l AS lhs, r AS rhs,"
+        f" cnt AS pair_freq, floor(score * 1e9 + 0.5) / 1e9 AS score FROM b{k}"
+        for k in range(n)
+    )
+    return _wp_train_ctes(n) + f" SELECT * FROM ({parts})"
+
+
 def q_corpus_heaps_fit(spark, sf_dir):
     """Heaps'-law vocabulary-growth OLS over the 20 sources
     (textstats.heaps_fit): exact integer sufficient statistics
@@ -2151,6 +2223,7 @@ _QUERIES = {
         "unigram_em_counts": q_unigram_em_counts,
         "doc_kneser_ney": q_doc_kneser_ney,
         "corpus_heaps_fit": q_corpus_heaps_fit,
+        "wordpiece_merges": q_wordpiece_merges,
         "events_asof_prev_click": q_events_asof_prev_click,
         "events_range_clicks": q_events_range_clicks,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -5083,6 +5156,7 @@ def oracle_sql() -> dict[str, str]:
           WHERE round({_COS_DUCK.format(a="emb_a", b="emb_b")}, 6) >= 0.99
         """,
         "embedding_pca_component": _pca_duck(),
+        "wordpiece_merges": _wp_merges_duck(),
         "corpus_heaps_fit": """
           WITH toks AS (
             SELECT source AS g,

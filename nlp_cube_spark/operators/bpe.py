@@ -200,3 +200,93 @@ def bpe_token_counts(
             F.coalesce(F.col("t"), F.lit(0)).cast("bigint").alias("n_bpe_tokens"),
         )
     )
+
+
+def train_wordpiece(
+    docs: DataFrame,
+    n_merges: int = 12,
+    text_col: str = "text",
+    max_words: int = 65536,
+) -> tuple[DataFrame, DataFrame]:
+    """WordPiece merge training (Schuster & Nakajima 2012; the BERT
+    tokenizer's trainer): the BPE loop with LIKELIHOOD-scored merge
+    selection — pick the pair maximizing
+
+        score(l, r) = count(l, r) / (count(l) * count(r)),
+
+    the pair whose merge most increases a unigram LM's corpus
+    likelihood, instead of raw pair frequency (Sennrich BPE).
+
+    Returns (merges, segmented) like train_bpe; merges carries
+    (merge_rank, lhs, rhs, pair_freq, score) with score floor-rounded
+    9dp. Determinism: scores are one IEEE division of exact integer
+    counts — identical doubles on every engine — and ties break on
+    (l, r); the whole trajectory replays in SQL.
+
+    Plan shape == train_bpe (one corpus scan, then per merge a
+    dimension-sized pair agg + symbol-count agg + 1-row broadcast
+    argmax + codegen'd merge apply); the symbol explode is recomputed
+    for the two aggs — it hangs off the per-round checkpoint leaf, so
+    the re-run is the dimension explode only, never the corpus.
+    """
+    state = (
+        word_freqs(docs, text_col, max_words)
+        .select(
+            "word",
+            "freq",
+            F.concat_ws(" ", F.split(F.col("word"), "")).alias("sym"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("word").orderBy("pos")
+    bests = []
+    for k in range(n_merges):
+        toks = state.select(
+            "word", "freq", F.posexplode(F.split("sym", " ")).alias("pos", "l")
+        )
+        cs = toks.groupBy(F.col("l").alias("s")).agg(F.sum("freq").alias("c"))
+        pairs = (
+            toks.withColumn("r", F.lead("l").over(w))
+            .where(F.col("r").isNotNull())
+            .groupBy("l", "r")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        scored = (
+            pairs.join(cs.select(F.col("s").alias("l"), F.col("c").alias("cl")), "l")
+            .join(cs.select(F.col("s").alias("r"), F.col("c").alias("cr")), "r")
+            .withColumn(
+                "score",
+                F.expr(
+                    "cast(cnt as double) / (cast(cl as double) * cast(cr as double))"
+                ),
+            )
+        )
+        best = (
+            scored.orderBy(F.desc("score"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        bests.append(
+            best.select(
+                F.lit(k).cast("int").alias("merge_rank"),
+                F.col("l").alias("lhs"),
+                F.col("r").alias("rhs"),
+                F.col("cnt").cast("bigint").alias("pair_freq"),
+                (F.floor(F.col("score") * 1e9 + F.lit(0.5)) / 1e9).alias("score"),
+            )
+        )
+        state = (
+            state.join(F.broadcast(best.select("l", "r")), F.lit(True), "left")
+            .select(
+                "word",
+                "freq",
+                F.when(F.col("l").isNull(), F.col("sym"))
+                .otherwise(_merge_apply(F.col("sym"), F.col("l"), F.col("r")))
+                .alias("sym"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    merges = bests[0]
+    for b in bests[1:]:
+        merges = merges.unionByName(b)
+    return merges, state

@@ -119,3 +119,44 @@ def test_segment_words_hostile_symbols(spark):
     assert rows["C:\\bin"].sym.startswith("C:\\ "), rows["C:\\bin"].sym
     assert "' t" not in rows["don't"].sym  # ("'","t") merge applied
     assert rows["\\\\'x"].sym.split(" ")[0] == "\\\\"  # ("\\","\\") applied
+
+
+def test_wordpiece_prefers_exclusive_pairs(spark):
+    from nlp_cube_spark.operators.bpe import train_wordpiece
+
+    # 'xy' and 'ab' pairs both occur 4x, but a/b also appear in many
+    # other contexts while x/y appear ONLY together -> wordpiece picks
+    # (x, y) first (score 4/(4*4) > 4/(9*9)); frequency-scored BPE
+    # would tie and fall to lexicographic (a, b).
+    rows = [
+        (1, "xy xy xy xy"),
+        (2, "ab ab ab ab"),
+        (3, "az bz az bz a b a b a b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges, seg = train_wordpiece(docs, n_merges=2)
+    got = sorted(merges.collect(), key=lambda r: r.merge_rank)
+    assert (got[0].lhs, got[0].rhs) == ("x", "y")
+    assert got[0].pair_freq == 4
+    import math
+    cl = cr = 4  # x and y each occur 4x
+    assert got[0].score == math.floor(4 / (cl * cr) * 1e9 + 0.5) / 1e9
+    # scores are non-increasing is NOT guaranteed (counts change), but
+    # every chosen pair must have been the argmax of its round: spot-check
+    # round 2 merged something real
+    assert got[1].pair_freq >= 1
+    # segmentation by-product reflects the first merge
+    sym = {r.word: r.sym for r in seg.collect()}
+    assert sym["xy"] == "xy"
+
+
+def test_wordpiece_parallelism_invariant(spark):
+    from nlp_cube_spark.operators.bpe import train_wordpiece
+
+    rows = [(i, f"tok{i % 7}x tok{i % 3}y za{i % 5}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    outs = []
+    for p in (1, 3):
+        m, _ = train_wordpiece(docs.repartition(p), n_merges=3)
+        outs.append(sorted(m.collect()))
+    assert outs[0] == outs[1]

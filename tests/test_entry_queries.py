@@ -117,6 +117,7 @@ FLOAT_SENSITIVE = [
     "unigram_em_counts",
     "doc_kneser_ney",
     "corpus_heaps_fit",
+    "wordpiece_merges",
     "doc_quality",
     "training_corpus_curation",
     "doc_length_quantiles_twopass",
