@@ -838,9 +838,17 @@ def _pca_duck(n_iters: int = _PCA_ITERS) -> str:
              FROM (SELECT i, CAST(sum(xm) AS BIGINT) AS s FROM ex GROUP BY i)
                   CROSS JOIN n),
       c AS (SELECT vec_id, ex.i, xm - mu AS c FROM ex JOIN mu USING (i)),
-      a AS (SELECT x.i AS i, y.i AS j, CAST(sum(x.c * y.c) AS BIGINT) AS a
+      a0 AS MATERIALIZED (
+            SELECT x.i AS i, y.i AS j, CAST(sum(x.c * y.c) AS BIGINT) AS a
             FROM c x JOIN c y USING (vec_id) GROUP BY 1, 2),
       d AS (SELECT count(*) AS d FROM mu),
+      sh AS (SELECT CAST((amax // (4611686018427387904 // (1000000 * d))) + 1
+                    AS BIGINT) AS shift
+             FROM (SELECT max(abs(a)) AS amax FROM a0) CROSS JOIN d),
+      a AS (SELECT i, j,
+                   CAST(CASE WHEN a >= 0 THEN a // shift
+                        ELSE -((-a) // shift) END AS BIGINT) AS a
+            FROM a0 CROSS JOIN sh),
       v0 AS (SELECT i AS j, CAST(1000000 // d AS BIGINT) AS _v FROM mu CROSS JOIN d),
       {",".join(rounds)}
       SELECT j AS dim_idx, _v / 1e6 AS loading FROM {prev}

@@ -623,7 +623,10 @@ def pca_top_component(
     aggregation — a self-join co-keyed on id_col over the exploded
     frame, reduced map-side onto d^2 keys (4096 for d=64; partial
     aggregation collapses every partition to d^2 rows before the
-    shuffle). |A_ij| <= n * (3e3)^2 stays inside BIGINT past 1e11 rows.
+    shuffle). |A_ij| <= n * (3e3)^2 stays inside BIGINT past 1e11 rows,
+    and the matvec sum (bounded by d * max|A| * 1e6) is kept under 2^62
+    at ANY n by a deterministic integer pre-scaling of A (shift == 1
+    below ~7e10, i.e. at every test SF — see the inline guard).
     The n_iters matvec loop runs on the d^2-row A (localCheckpointed —
     Spark re-runs shared subtrees per reference, CLAUDE.md) and the
     d-row v: dimension-sized, free.
@@ -666,6 +669,36 @@ def pca_top_component(
         .localCheckpoint(eager=False)
     )
     d_dim = mu.agg(F.count(F.lit(1)).alias("_d"))
+    # matvec overflow guard: |w_i| <= d * max|A| * 1e6 must stay under
+    # 2^63 (ANSI sum THROWS past it). Pre-scale A by the smallest integer
+    # shift that bounds it: K = 2^62 div (1e6 * d), shift = max|A| div K
+    # + 1 — then (max|A| div shift) < K so the sum is safe at ANY corpus
+    # size. shift == 1 whenever max|A| < K (~7e10 at d=64), i.e. at every
+    # test SF, so small-scale trajectories — and the oracles — are
+    # untouched; the division is the same sign-decomposed truncdiv on
+    # both engines. Direction is scale-invariant, so the eigenvector is
+    # unchanged up to the quantization the contract already states.
+    shift = (
+        a.agg(F.max(F.abs(F.col("_a"))).alias("_amax"))
+        .crossJoin(F.broadcast(d_dim))
+        .select(
+            (
+                F.expr("_amax div (4611686018427387904L div (1000000L * _d))")
+                + F.lit(1)
+            ).alias("_shift")
+        )
+    )
+    a = (
+        a.crossJoin(F.broadcast(shift))
+        .select(
+            "i",
+            "j",
+            (
+                F.signum("_a").cast("bigint") * F.expr("abs(_a) div _shift")
+            ).alias("_a"),
+        )
+        .localCheckpoint(eager=False)
+    )
     v = mu.crossJoin(F.broadcast(d_dim)).select(
         F.col("i").alias("j"), F.expr("1000000L div _d").alias("_v")
     )

@@ -47,9 +47,10 @@ def count_min_sketch(
 ) -> DataFrame:
     """Build the d x w Count-Min sketch of whitespace-token frequencies.
 
-    Returns (row, bucket, cell) — exactly depth*width rows (cells no term
-    hashes to are absent; cell-wise merge across shards treats absent as
-    0). One shuffle on term (the exact-count pre-agg), one on
+    Returns (row, bucket, cell) — AT MOST depth*width rows (cells no term
+    hashes to are absent, and readers must treat absent as 0 — see
+    cms_point_estimates' coalesce; cell-wise merge across shards is sum
+    with the same absent-as-0 rule). One shuffle on term (the exact-count pre-agg), one on
     (row, bucket); both hash aggs with partial combine.
     """
     counts = (

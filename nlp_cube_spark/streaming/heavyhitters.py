@@ -45,13 +45,25 @@ def write_delta(
         return
     sess = batch_df.sparkSession
     sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    delta = count_min_sketch(batch_df, text_col, depth, width).withColumn(
-        "batch", F.lit(int(batch_id))
+    delta = (
+        count_min_sketch(batch_df, text_col, depth, width)
+        .withColumn("batch", F.lit(int(batch_id)))
+        .persist()
     )
-    # the sketch is d*w rows — one file per batch partition, not tasks x 1
-    delta.repartition(1).write.mode("overwrite").partitionBy("batch").parquet(
-        store_dir
-    )
+    try:
+        # guard the DELTA, not just the raw batch: a batch of empty /
+        # whitespace-only documents is non-empty but sketches to 0 rows,
+        # and a partitioned overwrite of an EMPTY frame degenerates to
+        # static and wipes every batch partition (the CLAUDE.md /
+        # ingest.py foreachBatch trap, one derivation deeper)
+        if delta.isEmpty():
+            return
+        # the sketch is d*w rows — one file per batch partition
+        delta.repartition(1).write.mode("overwrite").partitionBy("batch").parquet(
+            store_dir
+        )
+    finally:
+        delta.unpersist()
 
 
 def sketch_totals(spark: SparkSession, store_dir: str) -> DataFrame:

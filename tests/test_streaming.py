@@ -396,6 +396,16 @@ def test_cms_stream_merges_linearly_and_idempotently(spark, dirs):
              for r in H.sketch_totals(spark, dirs["out"]).collect()}
     assert still == batch
 
+    # DEEPER wipe trap (review finding): a NON-empty batch of
+    # whitespace-only docs sketches to 0 rows — the partitioned
+    # overwrite of that empty delta must be skipped, not wipe the store
+    blank = spark.createDataFrame([(900, ""), (901, "   ")],
+                                  "doc_id long, text string")
+    H.write_delta(blank, 998, dirs["out"])
+    still2 = {(r.row, r.bucket): r.cell
+              for r in H.sketch_totals(spark, dirs["out"]).collect()}
+    assert still2 == batch
+
     # heavy hitters: 'hot' (200 occurrences) crosses, no false negatives
     terms = docs.select(
         F.explode(F.split("text", " ")).alias("term")).distinct()
