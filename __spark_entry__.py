@@ -562,6 +562,18 @@ def q_ann_recall_ivf(spark, sf_dir):
     return ann_recall_at_k(emb, q, k=5, n_centroids=16, nprobe=4)
 
 
+def q_corpus_sppmi(spark, sf_dir):
+    """Shifted-positive-PMI co-occurrence matrix
+    (textstats.sppmi_cooccurrence, Levy & Goldberg 2014) at window 2 —
+    the SGNS-equivalent embedding-training prep. Pair generation is an
+    offset-explode equi-join (O(len*window) per doc, never a doc-local
+    cartesian); marginals from the pair dimension; nano-quantized ln."""
+    from nlp_cube_spark.operators.textstats import sppmi_cooccurrence
+
+    docs = _t(spark, sf_dir, "documents")
+    return sppmi_cooccurrence(docs, window=2, shift=1, min_count=5)
+
+
 _WP_N_MERGES = 12
 
 
@@ -2232,6 +2244,7 @@ _QUERIES = {
         "doc_kneser_ney": q_doc_kneser_ney,
         "corpus_heaps_fit": q_corpus_heaps_fit,
         "wordpiece_merges": q_wordpiece_merges,
+        "corpus_sppmi": q_corpus_sppmi,
         "events_asof_prev_click": q_events_asof_prev_click,
         "events_range_clicks": q_events_range_clicks,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -5165,6 +5178,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_pca_component": _pca_duck(),
         "wordpiece_merges": _wp_merges_duck(),
+        "corpus_sppmi": """
+          WITH tk AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+            FROM documents
+          ),
+          pos AS MATERIALIZED (
+            SELECT doc_id, i, toks[i] AS t
+            FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM tk)
+          ),
+          ordered AS (
+            SELECT a.t AS w, b.t AS c
+            FROM pos a JOIN pos b
+              ON a.doc_id = b.doc_id AND b.i - a.i BETWEEN 1 AND 2
+          ),
+          sym AS (SELECT w, c FROM ordered UNION ALL SELECT c AS w, w AS c FROM ordered),
+          pairs AS MATERIALIZED (SELECT w, c, count(*) AS n_cooc FROM sym GROUP BY 1, 2),
+          wm AS (SELECT w, CAST(sum(n_cooc) AS BIGINT) AS nw FROM pairs GROUP BY w),
+          cm AS (SELECT c, CAST(sum(n_cooc) AS BIGINT) AS nc FROM pairs GROUP BY c),
+          tot AS (SELECT CAST(sum(n_cooc) AS BIGINT) AS N FROM pairs),
+          scored AS (
+            SELECT w, c, n_cooc,
+                   greatest(CAST(floor((ln((CAST(n_cooc AS DOUBLE) * CAST(N AS DOUBLE))
+                                           / (CAST(nw AS DOUBLE) * CAST(nc AS DOUBLE)))
+                                        - ln(1.0)) * 1e9 + 0.5) AS BIGINT),
+                            0) AS nano
+            FROM pairs JOIN wm USING (w) JOIN cm USING (c) CROSS JOIN tot
+            WHERE n_cooc >= 5
+          )
+          SELECT w AS word, c AS context, CAST(n_cooc AS BIGINT) AS n_cooc,
+                 CAST(nano // 1000 AS BIGINT) / 1e6 AS sppmi
+          FROM scored WHERE nano > 0
+        """,
         "corpus_heaps_fit": """
           WITH toks AS (
             SELECT source AS g,

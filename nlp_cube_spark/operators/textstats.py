@@ -1124,3 +1124,86 @@ def heaps_fit(
         ).alias("log_k"),
         r6(num * num / (den * deny)).alias("r2"),
     )
+
+
+def sppmi_cooccurrence(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 2,
+    shift: int = 1,
+    min_count: int = 5,
+) -> DataFrame:
+    """Shifted positive PMI word-context co-occurrence matrix (Levy &
+    Goldberg 2014, "Neural Word Embedding as Implicit Matrix
+    Factorization"): the sparse matrix whose SVD is word2vec-SGNS —
+    the embedding-training prep op.
+
+        sppmi(w, c) = max(0, ln(n_wc * N_pairs / (n_w* * n_*c)) - ln(shift))
+
+    over symmetric +-window token co-occurrences; pairs below min_count
+    are dropped (the standard sparsification). Returns
+    (word, context, n_cooc, sppmi) with sppmi > 0 rows only (zeros ARE
+    the matrix's implicit entries).
+
+    100 TB shape: pair generation is an EQUI-join on (doc, position) —
+    each token explodes its `window` forward offsets and joins the
+    token at pos+off, so a doc costs O(len * window), never the
+    len^2 doc-local cartesian a plain doc-keyed self-join would give;
+    both directions are counted from the one ordered pair set.
+    Marginals are two open-vocab hash aggs of the PAIR dimension (w
+    and c marginals of the symmetrized matrix), joined on term keys —
+    not broadcast; the scalar total crosses broadcast. ln quantized
+    nano once per surviving pair.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("_rid"),
+        F.posexplode(
+            F.expr(f"filter(split(trim({text_col}), '\\\\s+'), t -> t != '')")
+        ).alias("_pos", "_t"),
+    )
+    offs = toks.select(
+        "_rid",
+        "_pos",
+        F.col("_t").alias("_w"),
+        F.explode(F.sequence(F.lit(1), F.lit(window))).alias("_off"),
+    ).select("_rid", (F.col("_pos") + F.col("_off")).alias("_pos"), "_w")
+    ordered = offs.join(
+        toks.select("_rid", "_pos", F.col("_t").alias("_c")), ["_rid", "_pos"]
+    ).select("_w", "_c")
+    # symmetrize: every unordered co-occurrence counts once per direction
+    sym = ordered.unionByName(
+        ordered.select(F.col("_c").alias("_w"), F.col("_w").alias("_c"))
+    )
+    pairs = (
+        sym.groupBy("_w", "_c")
+        .agg(F.count(F.lit(1)).alias("n_cooc"))
+        .localCheckpoint(eager=False)
+    )
+    wm = pairs.groupBy("_w").agg(F.sum("n_cooc").alias("_nw"))
+    cm = pairs.groupBy("_c").agg(F.sum("n_cooc").alias("_nc"))
+    tot = pairs.agg(F.sum("n_cooc").alias("_N"))
+    lnv = F.log(
+        (F.col("n_cooc").cast("double") * F.col("_N").cast("double"))
+        / (F.col("_nw").cast("double") * F.col("_nc").cast("double"))
+    ) - F.log(F.lit(float(shift)))
+    scored = (
+        pairs.where(F.col("n_cooc") >= min_count)
+        .join(wm, "_w")
+        .join(cm, "_c")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("_w").alias("word"),
+            F.col("_c").alias("context"),
+            "n_cooc",
+            F.greatest(
+                F.floor(lnv * 1e9 + F.lit(0.5)).cast("bigint"), F.lit(0).cast("bigint")
+            ).alias("_nano"),
+        )
+    )
+    return scored.where(F.col("_nano") > 0).select(
+        "word",
+        "context",
+        "n_cooc",
+        ((F.expr("_nano div 1000L")) / F.lit(1e6)).alias("sppmi"),
+    )

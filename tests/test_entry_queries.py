@@ -118,6 +118,7 @@ FLOAT_SENSITIVE = [
     "doc_kneser_ney",
     "corpus_heaps_fit",
     "wordpiece_merges",
+    "corpus_sppmi",
     "doc_quality",
     "training_corpus_curation",
     "doc_length_quantiles_twopass",

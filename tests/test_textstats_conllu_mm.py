@@ -496,3 +496,47 @@ def test_kneser_ney_parallelism_invariant(spark):
         for p in (1, 3, 17)
     ]
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_sppmi_matches_python_replica(spark):
+    import math
+    from collections import Counter
+    from nlp_cube_spark.operators.textstats import sppmi_cooccurrence
+
+    rows = [
+        (1, "a b c a b c a b c"),
+        (2, "x y x y x y x y"),
+        (3, "a a a a a a"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.word, r.context): r for r in
+           sppmi_cooccurrence(docs, window=2, min_count=2).collect()}
+
+    pairs = Counter()
+    for _, t in rows:
+        toks = t.split()
+        for i, w in enumerate(toks):
+            for off in (1, 2):
+                if i + off < len(toks):
+                    pairs[(w, toks[i + off])] += 1
+                    pairs[(toks[i + off], w)] += 1
+    wm = Counter(); cm = Counter()
+    for (w, c), n in pairs.items():
+        wm[w] += n; cm[c] += n
+    N = sum(pairs.values())
+    for (w, c), n in pairs.items():
+        if n < 2:
+            assert (w, c) not in got
+            continue
+        nano = math.floor(math.log(n * N / (wm[w] * cm[c])) * 1e9 + 0.5)
+        if nano > 0:
+            assert got[(w, c)].n_cooc == n
+            assert got[(w, c)].sppmi == (nano // 1000) / 1e6
+        else:
+            assert (w, c) not in got
+    # symmetry of the matrix
+    for (w, c), r in got.items():
+        assert got[(c, w)].sppmi == r.sppmi
+    # independent same-frequency pairs inside one doc ('x y') score lower
+    # than nothing-else-to-pair-with would suggest vs cross-doc: sanity
+    assert ("x", "y") in got and ("a", "b") in got
