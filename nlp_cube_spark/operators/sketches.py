@@ -1,7 +1,8 @@
 """Linear sketches for corpus statistics: Count-Min term frequency.
 
 Reference parity: the reference engine keeps no corpus-frequency sketch
-(its lexicons are exact dicts, cube/lexicon.py), but a 100 TB web corpus
+(its vocabularies are exact in-memory dicts — word2int in
+cube/io_utils/encodings.py:15,118), but a 100 TB web corpus
 cannot hold an exact term dimension in one place — the Count-Min sketch
 (Cormode & Muthukrishnan 2005, "An Improved Data Stream Summary: The
 Count-Min Sketch and its Applications", J. Algorithms) is the standard

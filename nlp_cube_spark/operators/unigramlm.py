@@ -6,8 +6,11 @@ trainer): seed a large candidate-piece vocabulary from substring
 statistics, fit piece probabilities by EM over the best (Viterbi)
 segmentations, prune. This module implements the deterministic hard-EM
 core — seed vocab, exact Viterbi segmenter, and the count re-estimation
-(M) step — as pure relational Spark; the reference repo has no tokenizer
-trainer (LLM-data-pipeline scope, the sibling of operators/bpe.py).
+(M) step — as pure relational Spark. The reference repo trains no
+subword vocabulary (cube/networks/tokenizer.py is a sentence/token
+BOUNDARY model; subwords come pretrained with XLM-R,
+utils_tokenizer.py:394-576) — this is LLM-data-pipeline scope, the
+sibling of operators/bpe.py.
 
 Exactness: piece log-probs are floor-quantized to integer nano-units
 once per E-step, path scores are BIGINT sums, and the per-position
