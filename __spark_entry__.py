@@ -562,6 +562,22 @@ def q_ann_recall_ivf(spark, sf_dir):
     return ann_recall_at_k(emb, q, k=5, n_centroids=16, nprobe=4)
 
 
+def q_zorder_keys(spark, sf_dir):
+    """Morton/Z-order interleaved clustering keys
+    (io/tables.zorder_key — the Delta OPTIMIZE ZORDER layout device,
+    here over (l_orderkey, l_partkey)): pure shift/mask codegen
+    expressions; the file-pruning payoff is proven in
+    tests/test_bucketed.py::test_zorder_layout_prunes_box_predicates."""
+    from nlp_cube_spark.io.tables import zorder_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where("l_orderkey <= 640").select(
+        "l_orderkey",
+        "l_partkey",
+        zorder_key("l_orderkey", "l_partkey").alias("zkey"),
+    )
+
+
 def q_corpus_sppmi(spark, sf_dir):
     """Shifted-positive-PMI co-occurrence matrix
     (textstats.sppmi_cooccurrence, Levy & Goldberg 2014) at window 2 —
@@ -2245,6 +2261,7 @@ _QUERIES = {
         "corpus_heaps_fit": q_corpus_heaps_fit,
         "wordpiece_merges": q_wordpiece_merges,
         "corpus_sppmi": q_corpus_sppmi,
+        "zorder_keys": q_zorder_keys,
         "events_asof_prev_click": q_events_asof_prev_click,
         "events_range_clicks": q_events_range_clicks,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -5178,6 +5195,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_pca_component": _pca_duck(),
         "wordpiece_merges": _wp_merges_duck(),
+        "zorder_keys": f"""
+          SELECT l_orderkey, l_partkey,
+                 CAST({" + ".join(
+                     f"((((l_orderkey % 65536) >> {i}) & 1) << {2 * i})"
+                     f" + ((((l_partkey % 65536) >> {i}) & 1) << {2 * i + 1})"
+                     for i in range(16)
+                 )} AS BIGINT) AS zkey
+          FROM lineitem WHERE l_orderkey <= 640
+        """,
         "corpus_sppmi": """
           WITH tk AS (
             SELECT doc_id,

@@ -9,7 +9,7 @@ through the catalog) and a guard that proves the exchange-free plan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def write_bucketed(
@@ -95,3 +95,51 @@ def compact_partitions(
     out.write.partitionBy(*part_cols).mode("overwrite").parquet(path)
     files_after, _ = census()
     return {"files_before": files_before, "files_after": files_after}
+
+
+def zorder_key(col_a, col_b, bits: int = 16):
+    """Morton/Z-order interleaved key of two non-negative integer
+    columns (the Databricks/Delta OPTIMIZE ZORDER technique, public
+    knowledge — bit interleaving preserves 2-D locality in a 1-D sort
+    order): bit i of each input lands at output bits 2i / 2i+1.
+
+    Inputs are masked to `bits` low bits (callers quantize/rank wider
+    domains first — rank-then-interleave is the standard recipe).
+    Pure shift/mask expressions: codegen'd, engine-portable, exact.
+    """
+    a = F.col(col_a) if isinstance(col_a, str) else col_a
+    b = F.col(col_b) if isinstance(col_b, str) else col_b
+    a = a.cast("bigint") % F.lit(1 << bits)
+    b = b.cast("bigint") % F.lit(1 << bits)
+    key = F.lit(0).cast("bigint")
+    for i in range(bits):
+        key = (
+            key
+            + F.shiftleft(F.shiftright(a, i) % 2, 2 * i)
+            + F.shiftleft(F.shiftright(b, i) % 2, 2 * i + 1)
+        )
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    bits: int = 16,
+    n_files: int = 16,
+) -> None:
+    """Write parquet clustered by the Z-order key of (col_a, col_b):
+    repartitionByRange on the key + within-partition sort, so every
+    file covers a compact 2-D tile and min/max footer stats prune
+    multi-column box predicates — the layout half of 'filter pushdown
+    at 100 TB' that partitionBy can't give for two continuous keys.
+    """
+    keyed = df.withColumn("_z", zorder_key(col_a, col_b, bits))
+    (
+        keyed.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -76,3 +76,59 @@ def test_compact_partitions_multicol_streaming_layout(spark, tmp_path):
     # a subset of the layout columns is rejected, not silently duplicated
     with _pytest.raises(ValueError, match="partition column"):
         compact_partitions(spark, out, "nonexistent_col")
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    from nlp_cube_spark.io.tables import zorder_key
+
+    df = spark.createDataFrame(
+        [(a, b) for a in (0, 1, 5, 255, 65535) for b in (0, 2, 7, 1000)],
+        "a long, b long",
+    )
+    got = {(r.a, r.b): r.z for r in df.select("a", "b", zorder_key("a", "b").alias("z")).collect()}
+
+    def interleave(a, b, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i) | ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (a, b), z in got.items():
+        assert z == interleave(a % 65536, b % 65536), (a, b)
+
+
+def test_zorder_layout_prunes_box_predicates(spark, tmp_path):
+    import os
+    from pyspark.sql import functions as F
+    from nlp_cube_spark.io.tables import write_zordered
+
+    # 40k points on a 200x200 grid, uniformly hash-scattered
+    df = spark.range(40000).select(
+        (F.xxhash64("id") % 200 + 200) % 200,
+        ((F.xxhash64("id", F.lit(1)) % 200) + 200) % 200,
+    ).toDF("x", "y")
+    zpath, hpath = str(tmp_path / "zord"), str(tmp_path / "hash")
+    write_zordered(df, zpath, "x", "y", bits=8, n_files=16)
+    df.repartition(16).write.mode("overwrite").parquet(hpath)
+
+    def files_overlapping_box(path, x1, x2, y1, y2):
+        hits = 0
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            st = spark.read.parquet(os.path.join(path, f)).agg(
+                F.min("x"), F.max("x"), F.min("y"), F.max("y")
+            ).collect()[0]
+            if st[0] is not None and st[0] <= x2 and st[1] >= x1 and st[2] <= y2 and st[3] >= y1:
+                hits += 1
+        return hits
+
+    # a 25x25 box = 1.6% of the plane
+    zhits = files_overlapping_box(zpath, 50, 74, 100, 124)
+    hhits = files_overlapping_box(hpath, 50, 74, 100, 124)
+    assert hhits >= 15   # hash layout: every file spans the plane
+    assert zhits <= 4    # z-order: the box lives in a few tiles
+    # and the data is identical under both layouts
+    a = spark.read.parquet(zpath).groupBy("x", "y").count()
+    b = spark.read.parquet(hpath).groupBy("x", "y").count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
