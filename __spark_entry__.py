@@ -1727,6 +1727,28 @@ def q_doc_lr_scores(spark, sf_dir):
     )
 
 
+def q_lr_calibration(spark, sf_dir):
+    """Reliability-diagram bins of the trained LR quality classifier
+    (classifier.calibration_bins, Guo 2017): observed positive rate vs
+    mean predicted score per decile — the calibration meter for the
+    corpus filter. Scores are 6dp-quantized so the bin means are exact
+    integer micro-unit sums."""
+    from nlp_cube_spark.operators.classifier import (
+        calibration_bins,
+        score_quality_lr,
+        train_quality_lr,
+    )
+
+    labeled = _lr_labeled_docs(spark, sf_dir)
+    model = train_quality_lr(
+        labeled, "label", n_buckets=_LR_BUCKETS, iters=_LR_ITERS, lr=_LR_RATE
+    )
+    scored = score_quality_lr(labeled, model, n_buckets=_LR_BUCKETS).join(
+        labeled.select("doc_id", "label"), "doc_id"
+    )
+    return calibration_bins(scored)
+
+
 def q_lineitem_correlations(spark, sf_dir):
     """Pairwise Pearson correlations of lineitem's measures
     (quantiles.correlation_matrix, ANSI-safe closed form)."""
@@ -2262,6 +2284,7 @@ _QUERIES = {
         "wordpiece_merges": q_wordpiece_merges,
         "corpus_sppmi": q_corpus_sppmi,
         "zorder_keys": q_zorder_keys,
+        "lr_calibration": q_lr_calibration,
         "events_asof_prev_click": q_events_asof_prev_click,
         "events_range_clicks": q_events_range_clicks,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -4442,6 +4465,24 @@ def oracle_sql() -> dict[str, str]:
         "embedding_semdedup": _semdedup_duck(),
         "lr_quality_weights": _lr_weights_duck(_LR_ITERS, _LR_BUCKETS, _LR_RATE),
         "doc_lr_scores": _lr_scores_duck(_LR_ITERS, _LR_BUCKETS, _LR_RATE),
+        "lr_calibration": f"""
+          WITH sc AS MATERIALIZED ({_lr_scores_duck(_LR_ITERS, _LR_BUCKETS, _LR_RATE)}),
+          lab AS (SELECT doc_id,
+                         CASE WHEN source = (SELECT min(source) FROM documents)
+                              THEN 1 ELSE 0 END AS label
+                  FROM documents),
+          j AS (SELECT s.doc_id, s.score, l.label
+                FROM sc s JOIN lab l USING (doc_id) WHERE s.score IS NOT NULL),
+          agg AS (SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+                         CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(label) AS BIGINT) AS n_pos,
+                         CAST(sum(CAST(floor(score * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sm
+                  FROM j GROUP BY 1)
+          SELECT bin, n_docs, n_pos,
+                 (sm // n_docs) / 1e6 AS mean_score,
+                 n_pos / CAST(n_docs AS DOUBLE) AS pos_rate
+          FROM agg
+        """,
         "dsir_log_weights": """
           WITH toks AS (
             SELECT doc_id, text,

@@ -230,3 +230,46 @@ def score_quality_lr(
             ).alias("score"),
         )
     )
+
+
+def calibration_bins(
+    scored: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic classifier
+    (Guo et al. 2017 "On Calibration of Modern Neural Networks" — the
+    standard ECE binning): equal-width score bins with observed
+    positive rate vs mean predicted score. A well-calibrated quality
+    filter has pos_rate ~ mean_score per bin; divergence tells you the
+    LR threshold is lying about precision.
+
+    Returns (bin, n_docs, n_pos, mean_score, pos_rate); scores are the
+    engine's 6dp-quantized sigmoids, so the per-bin sum is an EXACT
+    integer micro-unit sum (order-independent) and mean_score is a
+    floor'd integer division — deterministic at any parallelism.
+    One hash agg over the scored frame; NULL scores (featureless docs)
+    are excluded.
+    """
+    b = F.least(
+        F.floor(F.col(score_col) * n_bins).cast("bigint"),
+        F.lit(n_bins - 1).cast("bigint"),
+    )
+    smicro = F.floor(F.col(score_col) * 1e6 + F.lit(0.5)).cast("bigint")
+    agg = (
+        scored.where(F.col(score_col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(label_col).alias("n_pos"),
+            F.sum(smicro).alias("_sm"),
+        )
+    )
+    return agg.select(
+        "bin",
+        "n_docs",
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        (F.expr("_sm div n_docs") / F.lit(1e6)).alias("mean_score"),
+        (F.col("n_pos") / F.col("n_docs")).alias("pos_rate"),
+    )

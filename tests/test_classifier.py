@@ -83,3 +83,23 @@ def test_score_without_bias_row_defaults_to_zero(spark):
     pruned = model.where("bucket >= 0")  # bias row dropped
     rows = score_quality_lr(docs, pruned, n_buckets=64).collect()
     assert len(rows) == 2 and all(r.score is not None for r in rows)
+
+
+def test_calibration_bins_planted(spark):
+    from nlp_cube_spark.operators.classifier import calibration_bins
+
+    rows = [
+        (1, 0.05, 0), (2, 0.08, 0), (3, 0.12, 0), (4, 0.95, 1),
+        (5, 0.98, 1), (6, 0.91, 0), (7, 0.55, 1), (8, 0.52, 0),
+        (9, 1.0, 1),   # score exactly 1.0 must clamp into the top bin
+        (10, None, 1),  # NULL score excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score double, label int")
+    out = {r.bin: r for r in calibration_bins(df).collect()}
+    assert set(out) == {0, 1, 5, 9}
+    assert out[0].n_docs == 2 and out[0].n_pos == 0 and out[0].pos_rate == 0.0
+    assert out[1].n_docs == 1
+    assert out[5].n_docs == 2 and out[5].n_pos == 1 and out[5].pos_rate == 0.5
+    assert out[9].n_docs == 4 and out[9].n_pos == 3
+    assert abs(out[9].mean_score - (950000 + 980000 + 910000 + 1000000) // 4 / 1e6) < 1e-12
+    assert sum(r.n_docs for r in out.values()) == 9

@@ -119,6 +119,7 @@ FLOAT_SENSITIVE = [
     "corpus_heaps_fit",
     "wordpiece_merges",
     "corpus_sppmi",
+    "lr_calibration",
     "doc_quality",
     "training_corpus_curation",
     "doc_length_quantiles_twopass",
