@@ -146,3 +146,75 @@ def test_sessionize_matches_bruteforce(spark):
                 cur = [nxt]
         want.add((u, cur[0][0], len(cur), round(sum(x[1] for x in cur), 2)))
     assert got == want
+
+
+def test_watermark_drops_late_events_from_finalized_windows(spark):
+    """The 'watermarks + windowed aggs for late data' contract, pinned:
+    an event arriving after its tumbling window was EVICTED (append-mode
+    emission happens at the end of the batch whose in-effect watermark
+    passed the window end; a late row in THAT same batch still merges —
+    verified while building this test) must be dropped: the finalized
+    count is immutable and no duplicate window row is emitted."""
+    import datetime as dt
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    src = tempfile.mkdtemp(prefix="late_src_")
+    ckpt = tempfile.mkdtemp(prefix="late_ck_")
+    try:
+        t0 = dt.datetime(2024, 1, 1)
+
+        def df(rows):
+            return spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+        # batch 1: three events in hour 0, then events out to hour 4 so
+        # the 1h watermark finalizes windows ending <= t0+3h
+        batch1 = [(1, t0 + dt.timedelta(minutes=m)) for m in (5, 10, 20)] + [
+            (1, t0 + dt.timedelta(hours=h)) for h in (1, 2, 3, 4)
+        ]
+        df(batch1).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.2)  # distinct mtime: FileStreamSource batches in order
+        # batch 2: watermark 3h now IN EFFECT -> hour-0 window emitted
+        # and evicted at this batch's end
+        df([(1, t0 + dt.timedelta(hours=5))]).coalesce(1).write.mode(
+            "append").parquet(src)
+        _time.sleep(1.2)
+        # batch 3: one LATE event inside the long-evicted hour-0 window
+        # + a fresh event
+        df([(1, t0 + dt.timedelta(minutes=30)),
+            (1, t0 + dt.timedelta(hours=6))]).coalesce(1).write.mode(
+            "append").parquet(src)
+
+        stream = (
+            spark.readStream.schema(df(batch1).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withWatermark("ts", "1 hour")
+        )
+        q = (
+            stream.groupBy(F.window("ts", "1 hour").alias("w"))
+            .count()
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("late_mem")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql(
+            "SELECT w.start AS s, count FROM late_mem ORDER BY s"
+        ).collect()
+        by_start = {}
+        for r in rows:
+            assert r.s not in by_start, "duplicate emission for a window"
+            by_start[r.s] = r["count"]
+        # hour-0 window: the 3 on-time events only — the late 00:30
+        # event was dropped, not merged and not re-emitted
+        assert by_start[t0] == 3
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
