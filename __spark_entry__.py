@@ -562,6 +562,19 @@ def q_ann_recall_ivf(spark, sf_dir):
     return ann_recall_at_k(emb, q, k=5, n_centroids=16, nprobe=4)
 
 
+def q_image_ahashes(spark, sf_dir):
+    """Perceptual average-hash over REAL decoded PNG pixels
+    (operators/multimodal.image_ahash): inflate + 5-filter defilter in
+    the Arrow kernel, integer grayscale, 8x8 nearest sampling, mean
+    threshold, packed 32-bit halves. The oracle replays the hash from
+    the generator's closed-form pixel formula — so the real codec path
+    is hash-certified end to end."""
+    from nlp_cube_spark.operators.multimodal import image_ahash, synth_media_assets
+
+    docs = _t(spark, sf_dir, "documents")
+    return image_ahash(synth_media_assets(spark, docs))
+
+
 def q_zorder_keys(spark, sf_dir):
     """Morton/Z-order interleaved clustering keys
     (io/tables.zorder_key — the Delta OPTIMIZE ZORDER layout device,
@@ -2285,6 +2298,7 @@ _QUERIES = {
         "corpus_sppmi": q_corpus_sppmi,
         "zorder_keys": q_zorder_keys,
         "lr_calibration": q_lr_calibration,
+        "image_ahashes": q_image_ahashes,
         "events_asof_prev_click": q_events_asof_prev_click,
         "events_range_clicks": q_events_range_clicks,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -5236,6 +5250,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_pca_component": _pca_duck(),
         "wordpiece_merges": _wp_merges_duck(),
+        "image_ahashes": """
+          WITH png AS (SELECT doc_id AS asset_id,
+                              CAST(16 + doc_id % 49 AS INT) AS width,
+                              CAST(16 + (doc_id * 7) % 49 AS INT) AS height
+                       FROM documents WHERE doc_id % 6 = 0),
+          grid AS (SELECT asset_id, width, height, j, i,
+                          (j * height) // 8 AS sy, (i * width) // 8 AS sx
+                   FROM png, range(0, 8) a(j), range(0, 8) b(i)),
+          samp AS (SELECT asset_id, width, height, j, i,
+                          (((sx * 3 + sy * 7) % 256)
+                           + ((sx * 3 + sy * 7 + 11) % 256)
+                           + ((sx * 3 + sy * 7 + 22) % 256)) // 3 AS g
+                   FROM grid),
+          m AS (SELECT asset_id, CAST(sum(g) AS BIGINT) // 64 AS mean
+                FROM samp GROUP BY asset_id),
+          bits AS (SELECT s.asset_id, width, height, j, i,
+                          CASE WHEN g > mean THEN 1 ELSE 0 END AS b
+                   FROM samp s JOIN m USING (asset_id))
+          SELECT asset_id, width, height,
+                 string_agg(CAST(b AS VARCHAR), '' ORDER BY j, i) AS ahash_bits,
+                 CAST(sum(CASE WHEN j * 8 + i < 32
+                               THEN b::BIGINT << (31 - (j * 8 + i)) ELSE 0 END)
+                      AS BIGINT) AS ahash_hi,
+                 CAST(sum(CASE WHEN j * 8 + i >= 32
+                               THEN b::BIGINT << (63 - (j * 8 + i)) ELSE 0 END)
+                      AS BIGINT) AS ahash_lo
+          FROM bits GROUP BY asset_id, width, height
+        """,
         "zorder_keys": f"""
           SELECT l_orderkey, l_partkey,
                  CAST({" + ".join(

@@ -242,3 +242,79 @@ def transform_assets(
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(run, schema=ASSET_SCHEMA)
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("ahash_bits", T.StringType()),
+        T.StructField("ahash_hi", T.LongType()),
+        T.StructField("ahash_lo", T.LongType()),
+    ]
+)
+
+
+def image_ahash(assets: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash — the classic pHash-family image
+    fingerprint, public knowledge) over REAL decoded PNG pixels: decode
+    (kernels.mediacodec.decode_png_pixels — inflate + full 5-filter
+    defilter), integer grayscale (r+g+b)//3, nearest-sample to the 8x8
+    grid, threshold at the integer mean (strict >, ties -> 0), row-major
+    bit string + two packed 32-bit halves for cheap XOR hamming.
+
+    PNG assets only (the JPEG scan is a pass-through seam — documented
+    in transform_assets); one Arrow stage, no shuffle. Every step is
+    integer arithmetic on deterministic pixels, so the oracle replays
+    the hash from the generator's closed-form pixel formula while THIS
+    path exercises the real codec.
+
+    100 TB shape: a per-row kernel over the payload column; dedup joins
+    downstream operate on the 16-byte hash, never the pixels.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in AHASH_SCHEMA.fields}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(payload)
+                if not b.startswith(b"\x89PNG"):
+                    continue
+                w, h, ch, pix = mc.decode_png_pixels(b)
+                samples = []
+                for j in range(8):
+                    sy = (j * h) // 8
+                    for i in range(8):
+                        sx = (i * w) // 8
+                        o = (sy * w + sx) * ch
+                        if ch == 3:
+                            g = (pix[o] + pix[o + 1] + pix[o + 2]) // 3
+                        else:
+                            g = pix[o]
+                        samples.append(g)
+                mean = sum(samples) // 64
+                bits = "".join("1" if s > mean else "0" for s in samples)
+                out["asset_id"].append(int(aid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["ahash_bits"].append(bits)
+                out["ahash_hi"].append(int(bits[:32], 2))
+                out["ahash_lo"].append(int(bits[32:], 2))
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "payload").mapInPandas(run, schema=AHASH_SCHEMA)
+
+
+def ahash_dup_groups(hashes: DataFrame) -> DataFrame:
+    """Perceptual-duplicate groups: assets sharing an identical aHash
+    (64-bit perceptual equality — near-dup pairs under a hamming budget
+    use bit_count(xor) on the packed halves, same device as
+    simhash_near_dups). One hash agg on the 16-byte key."""
+    return (
+        hashes.groupBy("ahash_hi", "ahash_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sort_array(F.collect_list("asset_id")).alias("asset_ids"),
+        )
+        .where(F.col("n_assets") > 1)
+    )

@@ -378,3 +378,47 @@ def test_transform_assets_spark(spark):
     assert rows[3]["format"] == "jpeg" and rows[3]["width"] == 19  # pass-through
     assert rows[1]["sample_rate"] == 8000 and rows[1]["n_samples"] == (100 + 1 + 1) // 2
     assert rows[2]["format"] == "mp4" and rows[2]["duration"] == 500 * 3 + 2  # pass-through
+
+
+def test_image_ahash_matches_formula_and_groups(spark):
+    from nlp_cube_spark.operators.multimodal import (
+        ahash_dup_groups,
+        image_ahash,
+        synth_media_assets,
+    )
+
+    docs = spark.range(0, 360).selectExpr(
+        "id as doc_id", "'s' as source", "'en' as lang"
+    )
+    assets = synth_media_assets(spark, docs)
+    out = {r.asset_id: r for r in image_ahash(assets).collect()}
+    # only even image docs are PNG (doc_id % 3 == 0 and % 2 == 0)
+    assert set(out) == {d for d in range(360) if d % 6 == 0}
+    # python replica from the generator's closed-form pixels
+    for d, r in out.items():
+        w, h = 16 + d % 49, 16 + (d * 7) % 49
+        assert (r.width, r.height) == (w, h)
+        samples = []
+        for j in range(8):
+            sy = (j * h) // 8
+            for i in range(8):
+                sx = (i * w) // 8
+                g = sum((sx * 3 + sy * 7 + c * 11) % 256 for c in range(3)) // 3
+                samples.append(g)
+        mean = sum(samples) // 64
+        bits = "".join("1" if s > mean else "0" for s in samples)
+        assert r.ahash_bits == bits
+        assert r.ahash_hi == int(bits[:32], 2) and r.ahash_lo == int(bits[32:], 2)
+    # same (w, h) => identical pixels => perceptual-dup group
+    groups = ahash_dup_groups(image_ahash(assets)).collect()
+    by_asset = {}
+    for g in groups:
+        for a in g.asset_ids:
+            by_asset[a] = tuple(g.asset_ids)
+    # the GUARANTEE direction: identical (w, h) => identical pixels =>
+    # same perceptual-dup group (d and d+294 share dims among evens);
+    # the converse need not hold — aHash is lossy, cross-dim collisions
+    # are legitimate
+    for d in (0, 6, 12, 18, 24):
+        assert by_asset.get(d) == by_asset.get(d + 294) is not None
+        assert d in by_asset[d] and d + 294 in by_asset[d]
