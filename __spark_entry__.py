@@ -575,6 +575,21 @@ def q_image_ahashes(spark, sf_dir):
     return image_ahash(synth_media_assets(spark, docs))
 
 
+def q_audio_fingerprints(spark, sf_dir):
+    """Segment-energy audio fingerprints over REAL decoded PCM
+    (operators/multimodal.audio_fingerprint, Haitsma & Kalker 2002
+    scheme): RIFF parse + int16 decode in the Arrow kernel; 15
+    energy-difference bits, all integer — the oracle replays the
+    generator's closed-form sample formula."""
+    from nlp_cube_spark.operators.multimodal import (
+        audio_fingerprint,
+        synth_media_assets,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return audio_fingerprint(synth_media_assets(spark, docs))
+
+
 def q_zorder_keys(spark, sf_dir):
     """Morton/Z-order interleaved clustering keys
     (io/tables.zorder_key — the Delta OPTIMIZE ZORDER layout device,
@@ -2299,6 +2314,7 @@ _QUERIES = {
         "zorder_keys": q_zorder_keys,
         "lr_calibration": q_lr_calibration,
         "image_ahashes": q_image_ahashes,
+        "audio_fingerprints": q_audio_fingerprints,
         "events_asof_prev_click": q_events_asof_prev_click,
         "events_range_clicks": q_events_range_clicks,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -5250,6 +5266,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_pca_component": _pca_duck(),
         "wordpiece_merges": _wp_merges_duck(),
+        "audio_fingerprints": """
+          WITH wav AS (SELECT doc_id AS asset_id,
+                              CAST(1 + doc_id % 2 AS INT) AS ch,
+                              CAST(100 + doc_id % 900 AS INT) AS n
+                       FROM documents WHERE doc_id % 3 = 1),
+          fr AS (SELECT asset_id, ch, n, unnest(range(0, n)) AS t FROM wav),
+          mono AS (SELECT asset_id, n, t,
+                          CASE WHEN ch = 1
+                               THEN ((t * 257 + 19) % 2003) - 1001
+                               ELSE (((t * 2) * 257 + 19) % 2003) - 1001
+                                    + (((t * 2 + 1) * 257 + 19) % 2003) - 1001
+                          END AS m
+                   FROM fr),
+          seg AS (SELECT asset_id, (t * 16) // n AS k,
+                         CAST(sum(m * m) AS BIGINT) AS e
+                  FROM mono GROUP BY 1, 2),
+          bits AS (SELECT asset_id, k, e,
+                          lead(e) OVER (PARTITION BY asset_id ORDER BY k) AS ne
+                   FROM seg),
+          packed AS (
+            SELECT asset_id,
+                   string_agg(CAST(CASE WHEN ne > e THEN 1 ELSE 0 END AS VARCHAR),
+                              '' ORDER BY k) AS fp_bits,
+                   CAST(sum((CASE WHEN ne > e THEN 1 ELSE 0 END)::BIGINT
+                            << (14 - k)) AS BIGINT) AS fp
+            FROM bits WHERE ne IS NOT NULL GROUP BY asset_id)
+          SELECT w.asset_id, n AS n_frames, ch AS channels, fp_bits, fp
+          FROM wav w JOIN packed USING (asset_id)
+        """,
         "image_ahashes": """
           WITH png AS (SELECT doc_id AS asset_id,
                               CAST(16 + doc_id % 49 AS INT) AS width,

@@ -422,3 +422,27 @@ def test_image_ahash_matches_formula_and_groups(spark):
     for d in (0, 6, 12, 18, 24):
         assert by_asset.get(d) == by_asset.get(d + 294) is not None
         assert d in by_asset[d] and d + 294 in by_asset[d]
+
+
+def test_audio_fingerprint_matches_formula(spark):
+    from nlp_cube_spark.operators.multimodal import audio_fingerprint, synth_media_assets
+
+    docs = spark.range(0, 60).selectExpr(
+        "id as doc_id", "'s' as source", "'en' as lang"
+    )
+    out = {r.asset_id: r for r in
+           audio_fingerprint(synth_media_assets(spark, docs)).collect()}
+    assert set(out) == {d for d in range(60) if d % 3 == 1}
+    for d, r in out.items():
+        ch, n = 1 + d % 2, 100 + d % 900
+        assert (r.channels, r.n_frames) == (ch, n)
+        mono = []
+        for t in range(n):
+            mono.append(sum((( (t * ch + c) * 257 + 19) % 2003) - 1001
+                            for c in range(ch)))
+        seg = [0] * 16
+        for t in range(n):
+            seg[(t * 16) // n] += mono[t] ** 2
+        bits = "".join("1" if seg[k + 1] > seg[k] else "0" for k in range(15))
+        assert r.fp_bits == bits and r.fp == int(bits, 2)
+        assert len(r.fp_bits) == 15
