@@ -590,6 +590,27 @@ def q_audio_fingerprints(spark, sf_dir):
     return audio_fingerprint(synth_media_assets(spark, docs))
 
 
+def q_media_curation(spark, sf_dir):
+    """End-to-end multimodal curation verdicts
+    (operators/multimodal.curate_media_assets): strict decode with
+    quarantine (payloads of asset_id % 97 == 0 are truncated to 8 bytes
+    — a deterministic corruption the oracle replays as set membership),
+    then perceptual dedup per modality over the REAL codec paths. One
+    verdict row per asset."""
+    from nlp_cube_spark.operators.multimodal import (
+        curate_media_assets,
+        synth_media_assets,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = synth_media_assets(spark, docs).withColumn(
+        "payload",
+        F.when(F.col("asset_id") % 97 == 0, F.expr("substring(payload, 1, 8)"))
+        .otherwise(F.col("payload")),
+    )
+    return curate_media_assets(assets)
+
+
 def q_zorder_keys(spark, sf_dir):
     """Morton/Z-order interleaved clustering keys
     (io/tables.zorder_key — the Delta OPTIMIZE ZORDER layout device,
@@ -2315,6 +2336,7 @@ _QUERIES = {
         "lr_calibration": q_lr_calibration,
         "image_ahashes": q_image_ahashes,
         "audio_fingerprints": q_audio_fingerprints,
+        "media_curation": q_media_curation,
         "events_asof_prev_click": q_events_asof_prev_click,
         "events_range_clicks": q_events_range_clicks,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -5266,6 +5288,63 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_pca_component": _pca_duck(),
         "wordpiece_merges": _wp_merges_duck(),
+        "media_curation": """
+          WITH png AS (SELECT doc_id AS asset_id,
+                              16 + doc_id % 49 AS width,
+                              16 + (doc_id * 7) % 49 AS height
+                       FROM documents
+                       WHERE doc_id % 6 = 0 AND doc_id % 97 <> 0),
+          grid AS (SELECT asset_id, width, height, j, i,
+                          (j * height) // 8 AS sy, (i * width) // 8 AS sx
+                   FROM png, range(0, 8) a(j), range(0, 8) b(i)),
+          samp AS (SELECT asset_id, j, i,
+                          (((sx * 3 + sy * 7) % 256)
+                           + ((sx * 3 + sy * 7 + 11) % 256)
+                           + ((sx * 3 + sy * 7 + 22) % 256)) // 3 AS g
+                   FROM grid),
+          m AS (SELECT asset_id, CAST(sum(g) AS BIGINT) // 64 AS mean
+                FROM samp GROUP BY asset_id),
+          ib AS (SELECT s.asset_id,
+                        string_agg(CAST(CASE WHEN g > mean THEN 1 ELSE 0 END
+                                        AS VARCHAR), '' ORDER BY j, i) AS hsh
+                 FROM samp s JOIN m USING (asset_id) GROUP BY s.asset_id),
+          img_drop AS (SELECT asset_id FROM (
+                         SELECT asset_id, min(asset_id) OVER (PARTITION BY hsh) AS kp
+                         FROM ib) WHERE asset_id <> kp),
+          wav AS (SELECT doc_id AS asset_id, 1 + doc_id % 2 AS ch,
+                         100 + doc_id % 900 AS n
+                  FROM documents
+                  WHERE doc_id % 3 = 1 AND doc_id % 97 <> 0),
+          fr AS (SELECT asset_id, ch, n, unnest(range(0, n)) AS t FROM wav),
+          mono AS (SELECT asset_id, n, t,
+                          CASE WHEN ch = 1
+                               THEN ((t * 257 + 19) % 2003) - 1001
+                               ELSE (((t * 2) * 257 + 19) % 2003) - 1001
+                                    + (((t * 2 + 1) * 257 + 19) % 2003) - 1001
+                          END AS s
+                   FROM fr),
+          seg AS (SELECT asset_id, (t * 16) // n AS k,
+                         CAST(sum(s * s) AS BIGINT) AS e
+                  FROM mono GROUP BY 1, 2),
+          ab AS (SELECT asset_id,
+                        string_agg(CAST(CASE WHEN ne > e THEN 1 ELSE 0 END AS VARCHAR),
+                                   '' ORDER BY k) AS fp
+                 FROM (SELECT asset_id, k, e,
+                              lead(e) OVER (PARTITION BY asset_id ORDER BY k) AS ne
+                       FROM seg)
+                 WHERE ne IS NOT NULL GROUP BY asset_id),
+          aud_drop AS (SELECT asset_id FROM (
+                         SELECT asset_id, min(asset_id) OVER (PARTITION BY fp) AS kp
+                         FROM ab) WHERE asset_id <> kp),
+          drops AS (SELECT asset_id FROM img_drop UNION ALL SELECT asset_id FROM aud_drop)
+          SELECT d.doc_id AS asset_id,
+                 ['image','audio','video'][CAST(d.doc_id % 3 AS INT) + 1] AS kind,
+                 (d.doc_id % 97 <> 0 AND dr.asset_id IS NULL) AS kept,
+                 CASE WHEN d.doc_id % 97 = 0 THEN 'malformed'
+                      WHEN dr.asset_id IS NOT NULL THEN 'perceptual_dup'
+                      ELSE 'kept' END AS reason
+          FROM documents d LEFT JOIN drops dr ON d.doc_id = dr.asset_id
+        """,
         "audio_fingerprints": """
           WITH wav AS (SELECT doc_id AS asset_id,
                               CAST(1 + doc_id % 2 AS INT) AS ch,

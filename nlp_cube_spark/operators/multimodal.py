@@ -17,7 +17,7 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from nlp_cube_spark.kernels import mediacodec as mc
 
@@ -375,3 +375,54 @@ def audio_fingerprint(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return assets.select("asset_id", "payload").mapInPandas(run, schema=AUDIO_FP_SCHEMA)
+
+
+def curate_media_assets(assets: DataFrame) -> DataFrame:
+    """End-to-end media curation verdicts — the multimodal sibling of
+    plans/dataprep.training_corpus_curation: strict decode with
+    quarantine (malformed containers must not kill the job OR reach
+    training), then perceptual dedup per modality (image_ahash /
+    audio_fingerprint — keep the smallest asset_id per perceptual
+    group; the audio key is the 15-bit fingerprint alone, deliberately
+    aggressive, documented), pass-through for modalities without a
+    pixel/sample decoder (JPEG scan, MP4 header — the honest seams).
+
+    Returns one verdict row per asset: (asset_id, kind, kept, reason)
+    with reason in ('kept', 'malformed', 'perceptual_dup').
+
+    The input frame is localCheckpointed: FOUR consumers (decode,
+    image hash, audio hash, verdict join) would otherwise re-run the
+    upstream per reference (CLAUDE.md shared-subtree rule).
+    """
+    assets = assets.localCheckpoint(eager=False)
+    dec = decode_assets(assets, on_error="quarantine")
+    bad = dec.where(F.col("error").isNotNull()).select("asset_id")
+    clean = assets.join(bad, "asset_id", "left_anti")
+
+    def dups(hashes: DataFrame, key_cols: list[str]) -> DataFrame:
+        w = Window.partitionBy(*key_cols)
+        return (
+            hashes.withColumn("_keep", F.min("asset_id").over(w))
+            .where(F.col("asset_id") != F.col("_keep"))
+            .select("asset_id")
+        )
+
+    img_dups = dups(image_ahash(clean), ["ahash_hi", "ahash_lo"])
+    aud_dups = dups(audio_fingerprint(clean), ["fp"])
+    dropped = img_dups.unionByName(aud_dups).withColumn(
+        "_dup", F.lit(True)
+    )
+    return (
+        assets.select("asset_id", "kind")
+        .join(bad.withColumn("_bad", F.lit(True)), "asset_id", "left")
+        .join(dropped, "asset_id", "left")
+        .select(
+            "asset_id",
+            "kind",
+            (F.col("_bad").isNull() & F.col("_dup").isNull()).alias("kept"),
+            F.when(F.col("_bad").isNotNull(), F.lit("malformed"))
+            .when(F.col("_dup").isNotNull(), F.lit("perceptual_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("reason"),
+        )
+    )

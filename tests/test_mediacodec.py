@@ -446,3 +446,34 @@ def test_audio_fingerprint_matches_formula(spark):
         bits = "".join("1" if seg[k + 1] > seg[k] else "0" for k in range(15))
         assert r.fp_bits == bits and r.fp == int(bits, 2)
         assert len(r.fp_bits) == 15
+
+
+def test_curate_media_assets_verdicts(spark):
+    from pyspark.sql import functions as F
+    from nlp_cube_spark.operators.multimodal import (
+        curate_media_assets,
+        synth_media_assets,
+    )
+
+    docs = spark.range(0, 360).selectExpr(
+        "id as doc_id", "'s' as source", "'en' as lang"
+    )
+    assets = synth_media_assets(spark, docs).withColumn(
+        "payload",
+        F.when(F.col("asset_id") % 97 == 0, F.expr("substring(payload, 1, 8)"))
+        .otherwise(F.col("payload")),
+    )
+    out = {r.asset_id: r for r in curate_media_assets(assets).collect()}
+    assert len(out) == 360  # exactly one verdict per asset
+    for d, r in out.items():
+        if d % 97 == 0:
+            assert r.reason == "malformed" and not r.kept, d
+        else:
+            assert r.reason in ("kept", "perceptual_dup")
+            assert r.kept == (r.reason == "kept")
+    # the known same-pixels PNG pair: smaller id kept, larger dropped
+    assert out[6].reason == "kept" and out[300].reason == "perceptual_dup"
+    # a perceptual keeper exists for every dropped group member
+    assert any(r.reason == "perceptual_dup" for r in out.values())
+    # malformed assets never appear as dup keepers or members
+    assert out[0].reason == "malformed"  # 0 % 97 == 0 even though PNG
