@@ -160,3 +160,23 @@ def test_wordpiece_parallelism_invariant(spark):
         m, _ = train_wordpiece(docs.repartition(p), n_merges=3)
         outs.append(sorted(m.collect()))
     assert outs[0] == outs[1]
+
+
+def test_segment_words_applies_wordpiece_merges(spark):
+    """segment_words is trainer-agnostic: a collected WordPiece merge
+    table (rank order) encodes fresh words exactly like the training
+    by-product segments the dimension."""
+    from nlp_cube_spark.operators.bpe import segment_words, train_wordpiece
+
+    docs = spark.createDataFrame(
+        [(1, "xy xy xy xy ab ab ab ab az bz a b")], "doc_id long, text string"
+    )
+    merges_df, seg = train_wordpiece(docs, n_merges=2)
+    merges = [(r.lhs, r.rhs) for r in
+              sorted(merges_df.collect(), key=lambda r: r.merge_rank)]
+    fresh = spark.createDataFrame([("xy",), ("xyxy",), ("qq",)], "word string")
+    got = {r.word: r.sym for r in segment_words(fresh, merges).collect()}
+    trained = {r.word: r.sym for r in seg.collect()}
+    assert got["xy"] == trained["xy"]  # encode == training by-product
+    assert got["qq"] == "q q"          # untouched by unseen merges
+    assert " " not in got["xy"] or got["xy"].count(" ") < 1
