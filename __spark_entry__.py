@@ -590,6 +590,18 @@ def q_audio_fingerprints(spark, sf_dir):
     return audio_fingerprint(synth_media_assets(spark, docs))
 
 
+def q_source_diversity(spark, sf_dir):
+    """Corpus diversity indices over the source distribution
+    (textstats.source_diversity — Shannon entropy, effective-source
+    Hill number, Simpson index, max share): the data-mix report card.
+    One hash agg to the source dimension; -p ln p nano-quantized once
+    per source, BIGINT sum."""
+    from nlp_cube_spark.operators.textstats import source_diversity
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_diversity(docs)
+
+
 def q_media_curation(spark, sf_dir):
     """End-to-end multimodal curation verdicts
     (operators/multimodal.curate_media_assets): strict decode with
@@ -2337,6 +2349,7 @@ _QUERIES = {
         "image_ahashes": q_image_ahashes,
         "audio_fingerprints": q_audio_fingerprints,
         "media_curation": q_media_curation,
+        "source_diversity": q_source_diversity,
         "events_asof_prev_click": q_events_asof_prev_click,
         "events_range_clicks": q_events_range_clicks,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -5288,6 +5301,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_pca_component": _pca_duck(),
         "wordpiece_merges": _wp_merges_duck(),
+        "source_diversity": """
+          WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS c
+                       FROM documents GROUP BY source),
+          tot AS (SELECT CAST(sum(c) AS BIGINT) AS N FROM per),
+          terms AS (SELECT c, N,
+                           -CAST(floor((c / CAST(N AS DOUBLE))
+                                       * ln(c / CAST(N AS DOUBLE)) * 1e9 + 0.5)
+                                 AS BIGINT) AS h_nano
+                    FROM per CROSS JOIN tot),
+          agg AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                         CAST(sum(h_nano) AS BIGINT) AS H,
+                         CAST(sum(c * c) AS BIGINT) AS sq,
+                         CAST(max(c) AS BIGINT) AS mx,
+                         CAST(max(N) AS BIGINT) AS N
+                  FROM terms)
+          SELECT n_groups,
+                 floor((H / 1e9) * 1e6 + 0.5) / 1e6 AS shannon_entropy,
+                 floor(exp(H / 1e9) * 1e6 + 0.5) / 1e6 AS effective_groups,
+                 floor((1.0 - sq / (CAST(N AS DOUBLE) * CAST(N AS DOUBLE)))
+                       * 1e6 + 0.5) / 1e6 AS simpson,
+                 floor((mx / CAST(N AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS max_share
+          FROM agg
+        """,
         "media_curation": """
           WITH png AS (SELECT doc_id AS asset_id,
                               16 + doc_id % 49 AS width,

@@ -1207,3 +1207,68 @@ def sppmi_cooccurrence(
         "n_cooc",
         ((F.expr("_nano div 1000L")) / F.lit(1e6)).alias("sppmi"),
     )
+
+
+def source_diversity(
+    docs: DataFrame, group_col: str = "source", weight: str = "docs"
+) -> DataFrame:
+    """Corpus diversity indices over the group (source/domain/language)
+    distribution — the standard data-mix report card (Shannon 1948
+    entropy; Simpson 1949 index; 'effective number' = exp(H), Hill
+    numbers): a training mix dominated by one domain shows low entropy
+    long before a sample eyeball does.
+
+    weight='docs' counts documents; 'tokens' weights by token count.
+    Returns one row: (n_groups, shannon_entropy, effective_groups,
+    simpson, max_share). Exactness: group counts are integers; p_i
+    enters once per group as an IEEE division, ln quantized to
+    nano-units and summed as BIGINT (order-independent); simpson and
+    max_share are built from integer counts and one division each.
+    Plan: one corpus hash agg to the group dimension + one 1-row agg.
+    """
+    if weight == "docs":
+        per = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("_c"))
+    elif weight == "tokens":
+        per = (
+            docs.select(
+                F.col(group_col),
+                F.expr("regexp_count(text, '\\\\S+')").alias("_n"),
+            )
+            .groupBy(group_col)
+            .agg(F.sum("_n").alias("_c"))
+        )
+    else:
+        raise ValueError("weight must be 'docs' or 'tokens'")
+    tot = per.agg(F.sum("_c").alias("_N"))
+    terms = per.crossJoin(F.broadcast(tot)).select(
+        "_c",
+        "_N",
+        # -p ln p in nano-units, one quantization per group
+        (
+            -F.floor(
+                (F.col("_c") / F.col("_N"))
+                * F.log(F.col("_c") / F.col("_N"))
+                * 1e9
+                + F.lit(0.5)
+            ).cast("bigint")
+        ).alias("_h_nano"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("_h_nano").alias("_H"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_sq"),
+        F.max("_c").alias("_mx"),
+        F.max("_N").alias("_N"),
+    )
+    h = F.col("_H") / F.lit(1e9)
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return agg.select(
+        F.col("n_groups").cast("bigint").alias("n_groups"),
+        r6(h).alias("shannon_entropy"),
+        r6(F.exp(h)).alias("effective_groups"),
+        r6(
+            F.lit(1.0)
+            - F.col("_sq") / (F.col("_N").cast("double") * F.col("_N").cast("double"))
+        ).alias("simpson"),
+        r6(F.col("_mx") / F.col("_N").cast("double")).alias("max_share"),
+    )

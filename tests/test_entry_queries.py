@@ -120,6 +120,7 @@ FLOAT_SENSITIVE = [
     "wordpiece_merges",
     "corpus_sppmi",
     "lr_calibration",
+    "source_diversity",
     "doc_quality",
     "training_corpus_curation",
     "doc_length_quantiles_twopass",

@@ -540,3 +540,28 @@ def test_sppmi_matches_python_replica(spark):
     # independent same-frequency pairs inside one doc ('x y') score lower
     # than nothing-else-to-pair-with would suggest vs cross-doc: sanity
     assert ("x", "y") in got and ("a", "b") in got
+
+
+def test_source_diversity_planted(spark):
+    import math
+    from nlp_cube_spark.operators.textstats import source_diversity
+
+    # uniform over 4 sources: H = ln 4, effective = 4, simpson = 0.75
+    rows = [(i, "a b c", f"s{i % 4}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    r = source_diversity(docs).collect()[0]
+    assert r.n_groups == 4
+    assert abs(r.shannon_entropy - math.log(4)) < 1e-5
+    assert abs(r.effective_groups - 4.0) < 1e-4
+    assert abs(r.simpson - 0.75) < 1e-9
+    assert r.max_share == 0.25
+    # dominated corpus: low entropy, high max_share
+    dom = spark.createDataFrame(
+        [(i, "x", "big" if i < 97 else f"tiny{i}") for i in range(100)],
+        "doc_id long, text string, source string",
+    )
+    d = source_diversity(dom).collect()[0]
+    assert d.max_share == 0.97 and d.shannon_entropy < 0.2
+    # token weighting counts tokens, not docs
+    tw = source_diversity(docs, weight="tokens").collect()[0]
+    assert abs(tw.shannon_entropy - math.log(4)) < 1e-5
