@@ -338,6 +338,27 @@ def q_doc_lang_id(spark, sf_dir):
     return lang_id(_t(spark, sf_dir, "documents")).groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_lang_id_confusion(spark, sf_dir):
+    """Language-ID confusion matrix (textstats.lang_id predictions vs
+    the table's lang labels): the standard classifier eval table —
+    per (lang, lang_pred) cell count plus the cell's share of its true
+    class (recall decomposition). One corpus projection + one hash agg
+    + a language-dimension window."""
+    from nlp_cube_spark.operators.textstats import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    cells = lang_id(docs).groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "lang_pred",
+        "n",
+        (F.col("n") / F.sum("n").over(w)).alias("class_share"),
+    )
+
+
 def q_doc_quality(spark, sf_dir):
     from nlp_cube_spark.operators.textstats import quality_score
 
@@ -2350,6 +2371,7 @@ _QUERIES = {
         "audio_fingerprints": q_audio_fingerprints,
         "media_curation": q_media_curation,
         "source_diversity": q_source_diversity,
+        "lang_id_confusion": q_lang_id_confusion,
         "events_asof_prev_click": q_events_asof_prev_click,
         "events_range_clicks": q_events_range_clicks,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -4002,6 +4024,20 @@ def oracle_sql() -> dict[str, str]:
                  len(list_filter(string_split(text, ' '), t -> t <> '')) AS ws_tokens,
                  len(regexp_extract_all(text, '[0-9A-Za-z]+|[^0-9A-Za-z ]')) AS pre_tokens
           FROM documents
+        """,
+        "lang_id_confusion": f"""
+          SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n,
+                 count(*) / CAST(sum(count(*)) OVER (PARTITION BY lang) AS DOUBLE)
+                   AS class_share
+          FROM (
+            SELECT lang,
+                   CASE WHEN greatest(h_en, h_es, h_fr) = 0 THEN 'und'
+                        WHEN h_en = greatest(h_en, h_es, h_fr) THEN 'en'
+                        WHEN h_es = greatest(h_en, h_es, h_fr) THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM (SELECT lang, {sw_en} AS h_en, {sw_es} AS h_es, {sw_fr} AS h_fr
+                  FROM documents)
+          ) GROUP BY lang, lang_pred
         """,
         "doc_lang_id": f"""
           SELECT lang_pred, count(*) AS n FROM (
