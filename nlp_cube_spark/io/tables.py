@@ -103,14 +103,17 @@ def zorder_key(col_a, col_b, bits: int = 16):
     knowledge — bit interleaving preserves 2-D locality in a 1-D sort
     order): bit i of each input lands at output bits 2i / 2i+1.
 
-    Inputs are masked to `bits` low bits (callers quantize/rank wider
-    domains first — rank-then-interleave is the standard recipe).
-    Pure shift/mask expressions: codegen'd, engine-portable, exact.
+    Inputs are reduced to `bits` low bits via pmod — a true mask even
+    for NEGATIVE inputs (pmod(x, 2^bits) is x's low-bit two's-complement
+    value; plain % would keep the sign and corrupt the interleave).
+    Callers quantize/rank wider domains first — rank-then-interleave is
+    the standard recipe. Pure shift/mask expressions: codegen'd,
+    engine-portable, exact.
     """
     a = F.col(col_a) if isinstance(col_a, str) else col_a
     b = F.col(col_b) if isinstance(col_b, str) else col_b
-    a = a.cast("bigint") % F.lit(1 << bits)
-    b = b.cast("bigint") % F.lit(1 << bits)
+    a = F.pmod(a.cast("bigint"), F.lit(1 << bits))
+    b = F.pmod(b.cast("bigint"), F.lit(1 << bits))
     key = F.lit(0).cast("bigint")
     for i in range(bits):
         key = (

@@ -280,7 +280,14 @@ def image_ahash(assets: DataFrame) -> DataFrame:
                 b = bytes(payload)
                 if not b.startswith(b"\x89PNG"):
                     continue
-                w, h, ch, pix = mc.decode_png_pixels(b)
+                try:
+                    w, h, ch, pix = mc.decode_png_pixels(b)
+                except Exception:
+                    # header-valid but pixel-undecodable (RGBA/16-bit/
+                    # corrupt IDAT): hash only what decodes — skipping
+                    # keeps the 10-hour-job contract; such assets pass
+                    # through curation un-hashed (like the JPEG seam)
+                    continue
                 samples = []
                 for j in range(8):
                     sy = (j * h) // 8
@@ -357,7 +364,14 @@ def audio_fingerprint(assets: DataFrame) -> DataFrame:
                 b = bytes(payload)
                 if not b.startswith(b"RIFF"):
                     continue
-                _, ch, pcm = mc.decode_wav_samples(b)
+                try:
+                    _, ch, pcm = mc.decode_wav_samples(b)
+                    if ch < 1 or len(pcm) < ch:
+                        continue
+                except Exception:
+                    # sample-undecodable despite a RIFF header (zero
+                    # channels, odd data chunk): skip, never kill the job
+                    continue
                 n = len(pcm) // ch
                 mono = pcm.reshape(n, ch).astype("int64").sum(axis=1)
                 seg = [0] * _AFP_SEGMENTS
@@ -396,7 +410,15 @@ def curate_media_assets(assets: DataFrame) -> DataFrame:
     """
     assets = assets.localCheckpoint(eager=False)
     dec = decode_assets(assets, on_error="quarantine")
-    bad = dec.where(F.col("error").isNotNull()).select("asset_id")
+    # checkpoint the DECODE output too: `bad` feeds three branches of
+    # one plan (both dedup anti-joins + the verdict join), and Spark
+    # re-runs mapInPandas subtrees per reference (CLAUDE.md) — the
+    # input checkpoint alone only covers the synth side
+    bad = (
+        dec.where(F.col("error").isNotNull())
+        .select("asset_id")
+        .localCheckpoint(eager=False)
+    )
     clean = assets.join(bad, "asset_id", "left_anti")
 
     def dups(hashes: DataFrame, key_cols: list[str]) -> DataFrame:

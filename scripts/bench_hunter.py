@@ -17,7 +17,6 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from scaling_watcher import LOG, bench_once, log, probe  # noqa: E402
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BEST = os.path.join(os.path.dirname(LOG), "bench_quiet.json")
 
 
@@ -49,9 +48,14 @@ def main() -> None:
             continue
         log(f"hunter probe {p} >= {args.min_probe}: benching")
         attempts += 1
-        b = bench_once()
+        try:
+            b = bench_once()
+        except Exception as exc:
+            log(f"hunter bench failed: {exc}")
+            b = None
         if b is None:
             log("hunter bench produced no JSON")
+            time.sleep(args.interval)
             continue
         b["_fired_at_probe"] = p
         log(f"hunter attempt {attempts}: total={b['value']}s at probe {p}")

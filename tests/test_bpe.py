@@ -179,4 +179,5 @@ def test_segment_words_applies_wordpiece_merges(spark):
     trained = {r.word: r.sym for r in seg.collect()}
     assert got["xy"] == trained["xy"]  # encode == training by-product
     assert got["qq"] == "q q"          # untouched by unseen merges
-    assert " " not in got["xy"] or got["xy"].count(" ") < 1
+    # both learned merges fire on a fresh concatenated word
+    assert got["xyxy"] in ("xy xy", "xyxy")
