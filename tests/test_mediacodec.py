@@ -477,3 +477,25 @@ def test_curate_media_assets_verdicts(spark):
     assert any(r.reason == "perceptual_dup" for r in out.values())
     # malformed assets never appear as dup keepers or members
     assert out[0].reason == "malformed"  # 0 % 97 == 0 even though PNG
+
+
+def test_hashers_skip_header_valid_but_undecodable_payloads(spark):
+    """Review-pass contract: a payload whose HEADER parses but whose
+    pixels/samples don't must be SKIPPED by the perceptual hashers (and
+    pass through curation), never kill the job."""
+    import struct
+    from nlp_cube_spark.kernels import mediacodec as mc
+    from nlp_cube_spark.operators.multimodal import audio_fingerprint, image_ahash
+
+    good_png = mc.make_png(20, 20)
+    # corrupt the zlib stream inside IDAT: find the IDAT tag, flip bytes
+    # just after it (chunk framing + IHDR stay valid)
+    i = good_png.index(b"IDAT") + 4
+    bad_png = good_png[:i + 2] + b"\xff\xff\xff" + good_png[i + 5:]
+    good_wav = mc.make_wav(8000, 1, 50)
+    # patch fmt 'channels' (offset 22, <H) to 0: header-parseable, 0-div bait
+    bad_wav = good_wav[:22] + struct.pack("<H", 0) + good_wav[24:]
+    rows = [(1, good_png), (2, bad_png), (3, good_wav), (4, bad_wav)]
+    assets = spark.createDataFrame(rows, "asset_id long, payload binary")
+    assert {r.asset_id for r in image_ahash(assets).collect()} == {1}
+    assert {r.asset_id for r in audio_fingerprint(assets).collect()} == {3}
