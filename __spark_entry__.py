@@ -611,6 +611,17 @@ def q_audio_fingerprints(spark, sf_dir):
     return audio_fingerprint(synth_media_assets(spark, docs))
 
 
+def q_events_hourly_anomalies(spark, sf_dir):
+    """Trailing z-score volume monitor (temporal.hourly_volume_anomalies,
+    the 3-sigma control chart): hourly ingest counts vs the 24
+    preceding hours. One corpus agg to the hour dimension + one
+    dimension window; exact integer baseline sums, one IEEE z."""
+    from nlp_cube_spark.operators.temporal import hourly_volume_anomalies
+
+    events = _t(spark, sf_dir, "events")
+    return hourly_volume_anomalies(events)
+
+
 def q_source_diversity(spark, sf_dir):
     """Corpus diversity indices over the source distribution
     (textstats.source_diversity — Shannon entropy, effective-source
@@ -2372,6 +2383,7 @@ _QUERIES = {
         "media_curation": q_media_curation,
         "source_diversity": q_source_diversity,
         "lang_id_confusion": q_lang_id_confusion,
+        "events_hourly_anomalies": q_events_hourly_anomalies,
         "events_asof_prev_click": q_events_asof_prev_click,
         "events_range_clicks": q_events_range_clicks,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -5337,6 +5349,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_pca_component": _pca_duck(),
         "wordpiece_merges": _wp_merges_duck(),
+        "events_hourly_anomalies": """
+          WITH hrs AS (SELECT date_trunc('hour', ts) AS hour,
+                              CAST(count(*) AS BIGINT) AS n_events
+                       FROM events GROUP BY 1),
+          base AS (
+            SELECT hour, n_events,
+                   CAST(count(*) OVER w AS BIGINT) AS k,
+                   CAST(sum(n_events) OVER w AS BIGINT) AS s1,
+                   CAST(sum(n_events * n_events) OVER w AS BIGINT) AS s2
+            FROM hrs
+            WINDOW w AS (ORDER BY hour ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+          ),
+          sc AS (
+            SELECT hour, n_events, k, s1, s2,
+                   s1 / CAST(k AS DOUBLE) AS m,
+                   (s2 - s1 * s1 / CAST(k AS DOUBLE))
+                     / nullif(CAST(k - 1 AS DOUBLE), 0.0) AS v
+            FROM base
+          )
+          SELECT hour, n_events,
+                 coalesce(k, 0) AS baseline_n,
+                 floor(m * 1e6 + 0.5) / 1e6 AS baseline_mean,
+                 floor(((n_events - m) / nullif(sqrt(v), 0.0)) * 1e6 + 0.5) / 1e6 AS z,
+                 coalesce(abs(floor(((n_events - m) / nullif(sqrt(v), 0.0))
+                                    * 1e6 + 0.5) / 1e6) >= 3.0, FALSE)
+                   AS is_anomaly
+          FROM sc
+        """,
         "source_diversity": """
           WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS c
                        FROM documents GROUP BY source),

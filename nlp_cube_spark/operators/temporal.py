@@ -330,3 +330,70 @@ def trailing_window_stats(
             F.round(F.sum(value_col).over(w), 6).alias("sum_trailing"),
         )
     )
+
+
+def hourly_volume_anomalies(
+    events: DataFrame,
+    ts_col: str = "ts",
+    baseline_hours: int = 24,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Event-volume anomaly detection — the classic trailing z-score
+    monitor (control-chart / 3-sigma rule, public knowledge) over
+    hourly ingest counts: each hour is scored against the mean/std of
+    the `baseline_hours` PRECEDING hours; |z| >= z_threshold flags a
+    spike or outage. The first operator a crawl-ingest pipeline wires
+    to paging.
+
+    Returns (hour, n_events, baseline_n, baseline_mean, z, is_anomaly);
+    hours with fewer than 2 baseline points or zero variance get NULL z
+    (never a throw — ANSI /0 is nullif-guarded) and is_anomaly false.
+
+    100 TB shape: one corpus hash agg to the HOUR dimension, then a
+    rows-window over that dimension (thousands of rows for years of
+    data — never corpus-sized). Exactness: baseline sums are exact
+    integers over a FIXED row window; variance/z is one IEEE expression
+    over those integers, floor-rounded 6dp.
+    """
+    hours = (
+        events.select(F.date_trunc("hour", F.col(ts_col)).alias("hour"))
+        .groupBy("hour")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = (
+        Window.orderBy("hour")
+        .rowsBetween(-baseline_hours, -1)
+    )
+    base = hours.select(
+        "hour",
+        "n_events",
+        F.count(F.lit(1)).over(w).alias("_k"),
+        F.sum("n_events").over(w).alias("_s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(w).alias("_s2"),
+    )
+    mean = F.col("_s1") / F.col("_k").cast("double")
+    var = (
+        (F.col("_s2") - F.col("_s1") * F.col("_s1") / F.col("_k").cast("double"))
+        / F.expr("nullif(cast(_k - 1 as double), 0.0d)")
+    )
+    z = (F.col("n_events") - mean) / F.expr("nullif(sqrt(_var), 0.0d)")
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    out = base.withColumn("_var", var).select(
+        "hour",
+        "n_events",
+        F.coalesce(F.col("_k"), F.lit(0)).cast("bigint").alias("baseline_n"),
+        r6(mean).alias("baseline_mean"),
+        r6(z).alias("_zr"),
+    )
+    return out.select(
+        "hour",
+        "n_events",
+        "baseline_n",
+        "baseline_mean",
+        F.col("_zr").alias("z"),
+        F.when(
+            F.col("_zr").isNotNull() & (F.abs("_zr") >= z_threshold), F.lit(True)
+        )
+        .otherwise(F.lit(False))
+        .alias("is_anomaly"),
+    )

@@ -121,6 +121,7 @@ FLOAT_SENSITIVE = [
     "corpus_sppmi",
     "lr_calibration",
     "source_diversity",
+    "events_hourly_anomalies",
     "doc_quality",
     "training_corpus_curation",
     "doc_length_quantiles_twopass",

@@ -259,3 +259,40 @@ def test_trailing_window_stats_inclusive_bounds(spark):
     assert (out[4].n_trailing, out[4].sum_trailing) == (2, 24.0)  # peers included
     assert (out[5].n_trailing, out[5].sum_trailing) == (2, 24.0)
     assert out[6].n_trailing == 1
+
+
+def test_hourly_volume_anomalies(spark):
+    import datetime as dt
+    import math
+
+    from nlp_cube_spark.operators.temporal import hourly_volume_anomalies
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    # hours 0..23: alternating 9/11 events (mean 10, nonzero variance);
+    # hour 24: 100-event spike; hour 25: back to 10
+    for h in range(26):
+        n = 100 if h == 24 else (10 if h == 25 else (9 if h % 2 == 0 else 11))
+        for i in range(n):
+            rows.append((h * 1000 + i, base + dt.timedelta(hours=h, minutes=i % 60)))
+    events = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = {r.hour.hour + (r.hour.day - 1) * 24: r
+           for r in hourly_volume_anomalies(events).collect()}
+    assert len(out) == 26
+    assert out[0].baseline_n == 0 and out[0].z is None and not out[0].is_anomaly
+    spike = out[24]
+    assert spike.baseline_n == 24 and spike.is_anomaly
+    # hand-computed z over the 24 alternating baseline hours
+    counts = [9 if h % 2 == 0 else 11 for h in range(24)]
+    m = sum(counts) / 24
+    var = (sum(c * c for c in counts) - sum(counts) ** 2 / 24) / 23
+    z = (100 - m) / math.sqrt(var)
+    assert abs(spike.z - z) < 1e-5
+    assert not out[25].is_anomaly
+    # zero-variance baseline -> NULL z, no throw
+    flat = spark.createDataFrame(
+        [(i, base + dt.timedelta(hours=h)) for h in range(5) for i in range(3)],
+        "event_id long, ts timestamp",
+    )
+    fz = hourly_volume_anomalies(flat).collect()
+    assert all(r.z is None for r in fz if r.baseline_n >= 2)
