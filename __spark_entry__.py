@@ -1392,6 +1392,25 @@ def q_kg_completion_topk(spark, sf_dir):
     return transe_completion_topk(emb, trip, k=3)
 
 
+def q_kg_completion_metrics(spark, sf_dir):
+    """Filtered MRR / mean-rank / Hits@{1,3,10} of the trained TransE
+    ranker (kgtrain.transe_filtered_eval, Bordes 2013 §4): rank of
+    every true tail = 1 + an exact-integer beats-count; reciprocals
+    accumulate as 1e9 div rank BIGINTs. The oracle re-ranks on the
+    unrolled training chain — train-then-EVALUATE certified."""
+    from nlp_cube_spark.operators import annotate as A
+    from nlp_cube_spark.operators.kgtrain import (
+        transe_filtered_eval,
+        transe_train,
+    )
+
+    trip = A.fused_triples(_docs_as_pages(spark, sf_dir)).select(
+        "subj", "pred", "obj"
+    ).localCheckpoint()
+    emb = transe_train(trip, dim=4, iters=2)
+    return transe_filtered_eval(emb, trip)
+
+
 def q_kg_entity_pagerank(spark, sf_dir):
     """PageRank over the KG entity graph (distinct subj->obj edges from
     the fused triple pipeline), 3 synchronous iterations with uniform
@@ -2384,6 +2403,7 @@ _QUERIES = {
         "source_diversity": q_source_diversity,
         "lang_id_confusion": q_lang_id_confusion,
         "events_hourly_anomalies": q_events_hourly_anomalies,
+        "kg_completion_metrics": q_kg_completion_metrics,
         "events_asof_prev_click": q_events_asof_prev_click,
         "events_range_clicks": q_events_range_clicks,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -3484,6 +3504,53 @@ def _transe_completion_duck(iters: int = 2, dim: int = 4, k: int = 3) -> str:
       ) WHERE rank <= {k}"""
 
 
+def _transe_eval_duck(iters: int = 2, dim: int = 4) -> str:
+    """kgtrain.transe_filtered_eval replay: rank of every true tail as
+    1 + an integer beats-count over the exact BIGINT distances, then
+    MRR / mean-rank / Hits@k aggregates (reciprocals as 1e9 // rank
+    integer units)."""
+    return _transe_ctes(iters, dim) + f""",
+      dtr AS (SELECT DISTINCT subj, pred, obj FROM trips),
+      sq AS MATERIALIZED (
+        SELECT q.subj, q.pred, c.name AS candidate,
+               CAST(sum((s.v + r.v - c.v) * (s.v + r.v - c.v)) AS BIGINT) AS d
+        FROM (SELECT DISTINCT subj, pred FROM trips) q
+        JOIN e{iters} s ON s.kind = 'entity'   AND s.name = q.subj
+        JOIN e{iters} r ON r.kind = 'relation' AND r.name = q.pred AND r.pos = s.pos
+        JOIN e{iters} c ON c.kind = 'entity'   AND c.pos = s.pos
+        GROUP BY 1, 2, 3
+      ),
+      rk AS (
+        SELECT dq.subj, dq.pred, dq.obj,
+               1 + CAST(sum(CASE WHEN tt.obj IS NULL
+                                  AND (sq.d < dq.d_o
+                                       OR (sq.d = dq.d_o AND sq.candidate < dq.obj))
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS rank
+        FROM (SELECT t.subj, t.pred, t.obj, s2.d AS d_o
+              FROM dtr t
+              JOIN sq s2 ON s2.subj = t.subj AND s2.pred = t.pred
+                        AND s2.candidate = t.obj) dq
+        JOIN sq ON sq.subj = dq.subj AND sq.pred = dq.pred
+        LEFT JOIN dtr tt
+          ON tt.subj = dq.subj AND tt.pred = dq.pred AND tt.obj = sq.candidate
+        GROUP BY 1, 2, 3
+      ),
+      ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(1000000000 // rank) AS BIGINT) AS rr,
+                    CAST(sum(rank) AS BIGINT) AS sr,
+                    CAST(sum(CASE WHEN rank <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+                    CAST(sum(CASE WHEN rank <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3,
+                    CAST(sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS h10
+             FROM rk)
+      SELECT n AS n_queries,
+             floor((CAST(rr AS DOUBLE) / CAST(n AS DOUBLE) / 1e9) * 1e6 + 0.5) / 1e6 AS mrr,
+             floor((CAST(sr AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS mean_rank,
+             floor((CAST(h1 AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS hits_at_1,
+             floor((CAST(h3 AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS hits_at_3,
+             floor((CAST(h10 AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS hits_at_10
+      FROM ag"""
+
+
 def _pagerank_duck(iters: int = 3, d: float = 0.85) -> str:
     """Unrolled power-iteration CTE chain over the relational triple
     replay — mirrors graphstats.pagerank's r7 integer NANO-unit
@@ -4495,6 +4562,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_pagerank": _pagerank_duck(),
         "kg_transe_embeddings": _transe_duck(),
         "kg_completion_topk": _transe_completion_duck(),
+        "kg_completion_metrics": _transe_eval_duck(),
         "kg_link_prediction": f"""
           -- graphstats.link_prediction (adamic_adar) replay: canonical
           -- simple edges -> symmetric adjacency -> per-mid nano weight

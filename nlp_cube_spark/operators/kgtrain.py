@@ -357,3 +357,106 @@ def transe_completion_topk(
             "rank",
         )
     )
+
+
+def transe_filtered_eval(
+    embeddings: DataFrame,
+    triples: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Filtered link-prediction metrics (Bordes et al. 2013 §4 — MRR,
+    Hits@{1,3,10}, mean rank): for every true triple (s, p, o), the
+    rank of o among all candidate tails by exact integer TransE
+    distance, EXCLUDING other known-true tails of (s, p) (the filtered
+    protocol), ties broken lexicographically. The standard train-time
+    quality meter for the KG-embedding family.
+
+    Returns one row: (n_queries, mrr, mean_rank, hits_at_1, hits_at_3,
+    hits_at_10). Exactness: distances are BIGINT (the completion
+    ranker's device); the rank is 1 + an integer count (never a window
+    over floats); 1/rank accumulates as `1e9 div rank` BIGINTs, so MRR
+    is summation-order independent before its single rounded division.
+
+    Scale shape: the score space is |distinct (s,p)| x |entities| —
+    candidate-exhaustive BY PROTOCOL (same note as
+    transe_completion_topk: at web scale pre-filter candidates with the
+    ANN family and use this as the exact re-ranker metric). All joins
+    equi; the scored frame is localCheckpointed (two consumers).
+    """
+    micro = embeddings.select(
+        "kind",
+        "name",
+        "pos",
+        F.floor(F.col("val") * F.lit(1e6) + F.lit(0.5)).cast("bigint").alias("m"),
+    )
+    ent = micro.where(F.col("kind") == "entity").select("name", "pos", "m")
+    rel = micro.where(F.col("kind") == "relation").select("name", "pos", "m")
+    trips = (
+        triples.select(subj_col, pred_col, obj_col)
+        .dropDuplicates()
+        .localCheckpoint(eager=False)
+    )
+    sq = (
+        trips.select(subj_col, pred_col)
+        .dropDuplicates()
+        .join(ent.select(F.col("name").alias(subj_col), "pos", F.col("m").alias("_sm")), subj_col)
+        .join(
+            rel.select(F.col("name").alias(pred_col), "pos", F.col("m").alias("_pm")),
+            [pred_col, "pos"],
+        )
+        .join(
+            ent.select(F.col("name").alias("candidate"), "pos", F.col("m").alias("_cm")),
+            "pos",
+        )
+        .groupBy(subj_col, pred_col, "candidate")
+        .agg(
+            F.sum(
+                (F.col("_sm") + F.col("_pm") - F.col("_cm"))
+                * (F.col("_sm") + F.col("_pm") - F.col("_cm"))
+            ).alias("_d")
+        )
+        .localCheckpoint(eager=False)
+    )
+    dq = trips.join(
+        sq.select(subj_col, pred_col, F.col("candidate").alias(obj_col), F.col("_d").alias("_do")),
+        [subj_col, pred_col, obj_col],
+    )
+    truth = trips.select(
+        subj_col, pred_col, F.col(obj_col).alias("candidate"), F.lit(1).alias("_true")
+    )
+    scored = (
+        dq.join(sq, [subj_col, pred_col])
+        .join(truth, [subj_col, pred_col, "candidate"], "left")
+        .withColumn(
+            "_beats",
+            (
+                F.col("_true").isNull()
+                & (
+                    (F.col("_d") < F.col("_do"))
+                    | ((F.col("_d") == F.col("_do")) & (F.col("candidate") < F.col(obj_col)))
+                )
+            ).cast("int"),
+        )
+        .groupBy(subj_col, pred_col, obj_col)
+        .agg((F.lit(1) + F.sum("_beats")).cast("bigint").alias("rank"))
+    )
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.expr("1000000000L div rank")).alias("_rr"),
+        F.sum("rank").alias("_sr"),
+        F.sum((F.col("rank") <= 1).cast("long")).alias("_h1"),
+        F.sum((F.col("rank") <= 3).cast("long")).alias("_h3"),
+        F.sum((F.col("rank") <= 10).cast("long")).alias("_h10"),
+    )
+    n = F.col("_n").cast("double")
+    return agg.select(
+        F.col("_n").cast("bigint").alias("n_queries"),
+        r6((F.col("_rr").cast("double") / n) / F.lit(1e9)).alias("mrr"),
+        r6(F.col("_sr").cast("double") / n).alias("mean_rank"),
+        r6(F.col("_h1").cast("double") / n).alias("hits_at_1"),
+        r6(F.col("_h3").cast("double") / n).alias("hits_at_3"),
+        r6(F.col("_h10").cast("double") / n).alias("hits_at_10"),
+    )

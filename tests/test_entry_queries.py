@@ -122,6 +122,7 @@ FLOAT_SENSITIVE = [
     "lr_calibration",
     "source_diversity",
     "events_hourly_anomalies",
+    "kg_completion_metrics",
     "doc_quality",
     "training_corpus_curation",
     "doc_length_quantiles_twopass",

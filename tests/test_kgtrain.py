@@ -119,3 +119,46 @@ def test_completion_topk_protocol(spark):
     again = sorted(map(tuple, transe_completion_topk(
         emb, t.repartition(5), k=2).collect()))
     assert again == sorted(map(tuple, out))
+
+
+def test_transe_filtered_eval_matches_bruteforce(spark):
+    from nlp_cube_spark.operators.kgtrain import transe_filtered_eval, transe_train
+
+    trips = spark.createDataFrame(
+        [("a", "r", "b"), ("a", "r", "c"), ("b", "r", "c"),
+         ("c", "s", "a"), ("b", "s", "a")],
+        "subj string, pred string, obj string",
+    )
+    emb = transe_train(trips, dim=4, iters=2)
+    got = transe_filtered_eval(emb, trips).collect()[0]
+    assert got.n_queries == 5
+
+    # brute-force replica on the collected integer vectors
+    import math
+    vecs = {}
+    for r in emb.collect():
+        vecs.setdefault((r.kind, r.name), {})[r.pos] = math.floor(r.val * 1e6 + 0.5)
+    ents = sorted({n for (k, n) in vecs if k == "entity"})
+    true = {(r.subj, r.pred, r.obj) for r in trips.collect()}
+
+    def dist(s, p, c):
+        sv, pv, cv = vecs[("entity", s)], vecs[("relation", p)], vecs[("entity", c)]
+        return sum((sv[i] + pv[i] - cv[i]) ** 2 for i in sv)
+
+    ranks = []
+    for (s, p, o) in true:
+        do = dist(s, p, o)
+        beats = sum(
+            1 for e in ents
+            if (s, p, e) not in true
+            and (dist(s, p, e) < do or (dist(s, p, e) == do and e < o))
+        )
+        ranks.append(1 + beats)
+    n = len(ranks)
+    import math as m
+    r6 = lambda x: m.floor(x * 1e6 + 0.5) / 1e6
+    assert got.mrr == r6(sum(1000000000 // r for r in ranks) / n / 1e9)
+    assert got.mean_rank == r6(sum(ranks) / n)
+    assert got.hits_at_1 == r6(sum(r <= 1 for r in ranks) / n)
+    assert got.hits_at_10 == r6(sum(r <= 10 for r in ranks) / n)
+    assert 0 < got.mrr <= 1 and got.hits_at_10 <= 1
