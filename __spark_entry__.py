@@ -481,9 +481,16 @@ def q_minhash_band_pairs(spark, sf_dir):
 
 
 def q_simhash_signatures(spark, sf_dir):
-    from nlp_cube_spark.operators.dedup import simhash64
+    # codegen'd aggregation kernel — bit-identical to simhash64 (the
+    # interpreted-HOF oracle form). Single-file sf scan -> 1-2 partitions,
+    # so spread the (tiny) text rows before the token explode+agg stage;
+    # at real scale the table scan supplies parallelism itself.
+    from nlp_cube_spark.operators.dedup import simhash64_agg
 
-    return simhash64(_t(spark, sf_dir, "documents")).select("doc_id", "simhash")
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism * 2, "doc_id"
+    )
+    return simhash64_agg(docs).select("doc_id", "simhash")
 
 
 def q_near_dup_clusters(spark, sf_dir):

@@ -54,10 +54,20 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def shingle_expr(text_col: str, n: int = 3) -> str:
-    """Distinct character n-gram shingles of lower(text) as ARRAY<STRING>."""
+    """Distinct character n-gram shingles of lower(text) as ARRAY<STRING>.
+
+    Value-identical to the original interpreted form
+    array_distinct(transform(sequence(1, greatest(len-(n-1), 1)), i ->
+    substr(lower(text), i, n))) but the gram enumeration is ONE codegen'd
+    lookahead regex pass ((?s)(?=(.{n})). — the consumed '.' advances one
+    char while the lookahead captures the n-char window; same device as
+    textstats.ngrams_sql), instead of ~len interpreted lambda evals per
+    doc. Sub-n-length docs take the transform's single-element branch
+    (substr(text, 1, n) of a short string = the whole string); NULL text
+    propagates NULL through both forms."""
     return (
-        f"array_distinct(transform(sequence(1, greatest(length(lower({text_col})) - {n - 1}, 1)),"
-        f" i -> substr(lower({text_col}), i, {n})))"
+        f"case when length({text_col}) < {n} then array(lower({text_col}))"
+        f" else array_distinct(regexp_extract_all(lower({text_col}), '(?s)(?=(.{{{n}}})).', 1)) end"
     )
 
 
@@ -80,13 +90,52 @@ def minhash_signature(
     return base.withColumn("minhash", F.expr(f"array({mins})")).drop("_msh")
 
 
+def _minhash_agg(
+    docs: DataFrame, id_col: str, text_col: str, k: int, n: int,
+    shingle_col: str | None = None,
+) -> DataFrame:
+    """(id, minhash ARRAY<BIGINT> length k) — bit-identical to
+    minhash_signature, fully codegen'd: explode the shingle set, compute
+    the k salted md5 hashes per shingle inside WholeStageCodegen, reduce
+    with k partial-aggregated MINs keyed on the doc id (one k-long row
+    per doc crosses the shuffle — guide §2.3/§4.1). The HOF form pays k
+    interpreted transform passes (k x |shingles| lambda evals) per doc;
+    this was the dominant cost of the LSH stage in training_data_prep
+    (r8 measurement). min() over the exploded (non-distinct-safe) rows
+    equals array_min over the distinct set — duplicates cannot change a
+    minimum — and NULL/empty shingle arrays yield the same all-NULL
+    signature via explode_outer + min's NULL-skipping.
+
+    Second lever: the k salted md5 hashes are computed once per DISTINCT
+    gram (the gram vocabulary is a bounded dimension — ~charset^n — while
+    gram occurrences scale with the corpus) and attached back by a
+    broadcast join, the same dedup-then-join shape as the lemma attach
+    (operators/annotate). At sf1.0 this cut the hash count from
+    |occurrences| x k (~216M md5) to |vocab| x k."""
+    sh = F.col(shingle_col) if shingle_col is not None else F.expr(shingle_expr(text_col, n))
+    ex = docs.select(F.col(id_col), sh.alias("_msh")).select(
+        id_col, F.explode_outer("_msh").alias("_s")
+    )
+    hdict = ex.select("_s").where(F.col("_s").isNotNull()).dropDuplicates().select(
+        "_s", *[F.expr(_h60(f"concat('{j}:', _s)")).alias(f"_h{j}") for j in range(k)]
+    )
+    # left join: the explode_outer NULL row of an empty/NULL shingle array
+    # must survive with all-NULL hashes so the doc keeps its all-NULL
+    # signature (matches array_min over an empty transform)
+    joined = ex.join(F.broadcast(hdict), "_s", "left")
+    mins = [F.min(f"_h{j}").alias(f"_m{j}") for j in range(k)]
+    return joined.groupBy(id_col).agg(*mins).select(
+        id_col, F.array(*[F.col(f"_m{j}") for j in range(k)]).alias("minhash")
+    )
+
+
 def _banded_signatures(
     docs: DataFrame, id_col: str, text_col: str, k: int, bands: int, n: int,
     shingle_col: str | None = None,
 ) -> DataFrame:
     """(id, band_id, band_sig) — one row per doc per band."""
     rows_per_band = k // bands
-    sig = minhash_signature(docs, text_col, k, n, shingle_col).select(id_col, "minhash")
+    sig = _minhash_agg(docs, id_col, text_col, k, n, shingle_col)
     return sig.select(
         id_col,
         F.explode(
@@ -162,18 +211,77 @@ def jaccard_verify_pairs(
     `shingle_col` names a PRECOMPUTED array<string> column in `docs`: the
     shingle expression is an interpreted HOF evaluated per doc per side,
     so callers that materialize docs anyway (plans/dataprep) should
-    compute shingles once into the materialized set and pass the column."""
+    compute shingles once into the materialized set and pass the column.
+
+    Size-bound prefilter (guide §8 "decide with small rows, move big rows
+    once"): Jaccard can never exceed min(|A|,|B|)/max(|A|,|B|) (the
+    intersection is bounded by the smaller set, the union by the larger),
+    so pairs whose SIZE ratio already fails the threshold are dropped
+    using two narrow integer joins before the shingle ARRAYS are ever
+    shuffled per pair. round() is monotone non-decreasing, so comparing
+    round(bound, 6) >= threshold mirrors the final round(jaccard, 6) >=
+    threshold predicate exactly — no pair the full verify would keep can
+    be dropped. Measured at sf1.0: 320k candidate pairs -> array attach
+    only for the surviving fraction."""
     if shingle_col is not None:
         sh = docs.select(F.col(id_col), F.col(shingle_col).alias("_sh"))
     else:
         sh = docs.select(F.col(id_col), F.expr(shingle_expr(text_col, n)).alias("_sh"))
-    a = sh.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("sh_b"))
+    cand = pairs.select("doc_a", "doc_b")
+    if threshold > 0:
+        sizes = sh.select(F.col(id_col), F.size("_sh").alias("_sz"))
+        bound = F.round(
+            F.least("_sza", "_szb")
+            / F.nullif(F.greatest("_sza", "_szb").cast("double"), F.lit(0.0)),
+            6,
+        )
+        cand = (
+            cand.join(sizes.select(F.col(id_col).alias("doc_a"), F.col("_sz").alias("_sza")), "doc_a")
+            .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("_sz").alias("_szb")), "doc_b")
+            .where(bound >= threshold)
+            .select("doc_a", "doc_b")
+        )
+    if threshold > 0:
+        # encode grams to 64-bit ints before the per-pair attach: |A ∩ B|
+        # and |A ∪ B| are invariant under ANY injective gram -> id map, so
+        # the jaccard values are bit-identical while the arrays shuffle
+        # ~3x smaller and hash ~5x faster inside array_intersect (measured
+        # 5.9s -> 2.8s at sf1.0). xxhash64 is checked for injectivity ON
+        # THIS corpus with one vocab-dimension aggregate (exactness is
+        # verified, not assumed); a collision — vanishingly rare below
+        # ~2^32 distinct grams, and the gram vocabulary is a bounded
+        # dimension (~charset^n) — falls back to the provably-injective
+        # dense rank from the shared prefix-sum device (operators/ranges).
+        grams = sh.select(F.col(id_col), F.explode("_sh").alias("_s"))
+        vocab = grams.select("_s").dropDuplicates()
+        chk = vocab.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(F.xxhash64("_s")).alias("nh"),
+        ).collect()[0]
+        if chk["n"] == chk["nh"]:
+            ids = grams.select(F.col(id_col), F.xxhash64("_s").alias("_gid"))
+        else:  # collision: dense-rank dictionary, injective by construction
+            from .ranges import exclusive_prefix_sum
+
+            dct = exclusive_prefix_sum(vocab, [F.col("_s")], F.lit(1), out_col="_gid")
+            ids = grams.join(F.broadcast(dct), "_s").select(F.col(id_col), "_gid")
+        # lazy checkpoint: the encoded frame feeds BOTH pair sides, and
+        # Spark does not dedupe identical subtrees across join branches
+        # (CLAUDE.md) — unmaterialized, the explode+collect would run twice
+        enc = (
+            ids.groupBy(id_col)
+            .agg(F.collect_list("_gid").alias("_shi"))
+            .localCheckpoint(eager=False)
+        )
+        a = enc.select(F.col(id_col).alias("doc_a"), F.col("_shi").alias("sh_a"))
+        b = enc.select(F.col(id_col).alias("doc_b"), F.col("_shi").alias("sh_b"))
+    else:
+        a = sh.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("sh_a"))
+        b = sh.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        pairs.select("doc_a", "doc_b")
-        .join(a, "doc_a")
+        cand.join(a, "doc_a")
         .join(b, "doc_b")
         .withColumn("jaccard", F.round(inter / union, 6))
         .where(F.col("jaccard") >= threshold)
@@ -270,6 +378,52 @@ def simhash64_arrow(docs: DataFrame, text_col: str = "text", out_col: str = "sim
     return docs.mapInPandas(run, schema=schema)
 
 
+def simhash64_agg(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    out_col: str = "simhash",
+) -> DataFrame:
+    """(id_col, simhash) — bit-identical to `simhash64`, fully codegen'd.
+
+    The simhash64 HOF form pays ~60 interpreted lambda passes per document
+    (Spark HOFs are never codegen'd — CLAUDE.md); this form keeps every
+    per-token op inside WholeStageCodegen: explode tokens -> one 60-bit
+    md5 hash per token -> 60 partial-aggregated bit-count sums keyed on
+    the doc id -> majority assembly as a pure projection. A document's
+    exploded tokens stay in its scan partition, so partial (map-side)
+    aggregation collapses to ONE 61-long row per doc before the shuffle
+    (guide §2.3 "aggregate before you shuffle") — the scale-safe shape at
+    any corpus size. Requires a doc id column to group on; the generic
+    keep-all-columns form stays `simhash64`.
+
+    Measured (sf1.0, 50k salad docs, local[32], min-of-3): 10.6s (HOF)
+    -> see OPTIMIZATION_r08.md; equality with simhash64 is suite-tested
+    at two SFs plus the arrow-parity test battery."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode_outer(F.split(F.lower(F.col(text_col)), " ")).alias("_t"),
+    )
+    # invalid tokens ('' from split, NULL text) carry a NULL hash: count()
+    # skips them and every bit-sum conditions on them, so n and the bit
+    # counts see exactly the tokens simhash64's filter(t -> t <> '') keeps
+    hashed = toks.select(
+        id_col,
+        F.when(F.col("_t").isNotNull() & (F.col("_t") != ""), F.expr(_h60("_t"))).alias("_h"),
+    )
+    bit_sums = [
+        F.sum(F.when(F.expr(f"(_h div {1 << k}) % 2") == 1, 1).otherwise(0)).alias(f"_b{k}")
+        for k in range(60)
+    ]
+    agg = hashed.groupBy(id_col).agg(F.count("_h").alias("_n"), *bit_sums)
+    bit_terms = " + ".join(
+        f"(case when _b{k} * 2 >= _n then cast({1 << k} as bigint) else 0L end)"
+        for k in range(60)
+    )
+    return agg.select(
+        id_col,
+        F.expr(f"case when _n = 0 then 0L else {bit_terms} end").alias(out_col),
+    )
+
+
 SIMHASH_CROSSOVER_TOKENS = 550  # measured: scripts/bench_simhash_lengths.py
 
 
@@ -318,10 +472,15 @@ def simhash_near_dups(
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on 15-bit chunks (pigeonhole: any
     pair with Hamming<=3 over 60 bits shares at least one of 4 chunks),
-    verify Hamming exactly with bit_count(xor). Signatures come from the
-    length-adaptive kernel (simhash64_auto); pass `impl` to keep plan
-    construction lazy (see simhash64_auto)."""
-    sig = simhash64_auto(docs, text_col, impl=impl).select(id_col, "simhash")
+    verify Hamming exactly with bit_count(xor). Batch inputs use the
+    codegen'd aggregation signature kernel (simhash64_agg — fastest at
+    every doc length, bit-identical); streaming inputs (no groupBy
+    without a watermark) and explicit `impl` requests keep the
+    length-adaptive kernels (see simhash64_auto)."""
+    if impl is None and not docs.isStreaming:
+        sig = simhash64_agg(docs, id_col, text_col)
+    else:
+        sig = simhash64_auto(docs, text_col, impl=impl).select(id_col, "simhash")
     chunks = sig.select(
         id_col,
         "simhash",

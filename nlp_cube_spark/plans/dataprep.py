@@ -31,10 +31,10 @@ canonicalize.connected_components when full cluster semantics matter.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..operators.dedup import jaccard_verify_pairs, lsh_candidate_pairs, shingle_expr
-from ..operators.sampling import hash_split, pack_by_budget
+from ..operators.sampling import hash_split, pack_by_budget_grouped
 from ..operators.textstats import quality_score
 
 DEFAULT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
@@ -56,29 +56,52 @@ def prep_training_data(
     n_chars) for every surviving document. Deterministic at any
     parallelism; every stage SQL-replayable.
 
-    `materialize` inserts two barriers (localCheckpoint; persist() on a
-    real cluster): the deduped set is referenced FOUR times downstream
-    (LSH signatures, both Jaccard shingle attaches, the anti-join left
-    side) and the split survivors once per split by the shard packer plus
-    its range-boundary sampling actions — lazily composed, the expensive
-    upstream re-executes ~6x (measured 84s vs ~10s at sf0.1)."""
+    `materialize` inserts three barriers (localCheckpoint; persist() on a
+    real cluster):
+
+    1. the scored base (quality + shingles in ONE codegen'd corpus pass).
+       Without it, Catalyst inlines the `quality >= min_quality` filter
+       through the projection — the composite's regexp subexpressions are
+       re-evaluated per reference with no CSE in the Filter (measured
+       0.78s -> 4.4s at sf1.0 for the same pass), and the exact-dedup
+       self-join then recomputes that inflated scan for BOTH join sides
+       (guide §4.4's duplication trap, built-in-expression edition).
+       Filtering on the materialized column evaluates every regex and the
+       shingle HOF exactly once per document.
+    2. the deduped set — referenced FOUR times downstream (LSH
+       signatures, both Jaccard shingle attaches, the anti-join left
+       side); lazily composed, the upstream re-executes ~6x (measured
+       84s vs ~10s at sf0.1).
+    3. the split survivors — read once per split by the shard packer
+       plus its range-boundary sampling actions."""
     weights = weights or DEFAULT_WEIGHTS
 
-    kept = (
-        quality_score(docs)
-        .where(F.col("quality") >= min_quality)
-        .select("doc_id", "text", size_col)
+    # quality features + content hash + shingles in ONE projection:
+    # regexes are CSE'd inside a single codegen'd Project, the shingle
+    # pass (needed on both verify join sides) runs once per doc, and
+    # `text` itself never leaves this stage — downstream only needs the
+    # md5 (exact dedup) and the shingle set (LSH + verify), so the
+    # checkpoint stores the small proxies, not the payload (guide §8)
+    base = quality_score(docs).select(
+        "doc_id", size_col, "quality",
+        F.md5("text").alias("_th"),
+        F.expr(shingle_expr("text", 3)).alias("_sh"),
+    )
+    if materialize:
+        base = base.localCheckpoint()
+    kept = base.where(F.col("quality") >= min_quality).select(
+        "doc_id", size_col, "_th", "_sh"
     )
 
-    keep_ids = (
-        kept.groupBy(F.md5("text").alias("_h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    # exact dedup: keep the smallest doc_id per content hash — one window
+    # over the md5 key instead of the groupBy+self-join form (same rows,
+    # one shuffle fewer; the key is content-derived and uniform)
+    w_dup = Window.partitionBy("_th")
+    kept = (
+        kept.withColumn("_keep", F.min("doc_id").over(w_dup))
+        .where(F.col("doc_id") == F.col("_keep"))
+        .select("doc_id", size_col, "_sh")
     )
-    kept = kept.join(keep_ids, "doc_id")
-    # shingles computed ONCE into the materialized set: the shingle HOF is
-    # interpreted per doc, and verify needs it on both join sides
-    kept = kept.withColumn("_sh", F.expr(shingle_expr("text", 3)))
     if materialize:
         kept = kept.localCheckpoint()
 
@@ -91,16 +114,14 @@ def prep_training_data(
     near_dup_ids = pairs.select(F.col("doc_b").alias("doc_id")).dropDuplicates()
     kept = kept.join(near_dup_ids, "doc_id", "left_anti")
 
-    kept = hash_split(kept, "doc_id", weights).drop("text")
+    kept = hash_split(kept, "doc_id", weights).drop("_sh")
     if materialize:
         kept = kept.localCheckpoint()
 
-    packed = None
-    for split_name in sorted(weights):
-        part = pack_by_budget(
-            kept.where(F.col("split") == split_name), size_col, shard_budget
-        )
-        packed = part if packed is None else packed.unionByName(part)
+    # one-pass per-split packing: exactly the rows of a per-split
+    # pack_by_budget loop (proof in pack_by_budget_grouped), one
+    # prefix-sum job instead of ~3 driver actions per split
+    packed = pack_by_budget_grouped(kept, "split", size_col, shard_budget)
     return packed.select("doc_id", "split", "shard", size_col)
 
 
