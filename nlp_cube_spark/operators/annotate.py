@@ -104,7 +104,7 @@ def segment(pages: DataFrame, text_col: str = "text") -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             urls, langs, sids, toks = [], [], [], []
-            for url, lang, text in zip(pdf["url"], pdf["lang"], pdf[text_col]):
+            for url, lang, text in zip(pdf["url"].tolist(), pdf["lang"].tolist(), pdf[text_col].tolist()):
                 _, sents = segment_rules.segment(text or "", lang)
                 for sid, sent in enumerate(sents):
                     urls.append(url)
@@ -285,7 +285,7 @@ def fused_words(
             if len(pdf) == 0:
                 continue
             rows = {f.name: [] for f in FLAT_WORDS_SCHEMA.fields}
-            for url, lang, text in zip(pdf["url"], pdf["lang"], pdf[text_col]):
+            for url, lang, text in zip(pdf["url"].tolist(), pdf["lang"].tolist(), pdf[text_col].tolist()):
                 for sid, (forms, space, mwt_ids, tok_forms, tags, heads, labels) in enumerate(
                     _annotate_doc(text, lang, scorer, tagger, boundary, mwt)
                 ):
@@ -341,7 +341,7 @@ def fused_tags(
             if len(pdf) == 0:
                 continue
             rows = {f.name: [] for f in TAGS_FUSED_SCHEMA.fields}
-            for url, lang, text in zip(pdf["url"], pdf["lang"], pdf[text_col]):
+            for url, lang, text in zip(pdf["url"].tolist(), pdf["lang"].tolist(), pdf[text_col].tolist()):
                 for sid, (forms, _sp, _mw, _tf, tags, _hd, _lb) in enumerate(
                     _annotate_doc(text, lang, tagger=tagger, boundary=boundary, mwt=mwt, parse=False)
                 ):
@@ -549,7 +549,7 @@ def fused_triples(
                 out["obj"].append(o)
                 out["pattern"].append(pat)
 
-            for url, lang, text in zip(pdf["url"], pdf["lang"], pdf[text_col]):
+            for url, lang, text in zip(pdf["url"].tolist(), pdf["lang"].tolist(), pdf[text_col].tolist()):
                 for sid, (forms, _sp, _mw, _tf, tags, heads, labels) in enumerate(
                     _annotate_doc(text, lang, scorer, tagger, boundary, mwt)
                 ):

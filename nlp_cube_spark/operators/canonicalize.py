@@ -100,9 +100,15 @@ def canonical_entities(linked_triples: DataFrame) -> DataFrame:
       - same linked entity_id: mention ~ mention (via entity pivot node)
     Canonical surface = min mention in component (deterministic).
     """
+    # distinct before the union: appos triples repeat the same surface
+    # pair millions of times at scale (1.46M rows -> ~10^3 distinct at
+    # sf1.0); partial (map-side) aggregation collapses them here, so the
+    # cc sym-build dedups a dimension instead of re-scanning the corpus
+    # volume twice (once per union direction)
     appos_edges = (
         linked_triples.where(F.col("pattern") == "appos")
         .select(F.lower("subj").alias("src"), F.lower("obj").alias("dst"))
+        .dropDuplicates()
     )
     ent_edges = (
         linked_triples.select(F.lower("subj").alias("m"), F.col("subj_id").alias("eid"))

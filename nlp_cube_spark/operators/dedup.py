@@ -265,13 +265,15 @@ def jaccard_verify_pairs(
 
             dct = exclusive_prefix_sum(vocab, [F.col("_s")], F.lit(1), out_col="_gid")
             ids = grams.join(F.broadcast(dct), "_s").select(F.col(id_col), "_gid")
-        # lazy checkpoint: the encoded frame feeds BOTH pair sides, and
+        # eager checkpoint: the encoded frame feeds BOTH pair sides, and
         # Spark does not dedupe identical subtrees across join branches
-        # (CLAUDE.md) — unmaterialized, the explode+collect would run twice
+        # (CLAUDE.md) — worse, each side may become a BroadcastExchange
+        # whose build races the other, so a lazy cache can still compute
+        # twice; eager materialization guarantees one pass
         enc = (
             ids.groupBy(id_col)
             .agg(F.collect_list("_gid").alias("_shi"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint()
         )
         a = enc.select(F.col(id_col).alias("doc_a"), F.col("_shi").alias("sh_a"))
         b = enc.select(F.col(id_col).alias("doc_b"), F.col("_shi").alias("sh_b"))

@@ -25,17 +25,61 @@ COS_EXPR = (
 )
 
 
+def _sum_unrolled(terms: list[str]) -> str:
+    """0D + t0 + t1 + ... — the EXACT addition sequence of
+    aggregate(..., 0D, (acc, v) -> acc + v) over the same terms (left-
+    associated, 0D seed included so even the -0.0 corner is identical),
+    but as a flat codegen'd expression instead of an interpreted HOF."""
+    return "0D + " + " + ".join(terms)
+
+
 def cosine_topk(
     vectors: DataFrame, queries: DataFrame, k: int = 5,
     id_col: str = "vec_id", q_id_col: str = "q_id", vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
-    """Exact cosine top-k per query vector. queries: (q_id, embedding)."""
-    cos = F.expr(COS_EXPR.format(a="q_emb", b=vec_col))
-    scored = (
-        vectors.alias("v")
-        .join(F.broadcast(queries.select(F.col(q_id_col), F.col(vec_col).alias("q_emb"))))
-        .select(F.col(q_id_col), F.col(id_col), F.round(cos, 6).alias("cos_sim"))
-    )
+    """Exact cosine top-k per query vector. queries: (q_id, embedding).
+
+    `dim` (when the caller knows the fixed embedding width) switches the
+    per-pair math from interpreted aggregate/zip_with HOFs to unrolled
+    codegen'd expressions with the SAME IEEE operation order — bit-
+    identical cos_sim — and hoists each side's norm out of the n x q pair
+    scoring: vector norms are computed once per vector row and query
+    norms once into the broadcast, instead of once per PAIR (the HOF form
+    re-evaluated both norms for every (vector, query) combination).
+    Arrays shorter than `dim` would throw on the index access (ANSI) —
+    `dim` is the caller's assertion, exactly like the oracle's unrolled
+    replay."""
+    if dim is None:
+        cos = F.expr(COS_EXPR.format(a="q_emb", b=vec_col))
+        scored = (
+            vectors.alias("v")
+            .join(F.broadcast(queries.select(F.col(q_id_col), F.col(vec_col).alias("q_emb"))))
+            .select(F.col(q_id_col), F.col(id_col), F.round(cos, 6).alias("cos_sim"))
+        )
+    else:
+        def sq(col: str) -> str:
+            return _sum_unrolled(
+                [f"(cast({col}[{i}] as double) * cast({col}[{i}] as double))" for i in range(dim)]
+            )
+
+        dot = _sum_unrolled(
+            [f"(cast(q_emb[{i}] as double) * cast({vec_col}[{i}] as double))" for i in range(dim)]
+        )
+        qs = queries.select(
+            F.col(q_id_col),
+            F.col(vec_col).alias("q_emb"),
+            F.expr(f"sqrt({sq(vec_col)})").alias("_qn"),
+        )
+        vs = vectors.select(
+            F.col(id_col), F.col(vec_col), F.expr(f"sqrt({sq(vec_col)})").alias("_vn")
+        )
+        # same value sequence as COS_EXPR: dot / nullif(sqrt(A)*sqrt(B), 0)
+        cos = F.expr(f"({dot}) / nullif(_qn * _vn, 0D)")
+        scored = (
+            vs.join(F.broadcast(qs))
+            .select(F.col(q_id_col), F.col(id_col), F.round(cos, 6).alias("cos_sim"))
+        )
     w = Window.partitionBy(q_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 

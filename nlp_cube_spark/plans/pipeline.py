@@ -99,37 +99,61 @@ def build_graph(
     # classic small-file problem on object storage at cluster scale)
     out.repartition("bucket").write.partitionBy("bucket").mode("overwrite").parquet(f"{out_dir}/triples")
 
-    # GLOBAL canonicalization dimension from the full stored table (old +
-    # new buckets): a narrow 5-column scan feeding a vocab-sized cc loop.
-    # localCheckpoint cuts lineage before the iterative loop re-reads it.
-    full = spark.read.parquet(f"{out_dir}/triples").select(
-        "subj", "obj", "pattern", "subj_id", "obj_id"
-    ).localCheckpoint()
-    C.canonical_entities(full).write.mode("overwrite").parquet(f"{out_dir}/entities")
+    # The post-write tail is three INDEPENDENT job chains (guide §2.6
+    # "overlap independent jobs"): the canonicalization chain (read full
+    # triples -> cc loop -> entities -> nodes), the per-bucket lineage
+    # counters, and the manifest. They were sequential only because the
+    # driver called them sequentially; the lineage/manifest jobs now
+    # back-fill executors idled by the cc loop's tiny dimension rounds
+    # (job descriptions are thread-local, so the UI stays labeled).
+    from concurrent.futures import ThreadPoolExecutor
 
-    if write_words:
-        # full CoNLL-U-equivalent annotation table (lemma via dedup-join)
-        words = A.annotate(pages_b)
-        with_bucket(words, n_buckets).repartition("bucket").write.partitionBy("bucket").mode(
-            "overwrite"
-        ).parquet(f"{out_dir}/words")
+    def _side_jobs() -> None:
+        # per-partition lineage counters (north rule): triples per bucket
+        spark.sparkContext.setJobDescription("build_graph: bucket metrics")
+        spark.read.parquet(f"{out_dir}/triples").groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n_triples")
+        ).withColumn("run_id", F.lit(run_id)).write.mode("overwrite").parquet(
+            f"{out_dir}/_metrics_buckets"
+        )
+        # manifest: every bucket present in the (full) input is now done —
+        # previously-done buckets are re-asserted, newly-processed ones added
+        spark.sparkContext.setJobDescription("build_graph: manifest")
+        done_buckets = with_bucket(pages, n_buckets).select("bucket").dropDuplicates()
+        done_buckets.withColumn("status", F.lit("done")).withColumn(
+            "run_id", F.lit(run_id)
+        ).write.mode("overwrite").parquet(f"{out_dir}/_manifest")
 
-    # per-partition lineage counters (north rule): triples per bucket
-    spark.read.parquet(f"{out_dir}/triples").groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n_triples")
-    ).withColumn("run_id", F.lit(run_id)).write.mode("overwrite").parquet(
-        f"{out_dir}/_metrics_buckets"
-    )
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        side = pool.submit(_side_jobs)
 
-    # nodes table: canonical entities with degree (via the read-time view)
-    canon_triples = read_canonical_triples(spark, out_dir)
-    nodes = (
-        canon_triples.select(F.col("subj_canon").alias("node"))
-        .unionByName(canon_triples.select(F.col("obj_canon").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
-    nodes.write.mode("overwrite").parquet(f"{out_dir}/nodes")
+        # GLOBAL canonicalization dimension from the full stored table
+        # (old + new buckets): a narrow 5-column scan feeding a
+        # vocab-sized cc loop. localCheckpoint cuts lineage before the
+        # iterative loop re-reads it.
+        full = spark.read.parquet(f"{out_dir}/triples").select(
+            "subj", "obj", "pattern", "subj_id", "obj_id"
+        ).localCheckpoint()
+        C.canonical_entities(full).write.mode("overwrite").parquet(f"{out_dir}/entities")
+
+        if write_words:
+            # full CoNLL-U-equivalent annotation table (lemma via dedup-join)
+            words = A.annotate(pages_b)
+            with_bucket(words, n_buckets).repartition("bucket").write.partitionBy(
+                "bucket"
+            ).mode("overwrite").parquet(f"{out_dir}/words")
+
+        # nodes table: canonical entities with degree (read-time view)
+        canon_triples = read_canonical_triples(spark, out_dir)
+        nodes = (
+            canon_triples.select(F.col("subj_canon").alias("node"))
+            .unionByName(canon_triples.select(F.col("obj_canon").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        nodes.write.mode("overwrite").parquet(f"{out_dir}/nodes")
+
+        side.result()  # surface any side-chain failure before declaring done
 
     def _obs_n(obs) -> int:
         # AQE empty-relation propagation prunes CollectMetrics when the
@@ -142,13 +166,6 @@ def build_graph(
 
     n_pages = _obs_n(obs_pages)
     n_triples = _obs_n(obs_triples)
-
-    # manifest: every bucket present in the (full) input is now done —
-    # previously-done buckets are re-asserted, newly-processed ones added
-    done_buckets = with_bucket(pages, n_buckets).select("bucket").dropDuplicates()
-    done_buckets.withColumn("status", F.lit("done")).withColumn(
-        "run_id", F.lit(run_id)
-    ).write.mode("overwrite").parquet(f"{out_dir}/_manifest")
 
     elapsed = time.time() - t0
     metrics = {
