@@ -323,7 +323,11 @@ def q_hot_parts(spark, sf_dir):
 def q_doc_fingerprints(spark, sf_dir):
     from nlp_cube_spark.operators.textstats import fingerprint
 
-    return fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
+    # one-row-group sf scan: spread before the regex+md5 projection
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism * 2, "doc_id"
+    )
+    return fingerprint(docs).select("doc_id", "fingerprint")
 
 
 def q_doc_token_counts(spark, sf_dir):
@@ -362,7 +366,13 @@ def q_lang_id_confusion(spark, sf_dir):
 def q_doc_quality(spark, sf_dir):
     from nlp_cube_spark.operators.textstats import quality_score
 
-    return quality_score(_t(spark, sf_dir, "documents")).select(
+    # the sf documents file has ONE parquet row group -> a single scan
+    # task would run every regex serially; spread the (6MB) rows first
+    # (real scale: the table scan supplies parallelism itself)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism * 2, "doc_id"
+    )
+    return quality_score(docs).select(
         "doc_id", "n_tokens", "alpha_ratio", "stopword_ratio", "quality"
     )
 

@@ -60,6 +60,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # prefer shuffled-hash over sort-merge when the planner's size
+        # conditions hold (guide §3.1): same shuffles, no per-partition
+        # sorts; AQE can additionally rewrite SMJ->SHJ post-shuffle when
+        # every partition is under the local-map threshold. Scale note:
+        # the planner's own size gate (smaller side < partitions x
+        # autoBroadcastJoinThreshold) keeps build sides bounded, and
+        # skew-join splitting still applies.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "256m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
