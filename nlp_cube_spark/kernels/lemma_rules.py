@@ -17,6 +17,8 @@ cap as an explicit guard for parity.
 
 from __future__ import annotations
 
+import functools
+
 from . import lexicon as L
 
 MAX_EXPANSION = 20  # reference lemmatizer.py:141
@@ -34,6 +36,7 @@ def _recase(lemma: str, form: str, upos: str) -> str:
     return lemma.lower()
 
 
+@functools.lru_cache(maxsize=131072)
 def lemmatize(form: str, upos: str, lang: str) -> str:
     low = form.lower()
     if upos in ("PUNCT", "SYM", "NUM"):

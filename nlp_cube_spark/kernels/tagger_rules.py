@@ -8,6 +8,7 @@ an unexploded `k=v|k=v` string for CoNLL-U parity (SURVEY.md §1.4).
 
 from __future__ import annotations
 
+import functools
 import re
 
 from . import lexicon as L
@@ -15,6 +16,7 @@ from . import lexicon as L
 _NUM_RE = re.compile(r"^\d[\d.,]*$")
 
 
+@functools.lru_cache(maxsize=131072)
 def tag_word(form: str, lang: str, is_first: bool) -> tuple[str, str, str]:
     low = form.lower()
     if form in L.PUNCT:
