@@ -143,8 +143,19 @@ def build_graph(
                 "bucket"
             ).mode("overwrite").parquet(f"{out_dir}/words")
 
-        # nodes table: canonical entities with degree (read-time view)
-        canon_triples = read_canonical_triples(spark, out_dir)
+        # nodes table: canonical entities with degree — same values as the
+        # read-time view (read_canonical_triples), but computed from the
+        # already-checkpointed `full` frame instead of re-scanning the
+        # freshly-written parquet a third time
+        ents = spark.read.parquet(f"{out_dir}/entities")
+        csub = F.broadcast(ents.select(F.col("mention").alias("_cs"), F.col("canonical").alias("subj_canon")))
+        cobj = F.broadcast(ents.select(F.col("mention").alias("_co"), F.col("canonical").alias("obj_canon")))
+        canon_triples = (
+            full.join(csub, F.lower(full["subj"]) == F.col("_cs"), "left")
+            .join(cobj, F.lower(full["obj"]) == F.col("_co"), "left")
+            .withColumn("subj_canon", F.coalesce("subj_canon", F.lower("subj")))
+            .withColumn("obj_canon", F.coalesce("obj_canon", F.lower("obj")))
+        )
         nodes = (
             canon_triples.select(F.col("subj_canon").alias("node"))
             .unionByName(canon_triples.select(F.col("obj_canon").alias("node")))
