@@ -88,7 +88,13 @@ def prep_training_data(
         F.expr(shingle_expr("text", 3)).alias("_sh"),
     )
     if materialize:
-        base = base.localCheckpoint()
+        # persist (not localCheckpoint): same barrier semantics once
+        # eagerly materialized, but UNPERSISTABLE — checkpointed RDDs
+        # linger for the DataFrame's whole lifetime, and a harness that
+        # times the query k times accumulates k x ~270MB of dead blocks
+        # (measured; the superseded barriers below are dropped as soon as
+        # their successor is materialized)
+        base = base.persist()
     kept = base.where(F.col("quality") >= min_quality).select(
         "doc_id", size_col, "_th", "_sh"
     )
@@ -103,7 +109,12 @@ def prep_training_data(
         .select("doc_id", size_col, "_sh")
     )
     if materialize:
-        kept = kept.localCheckpoint()
+        # eager fill BEFORE the multi-consumer LSH/verify stage: a lazy
+        # cache with several subtree references in one job races its own
+        # fill and recomputes (the enc-broadcast lesson, dedup.py)
+        kept = kept.persist()
+        kept.count()
+        base.unpersist()
 
     pairs = jaccard_verify_pairs(
         lsh_candidate_pairs(kept, k=k, bands=bands, max_bucket=max_bucket, shingle_col="_sh"),
@@ -112,11 +123,15 @@ def prep_training_data(
         shingle_col="_sh",
     )
     near_dup_ids = pairs.select(F.col("doc_b").alias("doc_id")).dropDuplicates()
-    kept = kept.join(near_dup_ids, "doc_id", "left_anti")
+    survivors = kept.join(near_dup_ids, "doc_id", "left_anti")
 
-    kept = hash_split(kept, "doc_id", weights).drop("_sh")
+    split_docs = hash_split(survivors, "doc_id", weights).drop("_sh")
     if materialize:
-        kept = kept.localCheckpoint()
+        # the split table IS in the returned plan -> localCheckpoint
+        # (lineage cut); everything upstream is now disposable
+        split_docs = split_docs.localCheckpoint()
+        kept.unpersist()
+    kept = split_docs
 
     # one-pass per-split packing: exactly the rows of a per-split
     # pack_by_budget loop (proof in pack_by_budget_grouped), one
