@@ -1032,7 +1032,10 @@ def q_kg_upos_distribution(spark, sf_dir):
     kernel, done by hand (annotate._annotate_doc parse=False)."""
     from nlp_cube_spark.operators import annotate as A
 
-    words = A.fused_tags(_docs_as_pages(spark, sf_dir))
+    # columns=("upos",): manual column pruning through the opaque Arrow
+    # stage — one short string per word crosses the boundary, not eight
+    # columns (r8; guide §4.1)
+    words = A.fused_tags(_docs_as_pages(spark, sf_dir), columns=("upos",))
     return words.groupBy("upos").agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -1041,7 +1044,7 @@ def q_kg_tag_distribution(spark, sf_dir):
     distribution over the full (upos, xpos, feats) triple."""
     from nlp_cube_spark.operators import annotate as A
 
-    words = A.fused_tags(_docs_as_pages(spark, sf_dir))
+    words = A.fused_tags(_docs_as_pages(spark, sf_dir), columns=("upos", "xpos", "feats"))
     return words.groupBy("upos", "xpos", "feats").agg(F.count(F.lit(1)).alias("n"))
 
 

@@ -327,6 +327,7 @@ TAGS_FUSED_SCHEMA = T.StructType(
 def fused_tags(
     pages: DataFrame, text_col: str = "text",
     tagger: str = "rules", boundary: str = "rules", mwt: str = "dict",
+    columns: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """pages -> tagged words WITHOUT parsing, in ONE Arrow stage.
 
@@ -334,31 +335,60 @@ def fused_tags(
     distributions, tag-conditioned filters): skips the O(n^2) arc score
     matrix + MST decode per sentence, which dominate per-document cost on
     long documents. Same segment/mwt/tag kernels as fused_words — tag
-    columns are bit-identical (tested)."""
+    columns are bit-identical (tested).
+
+    `columns` restricts the EMITTED fields (subset of TAGS_FUSED_SCHEMA,
+    original order) — the column-pruning Catalyst cannot do through an
+    opaque python stage, done by hand (guide §4.1: control how many
+    columns cross the boundary). Same rows either way; a distribution
+    query over upos alone ships one short string per word instead of
+    eight columns including the per-word url."""
+    fields = (
+        [f for f in TAGS_FUSED_SCHEMA.fields if f.name in columns]
+        if columns is not None
+        else list(TAGS_FUSED_SCHEMA.fields)
+    )
+    schema = T.StructType(fields)
+    names = [f.name for f in fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            rows = {f.name: [] for f in TAGS_FUSED_SCHEMA.fields}
+            rows = {n: [] for n in names}
             for url, lang, text in zip(pdf["url"].tolist(), pdf["lang"].tolist(), pdf[text_col].tolist()):
                 for sid, (forms, _sp, _mw, _tf, tags, _hd, _lb) in enumerate(
                     _annotate_doc(text, lang, tagger=tagger, boundary=boundary, mwt=mwt, parse=False)
                 ):
-                    for i in range(len(forms)):
-                        rows["url"].append(url)
-                        rows["lang"].append(lang)
-                        rows["sent_id"].append(sid)
-                        rows["word_id"].append(i + 1)
-                        rows["form"].append(forms[i])
-                        rows["upos"].append(tags[i][0])
-                        rows["xpos"].append(tags[i][1])
-                        rows["feats"].append(tags[i][2])
-            if rows["url"]:
+                    if columns is None:
+                        for i in range(len(forms)):
+                            rows["url"].append(url)
+                            rows["lang"].append(lang)
+                            rows["sent_id"].append(sid)
+                            rows["word_id"].append(i + 1)
+                            rows["form"].append(forms[i])
+                            rows["upos"].append(tags[i][0])
+                            rows["xpos"].append(tags[i][1])
+                            rows["feats"].append(tags[i][2])
+                    else:
+                        for i in range(len(forms)):
+                            vals = {
+                                "url": url,
+                                "lang": lang,
+                                "sent_id": sid,
+                                "word_id": i + 1,
+                                "form": forms[i],
+                                "upos": tags[i][0],
+                                "xpos": tags[i][1],
+                                "feats": tags[i][2],
+                            }
+                            for n in names:
+                                rows[n].append(vals[n])
+            if rows[names[0]]:
                 yield pd.DataFrame(rows)
 
     cols = [c for c in ("url", "lang", text_col) if c in pages.columns]
-    return pages.select(*cols).mapInPandas(run, schema=TAGS_FUSED_SCHEMA)
+    return pages.select(*cols).mapInPandas(run, schema=schema)
 
 
 def annotate(
