@@ -15,7 +15,11 @@ import tempfile
 
 from pyspark.sql import SparkSession
 
-ARROW_BATCH = 256  # rows/batch for pandas-UDF kernels; docs are large rows
+# rows/batch for pandas-UDF kernels: large batches amortize the per-batch
+# python dispatch for narrow text rows, while maxBytesPerBatch (Spark 4)
+# caps the bytes so fat rows (multimodal payloads) still get small batches
+ARROW_BATCH = 2048
+ARROW_BATCH_BYTES = 8 * 1024 * 1024
 
 # Pin native math threadpools to one thread BEFORE the JVM (and hence the
 # python worker daemons) start: with K executor threads, unpinned OpenBLAS
@@ -71,6 +75,7 @@ def get_spark(
         .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "256m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(ARROW_BATCH_BYTES))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
