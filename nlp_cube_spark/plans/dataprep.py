@@ -87,14 +87,18 @@ def prep_training_data(
         F.md5("text").alias("_th"),
         F.expr(shingle_expr("text", 3)).alias("_sh"),
     )
+    # snapshot the persisted-RDD registry so every barrier this call
+    # creates can be dropped once superseded (localCheckpoint blocks have
+    # no DataFrame-level unpersist; unreleased, a harness timing the plan
+    # k times accumulates k x ~270MB of dead intermediate blocks —
+    # measured. localCheckpoint beats persist() for these barriers by
+    # ~2.5s/run at sf1.0: raw UnsafeRows, no columnar re-encode.)
+    from ..session import persistent_rdd_ids, unpersist_rdd_ids
+
+    spark = docs.sparkSession
+    ids0 = persistent_rdd_ids(spark)
     if materialize:
-        # persist (not localCheckpoint): same barrier semantics once
-        # eagerly materialized, but UNPERSISTABLE — checkpointed RDDs
-        # linger for the DataFrame's whole lifetime, and a harness that
-        # times the query k times accumulates k x ~270MB of dead blocks
-        # (measured; the superseded barriers below are dropped as soon as
-        # their successor is materialized)
-        base = base.persist()
+        base = base.localCheckpoint()
     kept = base.where(F.col("quality") >= min_quality).select(
         "doc_id", size_col, "_th", "_sh"
     )
@@ -109,12 +113,7 @@ def prep_training_data(
         .select("doc_id", size_col, "_sh")
     )
     if materialize:
-        # eager fill BEFORE the multi-consumer LSH/verify stage: a lazy
-        # cache with several subtree references in one job races its own
-        # fill and recomputes (the enc-broadcast lesson, dedup.py)
-        kept = kept.persist()
-        kept.count()
-        base.unpersist()
+        kept = kept.localCheckpoint()
 
     pairs = jaccard_verify_pairs(
         lsh_candidate_pairs(kept, k=k, bands=bands, max_bucket=max_bucket, shingle_col="_sh"),
@@ -127,10 +126,14 @@ def prep_training_data(
 
     split_docs = hash_split(survivors, "doc_id", weights).drop("_sh")
     if materialize:
-        # the split table IS in the returned plan -> localCheckpoint
-        # (lineage cut); everything upstream is now disposable
+        # the split table IS in the returned plan and is the last barrier:
+        # materializing it runs LSH+verify, after which every other
+        # barrier this call created (base, kept, the verify gram-encode)
+        # is dead — drop their blocks, keep only the split table's
+        pre_split = persistent_rdd_ids(spark)
         split_docs = split_docs.localCheckpoint()
-        kept.unpersist()
+        split_ids = persistent_rdd_ids(spark) - pre_split
+        unpersist_rdd_ids(spark, persistent_rdd_ids(spark) - ids0 - split_ids)
     kept = split_docs
 
     # one-pass per-split packing: exactly the rows of a per-split

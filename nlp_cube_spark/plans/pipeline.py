@@ -79,17 +79,18 @@ def build_graph(
     # one fused Arrow stage: segment+tag+parse+extract (one python worker
     # per task; chaining separate mapInPandas stages triples worker count
     # and scaled negatively — see BENCH/BASELINE.md).
-    # persist + eager count: link_triples references its input THREE times
+    # localCheckpoint: link_triples references its input THREE times
     # (subj-mention branch, obj-mention branch, attach join) and Spark
     # does not dedupe common mapInPandas subtrees across union/join
-    # branches — unmaterialized (or lazily cached, racing its own fill),
-    # the whole annotate kernel re-ran 3x (measured 1.5s -> 6.6s at
-    # sf0.1). persist instead of localCheckpoint so the blocks can be
-    # dropped at the end of the run instead of lingering for the
-    # DataFrame's lifetime (a bench timing k runs accumulates k x the
-    # corpus in dead cache otherwise).
-    triples = A.fused_triples(pages_b).persist()
-    triples.count()
+    # branches — unmaterialized, the whole annotate kernel re-ran 3x
+    # (measured 1.5s -> 6.6s at sf0.1). Every barrier this run creates is
+    # dropped at the end via the persistent-RDD registry (session.py) so
+    # a harness timing k runs doesn't accumulate k x the corpus in dead
+    # checkpoint blocks.
+    from ..session import persistent_rdd_ids, unpersist_rdd_ids
+
+    ids0 = persistent_rdd_ids(spark)
+    triples = A.fused_triples(pages_b).localCheckpoint()
     linked = LK.link_triples(triples, aliases)
 
     out = with_bucket(linked, n_buckets).withColumn(
@@ -133,13 +134,11 @@ def build_graph(
 
         # GLOBAL canonicalization dimension from the full stored table
         # (old + new buckets): a narrow 5-column scan feeding a
-        # vocab-sized cc loop. persist + eager fill before the
-        # multi-branch edge build (appos + subj + obj references), then
-        # dropped at the end of the run.
+        # vocab-sized cc loop. localCheckpoint cuts lineage before the
+        # iterative loop re-reads it; dropped at the end of the run.
         full = spark.read.parquet(f"{out_dir}/triples").select(
             "subj", "obj", "pattern", "subj_id", "obj_id"
-        ).persist()
-        full.count()
+        ).localCheckpoint()
         C.canonical_entities(full).write.mode("overwrite").parquet(f"{out_dir}/entities")
 
         if write_words:
@@ -172,10 +171,10 @@ def build_graph(
 
         side.result()  # surface any side-chain failure before declaring done
 
-    # every action that reads the barriers has run; drop their blocks so
-    # repeated runs in one session don't accumulate dead cache
-    triples.unpersist()
-    full.unpersist()
+    # every action that reads the barriers (triples/full checkpoints, the
+    # cc loop's per-round labels) has run; drop their blocks so repeated
+    # runs in one session don't accumulate dead cache
+    unpersist_rdd_ids(spark, persistent_rdd_ids(spark) - ids0)
 
     def _obs_n(obs) -> int:
         # AQE empty-relation propagation prunes CollectMetrics when the

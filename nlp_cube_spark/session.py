@@ -46,6 +46,29 @@ def _ship_package(spark: SparkSession) -> None:
     spark.sparkContext.addPyFile(zip_path)
 
 
+def persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    """Ids of every RDD currently persisted in this SparkContext —
+    localCheckpoint blocks included (they have no DataFrame-level
+    unpersist handle)."""
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+
+
+def unpersist_rdd_ids(spark: SparkSession, ids: set[int]) -> None:
+    """Asynchronously drop the storage of the given persisted RDD ids.
+
+    The release valve for localCheckpoint barriers: their blocks otherwise
+    live as long as the (JVM-side) RDD object, so a harness that times a
+    plan k times accumulates k copies of every intermediate barrier
+    (measured ~270MB per training-data-prep run). Callers snapshot
+    persistent_rdd_ids() before creating barriers and unpersist the
+    difference once the last action that reads them has run."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for i in ids:
+        rdd = jmap.get(i)
+        if rdd is not None:
+            rdd.unpersist(False)
+
+
 def get_spark(
     app_name: str = "nlp_cube_spark",
     master: str | None = None,
