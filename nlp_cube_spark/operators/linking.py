@@ -89,7 +89,11 @@ def link_triples(triples: DataFrame, aliases: DataFrame) -> DataFrame:
 
     The linked-mentions table is mention-distinct (Zipf-bounded vocabulary),
     so both attach joins broadcast."""
-    linked = link_mentions(mentions_from_triples(triples), aliases)
+    # checkpoint the mention dimension: it feeds TWO broadcast builds
+    # (subj/obj attach) whose subtrees differ only by aliases, so Spark
+    # cannot reuse the exchange — unmaterialized, each broadcast re-ran
+    # the two corpus scans + dedup + argmax behind link_mentions
+    linked = link_mentions(mentions_from_triples(triples), aliases).localCheckpoint()
     lsub = F.broadcast(linked.select(F.col("mention").alias("_ms"), F.col("entity_id").alias("subj_id")))
     lobj = F.broadcast(linked.select(F.col("mention").alias("_mo"), F.col("entity_id").alias("obj_id")))
     return (
