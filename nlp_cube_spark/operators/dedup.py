@@ -25,6 +25,12 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 H60 = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
 
+# jaccard_verify_pairs bitmap encoding cutoff: up to this many distinct
+# grams, per-doc sets pack into <= 64 BIGINT words (512 bytes) — smaller
+# than the int-array form whenever docs average > ~1.5% vocab coverage,
+# and always cheaper to intersect (AND+bit_count vs hash probes)
+_BITSET_MAX_VOCAB = 4096
+
 
 def pad_bigint19(c: str, op: str) -> F.Column:
     """Zero-pad a non-negative bigint id to 19 digits (bigint max width)
@@ -227,61 +233,88 @@ def jaccard_verify_pairs(
         sh = docs.select(F.col(id_col), F.col(shingle_col).alias("_sh"))
     else:
         sh = docs.select(F.col(id_col), F.expr(shingle_expr(text_col, n)).alias("_sh"))
-    cand = pairs.select("doc_a", "doc_b")
-    if threshold > 0:
-        sizes = sh.select(F.col(id_col), F.size("_sh").alias("_sz"))
-        bound = F.round(
-            F.least("_sza", "_szb")
-            / F.nullif(F.greatest("_sza", "_szb").cast("double"), F.lit(0.0)),
-            6,
+    if threshold <= 0:
+        a = sh.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("sh_a"))
+        b = sh.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("sh_b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        return (
+            pairs.select("doc_a", "doc_b")
+            .join(a, "doc_a")
+            .join(b, "doc_b")
+            .withColumn("jaccard", F.round(inter / union, 6))
+            .where(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
         )
-        cand = (
-            cand.join(sizes.select(F.col(id_col).alias("doc_a"), F.col("_sz").alias("_sza")), "doc_a")
-            .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("_sz").alias("_szb")), "doc_b")
-            .where(bound >= threshold)
-            .select("doc_a", "doc_b")
+
+    # size-ratio prefilter; the sizes ride along so union never needs the
+    # encoded sets' width later (|A ∪ B| = |A| + |B| - |A ∩ B|)
+    sizes = sh.select(F.col(id_col), F.size("_sh").alias("_sz"))
+    bound = F.round(
+        F.least("_sza", "_szb")
+        / F.nullif(F.greatest("_sza", "_szb").cast("double"), F.lit(0.0)),
+        6,
+    )
+    cand = (
+        pairs.select("doc_a", "doc_b")
+        .join(sizes.select(F.col(id_col).alias("doc_a"), F.col("_sz").alias("_sza")), "doc_a")
+        .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("_sz").alias("_szb")), "doc_b")
+        .where(bound >= threshold)
+    )
+
+    # |A ∩ B| is invariant under ANY injective gram -> id map, so the
+    # jaccard values below are bit-identical to intersecting the string
+    # sets. Two exact encodings, picked by the measured gram-vocabulary
+    # size (one vocab-dimension count):
+    #  - vocab <= _BITSET_MAX_VOCAB: dense-rank ids (provably injective,
+    #    shared prefix-sum device) packed into ceil(v/64) BIGINT words per
+    #    doc via partial-aggregated bit_or — the per-doc payload collapses
+    #    map-side (no gram-volume collect shuffle) and the per-pair
+    #    intersection is a handful of codegen'd AND+bit_count ops.
+    #  - larger vocab (sparse docs): 64-bit xxhash ids as sorted-free int
+    #    arrays; injectivity VERIFIED on this corpus with one aggregate
+    #    (collision — vanishingly rare below ~2^32 grams — falls back to
+    #    the dense rank), array_intersect on ints ~5x cheaper than strings.
+    grams = sh.select(F.col(id_col), F.explode("_sh").alias("_s"))
+    vocab = grams.select("_s").dropDuplicates()
+    n_vocab = vocab.count()
+    if n_vocab <= _BITSET_MAX_VOCAB:
+        from .ranges import exclusive_prefix_sum
+
+        dct = exclusive_prefix_sum(vocab, [F.col("_s")], F.lit(1), out_col="_gid")
+        ids = grams.join(F.broadcast(dct), "_s").select(F.col(id_col), "_gid")
+        nwords = max(1, (n_vocab + 63) // 64)
+        bit_aggs = [
+            F.expr(
+                f"bit_or(case when _gid div 64 = {w}"
+                f" then shiftleft(1L, cast(_gid % 64 as int)) else 0L end)"
+            ).alias(f"_w{w}")
+            for w in range(nwords)
+        ]
+        # eager checkpoint: feeds BOTH pair sides (Spark does not dedupe
+        # identical subtrees across join branches — CLAUDE.md)
+        enc = ids.groupBy(id_col).agg(*bit_aggs).localCheckpoint()
+        a = enc.select(
+            F.col(id_col).alias("doc_a"), *[F.col(f"_w{w}").alias(f"_aw{w}") for w in range(nwords)]
         )
-    if threshold > 0:
-        # encode grams to 64-bit ints before the per-pair attach: |A ∩ B|
-        # and |A ∪ B| are invariant under ANY injective gram -> id map, so
-        # the jaccard values are bit-identical while the arrays shuffle
-        # ~3x smaller and hash ~5x faster inside array_intersect (measured
-        # 5.9s -> 2.8s at sf1.0). xxhash64 is checked for injectivity ON
-        # THIS corpus with one vocab-dimension aggregate (exactness is
-        # verified, not assumed); a collision — vanishingly rare below
-        # ~2^32 distinct grams, and the gram vocabulary is a bounded
-        # dimension (~charset^n) — falls back to the provably-injective
-        # dense rank from the shared prefix-sum device (operators/ranges).
-        grams = sh.select(F.col(id_col), F.explode("_sh").alias("_s"))
-        vocab = grams.select("_s").dropDuplicates()
-        chk = vocab.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.countDistinct(F.xxhash64("_s")).alias("nh"),
-        ).collect()[0]
-        if chk["n"] == chk["nh"]:
+        b = enc.select(
+            F.col(id_col).alias("doc_b"), *[F.col(f"_w{w}").alias(f"_bw{w}") for w in range(nwords)]
+        )
+        inter = F.expr(" + ".join(f"bit_count(_aw{w} & _bw{w})" for w in range(nwords)))
+    else:
+        chk = vocab.agg(F.countDistinct(F.xxhash64("_s")).alias("nh")).collect()[0]
+        if n_vocab == chk["nh"]:
             ids = grams.select(F.col(id_col), F.xxhash64("_s").alias("_gid"))
         else:  # collision: dense-rank dictionary, injective by construction
             from .ranges import exclusive_prefix_sum
 
             dct = exclusive_prefix_sum(vocab, [F.col("_s")], F.lit(1), out_col="_gid")
             ids = grams.join(F.broadcast(dct), "_s").select(F.col(id_col), "_gid")
-        # eager checkpoint: the encoded frame feeds BOTH pair sides, and
-        # Spark does not dedupe identical subtrees across join branches
-        # (CLAUDE.md) — worse, each side may become a BroadcastExchange
-        # whose build races the other, so a lazy cache can still compute
-        # twice; eager materialization guarantees one pass
-        enc = (
-            ids.groupBy(id_col)
-            .agg(F.collect_list("_gid").alias("_shi"))
-            .localCheckpoint()
-        )
+        enc = ids.groupBy(id_col).agg(F.collect_list("_gid").alias("_shi")).localCheckpoint()
         a = enc.select(F.col(id_col).alias("doc_a"), F.col("_shi").alias("sh_a"))
         b = enc.select(F.col(id_col).alias("doc_b"), F.col("_shi").alias("sh_b"))
-    else:
-        a = sh.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("sh_a"))
-        b = sh.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.col("_sza") + F.col("_szb") - inter
     return (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
