@@ -276,7 +276,10 @@ def jaccard_verify_pairs(
     #    (collision — vanishingly rare below ~2^32 grams — falls back to
     #    the dense rank), array_intersect on ints ~5x cheaper than strings.
     grams = sh.select(F.col(id_col), F.explode("_sh").alias("_s"))
-    vocab = grams.select("_s").dropDuplicates()
+    # checkpoint the (tiny) vocab dimension: the count here plus the
+    # prefix-sum rank's own count/boundary-sample actions would otherwise
+    # each re-run the gram explode+distinct over the corpus
+    vocab = grams.select("_s").dropDuplicates().localCheckpoint()
     n_vocab = vocab.count()
     if n_vocab <= _BITSET_MAX_VOCAB:
         from .ranges import exclusive_prefix_sum
