@@ -135,13 +135,11 @@ def _minhash_agg(
     )
 
 
-def _banded_signatures(
-    docs: DataFrame, id_col: str, text_col: str, k: int, bands: int, n: int,
-    shingle_col: str | None = None,
-) -> DataFrame:
-    """(id, band_id, band_sig) — one row per doc per band."""
+def _band_rows(sig: DataFrame, id_col: str, k: int, bands: int) -> DataFrame:
+    """(id, band_id, band_sig) from a (id, minhash ARRAY<BIGINT>) frame —
+    THE one definition of band-signature assembly (shared with the fused
+    plans/dataprep path so the two can never silently diverge)."""
     rows_per_band = k // bands
-    sig = _minhash_agg(docs, id_col, text_col, k, n, shingle_col)
     return sig.select(
         id_col,
         F.explode(
@@ -151,6 +149,36 @@ def _banded_signatures(
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_sig")
+
+
+def _candidate_pairs_from_banded(
+    banded: DataFrame, id_col: str, max_bucket: int | None
+) -> DataFrame:
+    """Hot-bucket cap + band self-equi-join + pair dedup over (id,
+    band_id, band_sig) rows — THE one definition (shared with the fused
+    plans/dataprep path)."""
+    if max_bucket is not None:
+        w = Window.partitionBy("band_id", "band_sig")
+        banded = banded.withColumn("_bn", F.count(F.lit(1)).over(w)).where(
+            F.col("_bn") <= max_bucket
+        ).drop("_bn")
+    a = banded.select(F.col(id_col).alias("doc_a"), "band_id", "band_sig")
+    b = banded.select(F.col(id_col).alias("doc_b"), "band_id", "band_sig")
+    return (
+        a.join(b, ["band_id", "band_sig"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "band_id")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def _banded_signatures(
+    docs: DataFrame, id_col: str, text_col: str, k: int, bands: int, n: int,
+    shingle_col: str | None = None,
+) -> DataFrame:
+    """(id, band_id, band_sig) — one row per doc per band."""
+    sig = _minhash_agg(docs, id_col, text_col, k, n, shingle_col)
+    return _band_rows(sig, id_col, k, bands)
 
 
 def lsh_candidate_pairs(
@@ -170,19 +198,7 @@ def lsh_candidate_pairs(
     route them to `exact_duplicates`. Documented recall note: a true
     near-dup pair is missed only if EVERY band it agrees on is oversized."""
     banded = _banded_signatures(docs, id_col, text_col, k, bands, n, shingle_col)
-    if max_bucket is not None:
-        w = Window.partitionBy("band_id", "band_sig")
-        banded = banded.withColumn("_bn", F.count(F.lit(1)).over(w)).where(
-            F.col("_bn") <= max_bucket
-        ).drop("_bn")
-    a = banded.select(F.col(id_col).alias("doc_a"), "band_id", "band_sig")
-    b = banded.select(F.col(id_col).alias("doc_b"), "band_id", "band_sig")
-    return (
-        a.join(b, ["band_id", "band_sig"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "band_id")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    return _candidate_pairs_from_banded(banded, id_col, max_bucket)
 
 
 def oversized_band_buckets(

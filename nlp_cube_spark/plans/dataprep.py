@@ -33,7 +33,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..operators.dedup import jaccard_verify_pairs, lsh_candidate_pairs, shingle_expr
+from ..operators.dedup import (
+    _BITSET_MAX_VOCAB,
+    _band_rows,
+    _candidate_pairs_from_banded,
+    _h60,
+    jaccard_verify_pairs,
+    lsh_candidate_pairs,
+    shingle_expr,
+)
 from ..operators.sampling import hash_split, pack_by_budget_grouped
 from ..operators.textstats import quality_score
 
@@ -112,15 +120,89 @@ def prep_training_data(
         .where(F.col("doc_id") == F.col("_keep"))
         .select("doc_id", size_col, "_sh")
     )
-    if materialize:
-        kept = kept.localCheckpoint()
 
-    pairs = jaccard_verify_pairs(
-        lsh_candidate_pairs(kept, k=k, bands=bands, max_bucket=max_bucket, shingle_col="_sh"),
-        kept,
-        threshold=jaccard_threshold,
-        shingle_col="_sh",
-    )
+    # fused LSH + verify encoding (single gram pass): when the gram
+    # vocabulary is small enough for bitmap verification, the k minhash
+    # MINs, the verify bitmap words and the set size all come out of ONE
+    # explode + broadcast-dict probe + partial-aggregated groupBy — the
+    # separate signature and encode passes each re-scanned the ~|grams|
+    # rows. Every piece of pinned math is shared with the generic
+    # operators (_h60 salted hashes; _band_rows / _candidate_pairs_from_
+    # banded are THE band/pair definitions; the bitmap jaccard is the
+    # dedup.py form), so the pair set and jaccard values are identical —
+    # replayed by the unchanged DuckDB oracle at two SFs.
+    fused = False
+    if materialize and jaccard_threshold > 0:
+        vocab = base.select(F.explode("_sh").alias("_s")).dropDuplicates().localCheckpoint()
+        n_vocab = vocab.count()
+        fused = n_vocab <= _BITSET_MAX_VOCAB
+    if fused:
+        from ..operators.ranges import exclusive_prefix_sum
+
+        # gid ranks over the PRE-dedup vocab: a superset dictionary is
+        # still injective, which is all bitmap equality needs
+        dct = exclusive_prefix_sum(vocab, [F.col("_s")], F.lit(1), out_col="_gid").select(
+            "_s",
+            "_gid",
+            *[F.expr(_h60(f"concat('{j}:', _s)")).alias(f"_h{j}") for j in range(k)],
+        )
+        nwords = max(1, (n_vocab + 63) // 64)
+        grams = kept.select("doc_id", size_col, F.explode("_sh").alias("_s"))
+        enc = (
+            grams.join(F.broadcast(dct), "_s")
+            .groupBy("doc_id")
+            .agg(
+                F.first(size_col).alias(size_col),
+                F.count(F.lit(1)).alias("_sz"),
+                *[F.min(f"_h{j}").alias(f"_m{j}") for j in range(k)],
+                *[
+                    F.expr(
+                        f"bit_or(case when _gid div 64 = {w}"
+                        f" then shiftleft(1L, cast(_gid % 64 as int)) else 0L end)"
+                    ).alias(f"_w{w}")
+                    for w in range(nwords)
+                ],
+            )
+            .localCheckpoint()
+        )
+        sig = enc.select(
+            "doc_id", F.array(*[F.col(f"_m{j}") for j in range(k)]).alias("minhash")
+        )
+        cand = _candidate_pairs_from_banded(
+            _band_rows(sig, "doc_id", k, bands), "doc_id", max_bucket
+        ).select("doc_a", "doc_b")
+        a = enc.select(
+            F.col("doc_id").alias("doc_a"), F.col("_sz").alias("_sza"),
+            *[F.col(f"_w{w}").alias(f"_aw{w}") for w in range(nwords)],
+        )
+        b = enc.select(
+            F.col("doc_id").alias("doc_b"), F.col("_sz").alias("_szb"),
+            *[F.col(f"_w{w}").alias(f"_bw{w}") for w in range(nwords)],
+        )
+        bound = F.round(
+            F.least("_sza", "_szb")
+            / F.nullif(F.greatest("_sza", "_szb").cast("double"), F.lit(0.0)),
+            6,
+        )
+        inter = F.expr(" + ".join(f"bit_count(_aw{w} & _bw{w})" for w in range(nwords)))
+        pairs = (
+            cand.join(a, "doc_a")
+            .join(b, "doc_b")
+            .where(bound >= jaccard_threshold)
+            .withColumn("jaccard", F.round(inter / (F.col("_sza") + F.col("_szb") - inter), 6))
+            .where(F.col("jaccard") >= jaccard_threshold)
+            .select("doc_a", "doc_b", "jaccard")
+        )
+        kept = enc.select("doc_id", size_col)
+    else:
+        if materialize:
+            kept = kept.localCheckpoint()
+        pairs = jaccard_verify_pairs(
+            lsh_candidate_pairs(kept, k=k, bands=bands, max_bucket=max_bucket, shingle_col="_sh"),
+            kept,
+            threshold=jaccard_threshold,
+            shingle_col="_sh",
+        )
     near_dup_ids = pairs.select(F.col("doc_b").alias("doc_id")).dropDuplicates()
     survivors = kept.join(near_dup_ids, "doc_id", "left_anti")
 
